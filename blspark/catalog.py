@@ -1,0 +1,151 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 (plus the extension operators) registers
+here with a name, a Spark callable ``(spark, sf_dir) -> DataFrame`` and,
+where SQL-expressible, an equivalent DuckDB oracle SQL string over the
+same parquet tables. ``__spark_entry__.py`` re-exports this registry;
+``tests/test_oracle.py`` runs the same differential check the driver runs.
+
+Numeric-stability convention (critical for the order-insensitive
+value-hash comparison): never hash a raw floating-point SUM/AVG. Sums of
+doubles are order-dependent, and Spark (partial aggregation over N
+partitions) will not associate in DuckDB's order. Instead each side
+computes ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`` — decimal
+arithmetic is exact and order-independent, so both engines produce
+bitwise-identical doubles. Derived stats (avg, stddev) are computed as
+double expressions over those exact decimal sums, which is again
+deterministic. See ``dsum``/``davg``/``dstd`` helpers below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    bench: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator registering a query under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    # Import query modules for their registration side effects.
+    import blspark.queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table. `events.parquet` stores TIMESTAMP(NANOS)
+    which Spark's parquet reader rejects; read it as nanos-longs and
+    truncate to microsecond timestamps (`div 1000` floors, matching
+    DuckDB's nanos->micros truncation)."""
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each parquet table as a temp view (mirrors the oracle's
+    pre-registered DuckDB views), so queries can be written in SQL too."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- numeric-stability helpers (Spark side) --------------------------------
+
+DEC = "decimal(28,4)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Order-independent SUM of a double column: exact decimal sum, cast
+    back to double. Matches oracle `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """Order-independent mean: exact decimal sum divided by count, in doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+
+
+def dstd(col: str | Column) -> Column:
+    """Order-independent sample stddev (ddof=1) from exact decimal sums:
+    sqrt((sum_x2 - sum_x^2/n) / (n-1)). Squares use DECIMAL(18,4) inputs so
+    the product (precision 37, scale 8) stays exact in both engines for
+    |x| < ~1e14."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    sx = F.sum(c.cast(DEC)).cast("double")
+    cq = c.cast("decimal(18,4)")
+    sx2 = F.sum(cq * cq).cast("double")
+    return F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1.0)))
+
+
+# The same expressions, for oracle SQL strings.
+def o_dsum(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE)"
+
+
+def o_davg(x: str) -> str:
+    return f"CAST(CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({x}) AS DOUBLE)"
+
+
+def o_dstd(x: str) -> str:
+    # DECIMAL(19,4) forces DuckDB onto its INT128 multiply path (the
+    # (18,4) width overflows INT64); the product is exact at scale 8
+    # either way, matching Spark's decimal(18,4) operands.
+    sx = f"CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE)"
+    sx2 = f"CAST(SUM(CAST({x} AS DECIMAL(19,4)) * CAST({x} AS DECIMAL(19,4))) AS DOUBLE)"
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    return f"SQRT(({sx2} - {sx} * {sx} / {n}) / ({n} - 1.0))"

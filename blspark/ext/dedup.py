@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All deterministic and engine-portable by construction: hashing uses MD5
+(identical everywhere) rather than engine-private hash functions, so the
+DuckDB oracle can mirror every step.
+
+Scale design (100 TB corpora):
+- exact dedup: one hash-aggregate shuffle on the content digest; the
+  digest (16 bytes) shuffles, never the document body.
+- MinHash+LSH: shingling and signatures are embarrassingly parallel;
+  the only shuffle is the band-bucket self-join, whose fan-out is
+  controlled by band width (wider bands -> fewer, higher-precision
+  candidates). Hot buckets are bounded because a full band match already
+  implies high similarity; AQE skew-join handles stragglers.
+- n-gram Jaccard: inverted-index self-join on shingle; at scale, drop
+  ultra-frequent shingles (document-frequency cap) before the join —
+  exposed via ``max_doc_freq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by content MD5, keep the smallest id (stable
+    winner). Returns (digest, keep_id, n_copies)."""
+    return (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("digest"), F.col(id_col)
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle). Documents
+    with fewer than ``n`` tokens produce no shingles. Tokenization is a
+    plain single-space split (deterministic, oracle-portable)."""
+    tokens = F.split(F.col(text_col), " ")
+    idxs = F.sequence(F.lit(0), F.size(tokens) - n)
+    shingle = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(tokens) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: for seed s, min over shingles of
+    md5('s:' || shingle). One aggregation pass, n_hashes min-aggregates.
+    Returns (id, mh0..mh{n-1})."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(
+            f"mh{s}"
+        )
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes / bands), hash each
+    band, self-join per (band_idx, band_hash) bucket -> candidate pairs
+    (id_a < id_b). The band hash is md5 of the concatenated minhashes."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(*cols).cast("binary")).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets via inverted-index
+    self-join. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= min_jaccard. ``max_doc_freq`` drops shingles appearing in
+    more than that many documents (the scale lever — stopword shingles
+    otherwise quadratically blow up the join)."""
+    sh = shingles
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(
+            freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # unrounded: integer-ratio division is deterministic; rounding
+            # exact decimal halves diverges across engines
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens: token hash = first
+    16 bits of md5 (hex chars via positional arithmetic — portable to any
+    SQL engine); bit b of the simhash is the sign of the per-bit ±1 sum.
+    Returns (id, simhash)."""
+    tokens = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn(
+            "v",
+            F.expr(
+                "(instr('0123456789abcdef', substr(h,1,1)) - 1) * 4096"
+                " + (instr('0123456789abcdef', substr(h,2,1)) - 1) * 256"
+                " + (instr('0123456789abcdef', substr(h,3,1)) - 1) * 16"
+                " + (instr('0123456789abcdef', substr(h,4,1)) - 1)"
+            ),
+        )
+    )
+    bit_sums = tokens.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when((F.col("v") / (2**b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("id", simhash.cast("long").alias("simhash"))

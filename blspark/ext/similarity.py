@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast; the corpus never shuffles; per-partition the
+  dot products stay inside Catalyst (``zip_with`` + ``aggregate`` — no
+  Python in the loop).
+- ``hyperplane_lsh_topk``: the scale path — random-hyperplane LSH.
+  Each vector gets a small bucket id from the sign pattern of dot
+  products against shared hyperplanes; search only joins within a
+  bucket, turning the O(N·Q) cross product into a bucketed equi-join.
+  Hyperplanes here are taken deterministically from the dataset itself
+  so results are reproducible and oracle-checkable; in production they
+  would be seeded Gaussian vectors broadcast to executors.
+
+Numeric determinism: embeddings are cast float->double (exact), each
+elementwise product of two floats is exactly representable in a double,
+and the sequential left-to-right ``aggregate`` sum matches DuckDB's
+``list_sum`` ordering; cosines are rounded to 6 dp in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+
+def with_double_vec(df: DataFrame, vec_col: str, out: str = "vec") -> DataFrame:
+    return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    The queries side is broadcast — the corpus is scanned once, no
+    shuffle until the final per-query top-k (tiny)."""
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "vec"
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    vec_col: str = "vec",
+    out: str = "bucket",
+) -> DataFrame:
+    """Bucket id from the sign pattern of dot products against shared
+    hyperplanes: bit i set iff dot(vec, h_i) >= 0."""
+    bucket = F.lit(0)
+    for i, h in enumerate(hyperplanes):
+        hcol = F.array(*[F.lit(float(x)).cast("double") for x in h])
+        bucket = bucket + F.when(_dot(F.col(vec_col), hcol) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Returns (query_id, neighbor_id, cosine, rank). At scale the bucketed
+    equi-join shuffles each side once on the bucket id instead of a full
+    cross product; recall is tuned by hyperplane count / multi-probe."""
+    c = hyperplane_buckets(
+        with_double_vec(corpus, vec_col), hyperplanes
+    ).select(F.col(id_col).alias("neighbor_id"), "vec", "bucket")
+    q = hyperplane_buckets(
+        with_double_vec(queries, vec_col), hyperplanes
+    ).select(F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    ca = c.alias("c")
+    qa = q.alias("q")
+    scored = ca.join(
+        F.broadcast(qa),
+        (F.col("c.bucket") == F.col("q.bucket"))
+        & (F.col("c.neighbor_id") != F.col("q.query_id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.neighbor_id").alias("neighbor_id"),
+        (
+            _dot(F.col("c.vec"), F.col("q.qvec"))
+            / (_norm(F.col("c.vec")) * _norm(F.col("q.qvec")))
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1,0 +1,8 @@
+"""Query modules — importing this package registers every query into
+``blspark.catalog``. Modules are grouped by SURVEY.md §2 area."""
+
+import blspark.queries.core  # noqa: F401
+import blspark.queries.events  # noqa: F401
+import blspark.queries.sync_q  # noqa: F401
+import blspark.queries.extensions  # noqa: F401
+import blspark.queries.streaming_q  # noqa: F401

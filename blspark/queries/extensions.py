@@ -1,0 +1,497 @@
+"""Extension-scope queries (BASELINE.json north star): deduplication,
+similarity search, text analysis, multimodal metadata — each with a
+DuckDB oracle mirroring the exact algorithm so the value-hash check is
+meaningful.
+
+The dedup corpus is documents ∪ near-duplicate mutations (doc_id+100000,
+text + ' extra token', every 10th doc) ∪ exact copies (doc_id+200000,
+every 25th doc), built identically on both sides, so the dedup operators
+provably find the planted duplicates rather than vacuously returning
+empty sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+from blspark.ext.dedup import (
+    exact_dedup_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from blspark.ext.multimodal import attach_binary, decode_features
+from blspark.ext.similarity import cosine_topk, hyperplane_lsh_topk
+from blspark.ext.text import fingerprint, lang_id, quality_score, token_stats
+
+# ---------------------------------------------------------------------------
+# shared corpus (Spark + oracle twins)
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text AS text
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+SHINGLES_SQL = """
+tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(len(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM tok WHERE len(t) >= 3
+  ) raw
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content MD5, keep min id. Only the "
+    "16-byte digest shuffles, never the document body.",
+    bench=True,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keys(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+_MH = ",\n           ".join(
+    f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(8)
+)
+
+MINHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+sig AS (
+  SELECT id,
+           {_MH}
+  FROM sh GROUP BY id
+),
+bands AS (
+  SELECT id, 0 AS band_idx, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sig
+  UNION ALL
+  SELECT id, 1 AS band_idx, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+"""
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    oracle=MINHASH_ORACLE,
+    doc="MinHash+LSH near-dup detection: 3-word shingles -> 8 MD5-seeded "
+    "minhashes -> 2 bands of 4 -> band-bucket self-join for candidates "
+    "-> exact-Jaccard verification >= 0.5. The band join is the only "
+    "shuffle whose fan-out matters; band width bounds bucket sizes.",
+    bench=True,
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.id") == F.col("id_a"))
+        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("b.shingle") == F.col("a.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+NGRAM_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    oracle=NGRAM_ORACLE,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(threshold 0.6). The quadratic fallback — at scale use "
+    "max_doc_freq shingle pruning or the MinHash path.",
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import jaccard_pairs
+
+    sh = word_shingles(_corpus(spark, sf_dir), "doc_id", "text", n=3)
+    return jaccard_pairs(sh, min_jaccard=0.6)
+
+
+def _simhash_oracle() -> str:
+    hexpos = "0123456789abcdef"
+    v_expr = " + ".join(
+        f"(instr('{hexpos}', substring(h, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    s_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (v // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM corpus
+      ) raw
+    ),
+    tv AS (
+      SELECT id, {v_expr} AS v FROM (SELECT id, md5(tok) AS h FROM toks) t
+    ),
+    sums AS (
+      SELECT id,
+         {s_cols}
+      FROM tv GROUP BY id
+    )
+    SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register(
+    "x_dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash fingerprints over distinct tokens (MD5-derived "
+    "bits, portable arithmetic). Equal fingerprints -> dup candidates; "
+    "one aggregation pass, no pairwise work.",
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+COSINE_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DOT.format(a='c.vec', b='q.qvec')}
+           / ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')}) AS cos_raw
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+@register(
+    "x_similarity_cosine_topk",
+    oracle=COSINE_ORACLE,
+    doc="Brute-force exact cosine top-5 for 5 query vectors: broadcast "
+    "queries x corpus scan, JVM-side zip_with/aggregate dot products, "
+    "per-query top-k window. The exactness baseline for ANN.",
+    bench=True,
+)
+def x_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+ANN_ORACLE = f"""
+WITH hp AS (
+  SELECT vec_id AS hid, embedding::DOUBLE[] AS h FROM embeddings WHERE vec_id < 4
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+dots AS (
+  SELECT v.vec_id, hp.hid, {_DOT.format(a='v.vec', b='hp.h')} AS d
+  FROM vecs v, hp
+),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d >= 0 THEN CAST(2 AS BIGINT) ** hid ELSE 0 END) AS INT)
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+c AS (
+  SELECT v.vec_id AS neighbor_id, v.vec, b.bucket
+  FROM vecs v JOIN buck b ON b.vec_id = v.vec_id
+),
+q AS (
+  SELECT v.vec_id AS query_id, v.vec AS qvec, b.bucket
+  FROM vecs v JOIN buck b ON b.vec_id = v.vec_id
+  WHERE v.vec_id >= 5 AND v.vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DOT.format(a='c.vec', b='q.qvec')}
+           / ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')}) AS cos_raw
+  FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@register(
+    "x_similarity_ann_lsh",
+    oracle=ANN_ORACLE,
+    doc="Hyperplane-LSH approximate top-3: 4 shared hyperplanes (taken "
+    "deterministically from the dataset) -> 16 sign buckets -> bucketed "
+    "equi-join instead of a cross product. The 100 TB scale path for "
+    "similarity search.",
+)
+def x_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("h"))
+        .collect()
+    )
+    hyperplanes = [list(r["h"]) for r in hp_rows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = hyperplane_lsh_topk(
+        emb, queries, hyperplanes, id_col="vec_id", vec_col="embedding", k=3
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "x_embed_label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS pos,
+           ROUND(AVG(embedding[t.i + 1]::DOUBLE), 6) AS mean_val
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY label, t.i
+    """,
+    doc="Elementwise per-label centroid (vector aggregation via "
+    "posexplode + groupBy(label, pos)) — the building block for "
+    "IVF-style coarse quantization.",
+)
+def x_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("mean_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_token_stats",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           (length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    doc="Whitespace token counting + chars-per-token (BPE proxy). Pure "
+    "codegen expressions in the scan stage.",
+)
+def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x_text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id AS id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           len(list_filter(toks,
+               x -> list_contains(['the','a','of','and'], x))) / len(toks)
+             AS stopword_ratio,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+           (LEAST(len(toks) / 100.0, 1.0)
+            + len(list_distinct(toks)) / len(toks)) / 2.0 AS quality
+    FROM t
+    """,
+    doc="Quality scoring: stopword ratio, repetition (distinct-token "
+    "ratio), bounded length score -> composite in [0,1].",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x_text_langid",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a','value','row'], x)))
+               AS s_en,
+             len(list_filter(toks, x -> list_contains(['data','filter','sort'], x)))
+               AS s_es,
+             len(list_filter(toks, x -> list_contains(['window','merge','batch'], x)))
+               AS s_zh
+      FROM t
+    ),
+    fold AS (
+      SELECT doc_id, s_en, s_es, s_zh,
+             CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS l1,
+             CASE WHEN s_es > s_en THEN s_es ELSE s_en END AS v1
+      FROM s
+    )
+    SELECT doc_id AS id,
+           CASE WHEN s_zh > v1 THEN 'zh' ELSE l1 END AS pred_lang,
+           CAST(CASE WHEN s_zh > v1 THEN s_zh ELSE v1 END AS INT) AS best_score
+    FROM fold
+    """,
+    doc="Marker-token language ID: per-language scores -> sequential "
+    "argmax fold with stable (first-wins) tie-break.",
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x_text_fingerprint",
+    oracle="""
+    SELECT doc_id AS id,
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Canonical-form document fingerprint (lower/strip/collapse + MD5) "
+    "— formatting-insensitive exact dedup key.",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS id,
+           'image' AS modality,
+           CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Opaque-binary ingest shape: (id, content binary, modality, "
+    "n_bytes) + content digest. The SQL-checkable half of the "
+    "multimodal path; decode plumbing is x_multimodal_decode.",
+)
+def x_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "text", modality="image")
+    return media.select(
+        "id",
+        "modality",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
+    "x_multimodal_decode",
+    oracle=None,
+    doc="Arrow-batched mapInPandas decode/feature-extract over binary "
+    "media columns (stubbed decoder — see blspark.ext.multimodal). "
+    "Blobs never shuffle; only compact features leave the stage. "
+    "Rows-only driver check; schema/values tested in tests/test_ext.py.",
+)
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "text", modality="image")
+    return decode_features(media)

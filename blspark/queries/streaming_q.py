@@ -1,0 +1,42 @@
+"""Streaming pipeline queries (no SQL oracle — the driver records a
+rows-only check for these; semantics are covered by tests/test_stream.py
+against their batch twins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import register
+from blspark.stream import file_arrival_stream, run_available_now
+
+
+@register(
+    "s_stream_events_hourly",
+    oracle=None,
+    doc="Structured Streaming twin of q_events_tumbling_window: file-"
+    "arrival source over events.parquet, availableNow trigger (T1/T2), "
+    "hourly tumbling counts into a memory sink. Exactly-once via "
+    "checkpointed file source (T3).",
+)
+def s_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw parquet schema (events.ts arrives as nanos-long; see
+    # catalog.load_table) — convert inside the stream.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob narrows it to the events file
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=raw_schema, glob="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    name = run_available_now(agg, output_mode="complete")
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )

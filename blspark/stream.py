@@ -1,0 +1,63 @@
+"""Structured Streaming replacements for the reference's AWS event
+plumbing (SURVEY.md §2.9).
+
+The reference wires S3 ObjectCreated -> SQS -> Lambda with batch_size=1
+and at-least-once delivery (data_pipeline_stack.py:99-125). The
+Spark-native equivalent is a file-source stream with checkpointing
+(exactly-once — strictly stronger, T3) + ``foreachBatch`` running the
+same batch queries per arrival (T4's idempotent full recompute), with
+``Trigger.AvailableNow`` standing in for the EventBridge cron (T1).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def file_arrival_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival source: new files under ``path`` become micro-batches.
+    ``glob`` mirrors the reference's `.json`-suffix event filter
+    (data_pipeline_stack.py:101); ``max_files_per_trigger=1`` mirrors
+    SQS batch_size=1 (:103)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None] | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str | None = None,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+):
+    """Drain everything currently available (the scheduled-batch trigger,
+    T1) and stop. With ``batch_fn``, runs it per micro-batch via
+    foreachBatch (the reference's per-event report recompute, T4);
+    otherwise results land in an in-memory table named ``query_name``."""
+    name = query_name or f"blspark_{uuid.uuid4().hex[:8]}"
+    writer = stream_df.writeStream.trigger(availableNow=True).outputMode(output_mode)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if batch_fn is not None:
+        writer = writer.foreachBatch(batch_fn)
+    else:
+        writer = writer.format("memory").queryName(name)
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    return name
