@@ -66,10 +66,17 @@ def apply_mirror_local(plan: DataFrame, src_dir: str, dst_dir: str) -> dict[str,
             elif row["action"] == "delete" and os.path.exists(dst):
                 os.remove(dst)
 
-    todo = plan.filter(F.col("action") != "skip")
-    todo.foreachPartition(apply_partition)
-    counts = {
-        r["action"]: r["n"]
-        for r in plan.groupBy("action").agg(F.count("*").alias("n")).collect()
-    }
+    # Materialize the plan BEFORE mutating the mirror: the classification
+    # scans the very files the apply step deletes/overwrites, so lazy
+    # re-execution after apply would re-read missing files. The persisted
+    # plan is compact — (key, md5, action) only, never file bodies.
+    plan = plan.persist()
+    try:
+        counts = {
+            r["action"]: r["n"]
+            for r in plan.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        plan.filter(F.col("action") != "skip").foreachPartition(apply_partition)
+    finally:
+        plan.unpersist()
     return {a: counts.get(a, 0) for a in ACTIONS}

@@ -1,0 +1,115 @@
+"""Behavioral tests for the extension operators: planted duplicates are
+found, ANN recall is sane, multimodal decode plumbing produces the
+declared schema."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blspark.ext.dedup import (
+    exact_dedup_keys,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from blspark.ext.multimodal import attach_binary, decode_features, fake_decode
+from blspark.ext.similarity import cosine_topk
+from blspark.ext.text import fingerprint, lang_id, quality_score, token_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near-dup of 1
+    (3, "completely different text about spark query engines and columnar data"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_copy(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup_keys(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1 and 4
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_jaccard_finds_near_dup_pair(docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(sh, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.8 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_recovers_near_dups(docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, 8, 2).collect()}
+    assert (1, 4) in cand  # identical signatures always collide
+    assert (1, 2) in cand  # high-jaccard pair collides w.h.p.
+
+
+def test_simhash_identical_texts_equal_fingerprints(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash16(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]
+    assert 0 <= fps[1] < 2**16
+    assert fps[1] != fps[3]
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    by_n = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert by_n[2] == 0.0 and by_n[3] == -1.0
+    assert 0.99 < by_n[1] <= 1.0
+
+
+def test_text_operators_shapes(docs):
+    ts = {r["id"]: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert ts[5]["n_tokens"] == 2 and ts[5]["n_chars"] == 10
+    q = {r["id"]: r for r in quality_score(docs, "doc_id", "text").collect()}
+    assert 0.0 <= q[1]["quality"] <= 1.0
+    assert q[1]["stopword_ratio"] > 0  # 'the' appears
+    li = {r["id"]: r for r in lang_id(docs, "doc_id", "text").collect()}
+    assert li[1]["pred_lang"] == "en"
+    fp = {r["id"]: r["fp"] for r in fingerprint(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[4]
+
+
+def test_fingerprint_normalizes_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fp = {r["id"]: r["fp"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_decode_schema_and_determinism(docs):
+    media = attach_binary(
+        docs.withColumnRenamed("doc_id", "doc_id"), "text", modality="image"
+    )
+    out = decode_features(media)
+    assert out.columns == [
+        "id", "modality", "n_bytes", "sha1", "width", "height", "n_channels",
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == len(DOCS[0][1])
+    # identical content -> identical fake-decoded dims
+    assert (rows[1]["width"], rows[1]["height"]) == (rows[4]["width"], rows[4]["height"])
+    w, h, c = fake_decode(DOCS[0][1].encode(), "image")
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (w, h, c)

@@ -1,0 +1,74 @@
+"""Structured Streaming file-arrival pipeline (SURVEY.md §2.9 T1-T4):
+files landing in a directory are picked up per-trigger; foreachBatch
+re-runs the report (idempotent full recompute); checkpointing makes
+re-runs exactly-once (already-seen files are not reprocessed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blspark.stream import file_arrival_stream, run_available_now
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("Year", T.IntegerType()),
+        T.StructField("Population", T.DoubleType()),
+    ]
+)
+
+
+def _write(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        for year, pop in rows:
+            f.write(json.dumps({"Year": year, "Population": pop}) + "\n")
+
+
+def test_file_arrival_available_now(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _write(inbox / "population_data_20240101_000000.json", [(2013, 1.0), (2014, 2.0)])
+
+    stream = file_arrival_stream(
+        spark, str(inbox), SCHEMA, fmt="json", glob="population_data_*.json"
+    )
+    name = run_available_now(stream.groupBy().agg(F.sum("Population").alias("total")),
+                             output_mode="complete")
+    assert spark.table(name).first()["total"] == 3.0
+
+
+def test_checkpoint_exactly_once_and_batch_fn(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+    seen: list[tuple[int, int]] = []
+
+    def batch_fn(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    _write(inbox / "population_data_20240101_000000.json", [(2013, 1.0)])
+    stream = file_arrival_stream(
+        spark, str(inbox), SCHEMA, fmt="json", glob="population_data_*.json"
+    )
+    run_available_now(stream, batch_fn=batch_fn, checkpoint_dir=str(ckpt))
+    assert sum(n for _, n in seen) == 1
+
+    # second file arrives; re-run with the same checkpoint -> only the
+    # NEW file is processed (exactly-once over the file source, T3)
+    _write(inbox / "population_data_20240102_000000.json", [(2014, 2.0), (2015, 3.0)])
+    stream2 = file_arrival_stream(
+        spark, str(inbox), SCHEMA, fmt="json", glob="population_data_*.json"
+    )
+    run_available_now(stream2, batch_fn=batch_fn, checkpoint_dir=str(ckpt))
+    assert sum(n for _, n in seen) == 3  # 1 + 2 new rows, old file not re-read
+
+    # non-matching file names are ignored by the glob (the reference's
+    # .json suffix filter, stack.py:101)
+    _write(inbox / "unrelated.json", [(2016, 4.0)])
+    stream3 = file_arrival_stream(
+        spark, str(inbox), SCHEMA, fmt="json", glob="population_data_*.json"
+    )
+    run_available_now(stream3, batch_fn=batch_fn, checkpoint_dir=str(ckpt))
+    assert sum(n for _, n in seen) == 3

@@ -1,0 +1,70 @@
+"""Mirror-sync classification + local apply (SURVEY.md §2.3 J2-J4),
+including the end-to-end binaryFile-manifest path."""
+
+from __future__ import annotations
+
+import os
+
+from blspark.io.manifest import file_manifest, listing_manifest, newest_key
+from blspark.sync import apply_mirror_local, classify_mirror
+
+
+def test_classify_all_four_actions(spark):
+    remote = listing_manifest(
+        spark, {"new.txt": "aaa", "changed.txt": "bbb", "same.txt": "ccc"}
+    )
+    mirror = listing_manifest(
+        spark, {"changed.txt": "OLD", "same.txt": "ccc", "stale.txt": "ddd"}
+    )
+    actions = {
+        r["key"]: r["action"] for r in classify_mirror(remote, mirror).collect()
+    }
+    assert actions == {
+        "new.txt": "insert",
+        "changed.txt": "update",
+        "same.txt": "skip",
+        "stale.txt": "delete",
+    }
+
+
+def test_mirror_end_to_end_local(spark, tmp_path):
+    src = tmp_path / "remote"
+    dst = tmp_path / "mirror"
+    src.mkdir()
+    dst.mkdir()
+    (src / "a.txt").write_text("alpha")
+    (src / "b.txt").write_text("beta")
+    (dst / "b.txt").write_text("BETA-OLD")
+    (dst / "c.txt").write_text("gamma")  # no longer on remote -> delete
+
+    remote = file_manifest(spark, str(src))
+    mirror = file_manifest(spark, str(dst))
+    plan = classify_mirror(remote, mirror)
+    counts = apply_mirror_local(plan, str(src), str(dst))
+    assert counts == {"insert": 1, "update": 1, "skip": 0, "delete": 1}
+    assert (dst / "a.txt").read_text() == "alpha"
+    assert (dst / "b.txt").read_text() == "beta"
+    assert not (dst / "c.txt").exists()
+
+    # idempotence: a second sync is all skips
+    remote2 = file_manifest(spark, str(src))
+    mirror2 = file_manifest(spark, str(dst))
+    counts2 = apply_mirror_local(classify_mirror(remote2, mirror2), str(src), str(dst))
+    assert counts2 == {"insert": 0, "update": 0, "skip": 2, "delete": 0}
+
+
+def test_newest_key_lexicographic(spark):
+    df = listing_manifest(
+        spark,
+        {
+            "population_data_20240101_000000.json": "x",
+            "population_data_20241231_235959.json": "y",
+            "population_data_20240601_120000.json": "z",
+            "other_20250101_000000.json": "w",
+            "population_data_notjson.txt": "v",
+        },
+    )
+    assert (
+        newest_key(df, "population_data_", ".json")
+        == "population_data_20241231_235959.json"
+    )
