@@ -44,32 +44,63 @@ def word_shingles(
     """Distinct n-word shingles per document: (id, shingle). Documents
     with fewer than ``n`` tokens produce no shingles. Tokenization is a
     plain single-space split (deterministic, oracle-portable)."""
-    tokens = F.split(F.col(text_col), " ")
-    idxs = F.sequence(F.lit(0), F.size(tokens) - n)
+    # Tokenize into a real column first: referencing `split(text)` from
+    # inside the shingle lambda would re-split the document for every
+    # element access (no common-subexpression elimination across lambda
+    # boundaries) — tokenize-once turns that O(tokens²) into O(tokens).
+    toks = F.col("_toks")
+    idxs = F.sequence(F.lit(0), F.size(toks) - n)
     shingle = F.transform(
         idxs,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
+    # per-document set semantics via array_distinct BEFORE the explode:
+    # dedup happens map-side inside codegen — a global .distinct() here
+    # would shuffle every (id, shingle) pair for nothing, since shingle
+    # duplicates only ever occur within one document's row
     return (
-        df.filter(F.size(tokens) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
-        .distinct()
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .filter(F.size(toks) >= n)
+        .select("id", F.explode(F.array_distinct(shingle)).alias("shingle"))
     )
+
+
+# Affine-permutation minhash constants: minhash_s = (A[s]*v + B[s]) mod P
+# over a 24-bit shingle hash v. One MD5 per shingle (not one per seed) —
+# the permutations are integer arithmetic, portable to any SQL engine.
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121]
+MINHASH_B = [12345, 54321, 192837, 918273, 555557, 777781, 101111, 131313]
+
+_HEXDIGITS = "0123456789abcdef"
+
+# first 6 hex nibbles of md5 -> 24-bit integer, in portable SQL arithmetic
+SHINGLE_V_SQL = " + ".join(
+    f"(instr('{_HEXDIGITS}', substring(h, {j + 1}, 1)) - 1) * {16 ** (5 - j)}"
+    for j in range(6)
+)
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """MinHash signature per document: for seed s, min over shingles of
-    md5('s:' || shingle). One aggregation pass, n_hashes min-aggregates.
+    """MinHash signature per document: v = 24-bit MD5-derived shingle
+    hash, minhash_s = min((A[s]*v + B[s]) mod P). One MD5 + one
+    aggregation pass with n_hashes integer min-aggregates.
     Returns (id, mh0..mh{n-1})."""
+    hashed = shingles.withColumn(
+        "h", F.md5(F.col("shingle").cast("binary"))
+    ).withColumn("v", F.expr(SHINGLE_V_SQL))
+    # v must be 64-bit before the multiply: as a 32-bit int, v*A wraps
+    # silently with ANSI off (and errors with it on)
+    v64 = F.col("v").cast("bigint")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(
-            f"mh{s}"
-        )
+        F.min((v64 * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -81,11 +112,14 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat(*cols).cast("binary")).alias("band_hash"),
+                F.md5(F.concat_ws(":", *cols).cast("binary")).alias("band_hash"),
             )
         )
     banded = signatures.select(
@@ -121,6 +155,8 @@ def jaccard_pairs(
         sh = sh.join(
             freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
         )
+    # consumed three times below (sizes + both sides of the self-join)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

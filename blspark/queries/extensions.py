@@ -86,22 +86,42 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keys(_corpus(spark, sf_dir), "doc_id", "text")
 
 
-_MH = ",\n           ".join(
-    f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(8)
+from blspark.ext.dedup import (  # noqa: E402  (constants for oracle SQL)
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    SHINGLE_V_SQL,
 )
+
+_MH = ",\n         ".join(
+    f"MIN((v * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
+    for s in range(8)
+)
+
+
+def _band_sql(b: int, rows: int = 4) -> str:
+    parts = " || ':' || ".join(
+        f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+    )
+    return f"md5({parts})"
+
 
 MINHASH_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
 {SHINGLES_SQL},
+hv AS (
+  SELECT id, {SHINGLE_V_SQL} AS v
+  FROM (SELECT id, md5(shingle) AS h FROM sh) t
+),
 sig AS (
   SELECT id,
-           {_MH}
-  FROM sh GROUP BY id
+         {_MH}
+  FROM hv GROUP BY id
 ),
 bands AS (
-  SELECT id, 0 AS band_idx, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sig
+  SELECT id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM sig
   UNION ALL
-  SELECT id, 1 AS band_idx, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sig
+  SELECT id, 1 AS band_idx, {_band_sql(1)} AS band_hash FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -136,7 +156,10 @@ WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    # the shingle frame feeds three consumers (signatures, sizes, the
+    # intersection join) — persist it once instead of recomputing the
+    # scan+explode per branch (Spark has no automatic common-subtree reuse)
+    sh = word_shingles(corpus, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
