@@ -1,0 +1,88 @@
+"""As-of join — Spark lacks a native one (SURVEY.md §7 / pyspark guide
+"common OLAP patterns"). Implemented the idiomatic scale way: cogroup
+both sides by the equi-key and run ``pandas.merge_asof`` per group via
+``applyInPandas`` (Arrow-batched, executor-side; each group sorted
+locally — no global sort, no cross product).
+
+Determinism: with duplicate right-side keys, ``merge_asof`` picks the
+last row in sort order, so the right side is pre-sorted by
+(on, *tiebreak) — the winner is the max tiebreak among equal keys.
+
+Scale notes: the shuffle is one hash partition per `by` key on each
+side; skewed keys fall to AQE. Memory per task is one group's rows —
+bound `by` cardinality accordingly (time-bucket the key if a single
+entity's history outgrows a task)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    allow_exact_matches: bool = False,
+    tiebreak: list[str] | None = None,
+    suffix: str = "_prev",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``on``
+    value <= (or < when ``allow_exact_matches=False``) the left ``on``,
+    within the same ``by`` group. ``right_cols`` are the right-side
+    columns to carry (renamed with ``suffix``); missing match -> nulls.
+    """
+    import pandas as pd
+
+    carried = [c for c in right_cols if c != by]
+    out_fields = list(left.schema.fields) + [
+        T.StructField(c + suffix, right.schema[c].dataType, True) for c in carried
+    ]
+    out_names = [f.name for f in out_fields]
+    out_schema = T.StructType(out_fields)
+    sort_right = [on] + (tiebreak or sorted(c for c in carried if c != on))
+    key = "__asof_on__"
+
+    # Rename every right-side column before the cogroup: when left and
+    # right derive from the same DataFrame (self as-of), shared attribute
+    # ids make Catalyst mis-prune the right group's columns down to the
+    # key. Fresh aliases force fresh expression ids.
+    from pyspark.sql import functions as F
+
+    needed = [by, on] + [c for c in carried if c != on]
+    right = right.select(*[F.col(c).alias(f"__r_{c}") for c in dict.fromkeys(needed)])
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        rpdf = rpdf.rename(columns=lambda c: c.removeprefix("__r_"))
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_names)
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in carried:
+                out[c + suffix] = None
+            return out[out_names]
+        slim = rpdf.sort_values(sort_right, kind="mergesort")[
+            [on] + [c for c in carried if c != on]
+        ]
+        slim = slim.rename(columns={c: c + suffix for c in carried if c != on})
+        slim = slim.rename(columns={on: key})
+        merged = pd.merge_asof(
+            lpdf,
+            slim,
+            left_on=on,
+            right_on=key,
+            allow_exact_matches=allow_exact_matches,
+            direction="backward",
+        )
+        if on in carried:
+            merged[on + suffix] = merged[key]
+        return merged[out_names]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(f"__r_{by}"))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,6 +1,7 @@
 """Query modules — importing this package registers every query into
 ``blspark.catalog``. Modules are grouped by SURVEY.md §2 area."""
 
+import blspark.queries.advanced  # noqa: F401
 import blspark.queries.core  # noqa: F401
 import blspark.queries.events  # noqa: F401
 import blspark.queries.sync_q  # noqa: F401
