@@ -4,6 +4,8 @@
 import blspark.queries.advanced  # noqa: F401
 import blspark.queries.core  # noqa: F401
 import blspark.queries.events  # noqa: F401
+import blspark.queries.sessions  # noqa: F401
 import blspark.queries.sync_q  # noqa: F401
+import blspark.queries.tpch_like  # noqa: F401
 import blspark.queries.extensions  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401

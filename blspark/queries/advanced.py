@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blspark.catalog import dsum, load_table, o_dsum, register
-from blspark.ext.asof import asof_join
+from blspark.ext.asof import asof_join_window
 
 # ---------------------------------------------------------------------------
 # Multidimensional aggregation: ROLLUP / CUBE / GROUPING SETS
@@ -217,16 +217,17 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.o_orderkey = o.o_orderkey
     """,
     doc="As-of join: each order matched to the customer's latest STRICTLY "
-    "earlier order (ties -> max orderkey). Spark side: cogrouped "
-    "pandas merge_asof per customer (blspark.ext.asof) — no native "
-    "Spark as-of exists; the oracle re-derives it relationally.",
+    "earlier order (ties -> max orderkey). Spark side: union + "
+    "last(ignoreNulls) window (blspark.ext.asof.asof_join_window) — "
+    "all-JVM, one shuffle; the cogrouped pandas merge_asof variant "
+    "(asof_join) has identical semantics for pandas-heavy pipelines.",
     bench=True,
 )
 def q_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
     right = orders.select("o_custkey", "o_orderdate", "o_orderkey")
-    joined = asof_join(
+    joined = asof_join_window(
         left,
         right,
         on="o_orderdate",

@@ -60,7 +60,12 @@ def best_years(bls: DataFrame) -> DataFrame:
     by series_id."""
     require_columns(bls, REQUIRED_BLS_COLS)
     clean = bls.select(*REQUIRED_BLS_COLS).na.drop()
-    yearly = clean.groupBy("series_id", "year").agg(F.sum("value").alias("value"))
+    # dsum = exact decimal sum cast back to double: same value as a plain
+    # float sum for BLS-scale data, but independent of partition order —
+    # so results are reproducible run-to-run and engine-to-engine
+    from blspark.catalog import dsum
+
+    yearly = clean.groupBy("series_id", "year").agg(dsum("value").alias("value"))
     w = Window.partitionBy("series_id").orderBy(F.desc("value"), F.asc("year"))
     return (
         yearly.withColumn("rn", F.row_number().over(w))

@@ -1,0 +1,151 @@
+"""Session-window operators: batch session_window (oracle-checked),
+stateful streaming sessionization via applyInPandasWithState, and
+approximate sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+
+
+@register(
+    "q_events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Native session_window aggregation (30-min gap): F.session_window "
+    "merges adjacent events into [first_ts, last_ts + gap) sessions — "
+    "the batch twin of streaming sessionization. Oracle re-derives the "
+    "same windows via lag/cumsum.",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "x_approx_sketches",
+    oracle=None,
+    doc="Approximate sketches: HyperLogLog++ distinct counts and "
+    "quantile summaries — the O(1)-memory scale path for cardinality/"
+    "percentile over 100 TB. Sketch internals are engine-specific, so "
+    "no value-level oracle; tests/test_sessions.py asserts accuracy "
+    "against exact answers.",
+)
+def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+    pct = orders.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_pct")
+    ).select(
+        F.col("price_pct")[0].alias("p50_price"),
+        F.col("price_pct")[1].alias("p95_price"),
+    )
+    return approx.crossJoin(pct)
+
+
+@register(
+    "s_stream_sessionize_stateful",
+    oracle=None,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user session counting with 30-minute gap timeout, state = "
+    "(last_ts, session count) per user. Rows-only driver check; "
+    "tests/test_sessions.py proves equivalence to the batch "
+    "q_events_sessionize.",
+)
+def s_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def count_sessions(key, pdfs, state: GroupState):
+        total_events = 0
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            total_events += len(pdf)
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = -1, 0, 0
+        for t in ts_us:
+            if last_ts < 0 or t - last_ts > GAP_US:
+                n_sessions += 1
+            last_ts = t
+        n_events += total_events
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        count_sessions,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import uuid
+
+    name = f"blspark_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

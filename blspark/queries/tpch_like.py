@@ -1,0 +1,196 @@
+"""Multi-join analytical queries (TPC-H Q3/Q5/Q10 shapes) over the full
+star schema — exercising join ordering, dimension broadcasts, and
+multi-stage aggregation. These go beyond the reference's single join
+(SURVEY.md §2.3) to prove the engine handles the join topologies a real
+warehouse workload needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import dsum, load_table, o_dsum, register
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join (customer filter broadcast into "
+    "orders, fact join on orderkey) + grouped revenue + top-10.",
+    bench=True,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_regional_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+    doc="TPC-H Q5 shape: snowflake join region->nation->supplier->fact; "
+    "every dim broadcast, fact never shuffles before aggregation.",
+    bench=True,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    ).select("s_suppkey", "n_name", "r_name")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, quarter "
+    "window, 4-way join + top-20.",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_bls_pipeline_parity",
+    oracle="""
+    WITH bls AS (
+      SELECT 'PRS' || lpad(CAST(l_suppkey AS VARCHAR), 8, '0') || '  ' AS series_id,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+             'Q0' || CAST(EXTRACT(quarter FROM l_shipdate) AS VARCHAR) AS period,
+             l_quantity AS value
+      FROM lineitem
+    ), clean AS (
+      SELECT trim(series_id) AS series_id, year, trim(period) AS period,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value
+      FROM bls
+      WHERE series_id IS NOT NULL AND year IS NOT NULL
+        AND period IS NOT NULL AND value IS NOT NULL
+      GROUP BY trim(series_id), year, trim(period)
+    ), yearly AS (
+      SELECT series_id, year,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value
+      FROM clean GROUP BY series_id, year
+    )
+    SELECT series_id, year, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY series_id ORDER BY value DESC, year ASC) AS rn
+      FROM yearly
+    ) t WHERE rn = 1
+    ORDER BY series_id
+    """,
+    doc="End-to-end reference pipeline on BLS-shaped data derived from "
+    "lineitem (padded series ids, quarter periods): clean (trim) -> "
+    "per-period sums -> best_years (Q2 semantics) through the actual "
+    "blspark.queries.bls + blspark.clean code paths. Ref "
+    "report_processor.py:135-188.",
+)
+def q_bls_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.clean import trim_string_columns
+    from blspark.queries.bls import best_years
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bls_shaped = li.select(
+        F.concat(
+            F.lit("PRS"),
+            F.lpad(F.col("l_suppkey").cast("string"), 8, "0"),
+            F.lit("  "),  # padded like the raw BLS TSV
+        ).alias("series_id"),
+        F.year("l_shipdate").alias("year"),
+        F.concat(F.lit("Q0"), F.quarter("l_shipdate").cast("string")).alias("period"),
+        F.col("l_quantity").alias("value"),
+    )
+    cleaned = trim_string_columns(bls_shaped)
+    # pre-aggregate to per-(series, year, period) observations with the
+    # stable decimal sum, mirroring one BLS row per period
+    obs = cleaned.groupBy("series_id", "year", "period").agg(
+        dsum("value").alias("value")
+    )
+    return best_years(obs)

@@ -60,3 +60,44 @@ def test_asof_exact_matches_allowed(spark):
         left, right, on="ts", by="k", right_cols=["v"], allow_exact_matches=True
     ).collect()
     assert out[0]["v_prev"] == 5.0
+
+
+def test_window_variant_equals_pandas_variant(spark):
+    from blspark.ext.asof import asof_join_window
+    import datetime as dt
+
+    D = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 10, 0), "t1"),
+            (1, D(2024, 1, 1, 11, 0), "t2"),
+            (2, D(2024, 1, 1, 10, 30), "t3"),
+            (3, D(2024, 1, 1, 9, 0), "t4"),  # key with no right rows
+        ],
+        "acct int, ts timestamp, trade string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 9, 59), 100.0),
+            (1, D(2024, 1, 1, 10, 0), 101.0),
+            (1, D(2024, 1, 1, 10, 30), 102.0),
+            (2, D(2024, 1, 1, 11, 0), 200.0),
+        ],
+        "acct int, ts timestamp, px double",
+    )
+    for exact in (False, True):
+        a = {
+            r["trade"]: (r["ts_prev"], r["px_prev"])
+            for r in asof_join(
+                left, right, on="ts", by="acct", right_cols=["ts", "px"],
+                allow_exact_matches=exact,
+            ).collect()
+        }
+        b = {
+            r["trade"]: (r["ts_prev"], r["px_prev"])
+            for r in asof_join_window(
+                left, right, on="ts", by="acct", right_cols=["ts", "px"],
+                allow_exact_matches=exact,
+            ).collect()
+        }
+        assert a == b, f"exact={exact}: {a} vs {b}"
