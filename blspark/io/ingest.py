@@ -1,0 +1,117 @@
+"""Driver-side ingest helpers (SURVEY.md §2.1 S1, S3, S6).
+
+The reference scrapes an HTML directory index, streams file downloads
+with incremental MD5, and fetches a REST JSON API (sync_and_fetch.py:
+49-81, 96-115, 203-214). These are ingest-edge concerns, not Spark
+operators: they produce small manifests / payloads that immediately
+become DataFrames. Network access is gated behind import-try + injectable
+fetchers so everything is testable offline (this environment has no
+network); retry/backoff semantics mirror the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_HREF_RE = re.compile(r"""<a\s+[^>]*href=["']([^"']+)["']""", re.IGNORECASE)
+
+
+def parse_directory_listing(html: str) -> list[str]:
+    """File names from an HTML directory index: every <a href> that is
+    not a parent link or a subdirectory (reference sync_and_fetch.py:70-76,
+    BeautifulSoup-based; a regex suffices for index pages and avoids the
+    bs4 dependency)."""
+    out = []
+    for href in _HREF_RE.findall(html):
+        name = href.rsplit("/", 1)[-1] if not href.endswith("/") else ""
+        if name and name not in ("..", ".") and not href.startswith("?"):
+            out.append(name)
+    return out
+
+
+def with_retries(
+    fn: Callable[[], object],
+    attempts: int = 3,
+    backoff_s: float = 1.0,
+    exponential: bool = True,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Retry helper mirroring the reference's two policies: exponential
+    backoff for scrape 403s (sync_and_fetch.py:62-68), linear for upload
+    retries (:120-131). Raises the last error."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - mirror reference's broad retry
+            last = e
+            if i < attempts - 1:
+                sleep(backoff_s * (2**i) if exponential else backoff_s)
+    raise last  # type: ignore[misc]
+
+
+def fetch_url_with_md5(
+    url: str, fetch: Callable[[str], bytes] | None = None, chunk: int = 8192
+) -> tuple[bytes, str]:
+    """Download a URL and its content MD5 (the reference streams 8 KiB
+    chunks through an incremental hash — sync_and_fetch.py:96-115; we
+    hash incrementally over the same chunk size for parity). ``fetch``
+    is injectable for tests; the default requires ``requests``."""
+    if fetch is None:
+        import requests  # gated: not guaranteed in every runtime
+
+        def fetch(u: str) -> bytes:  # type: ignore[misc]
+            resp = requests.get(u, timeout=30)
+            resp.raise_for_status()
+            return resp.content
+
+    body = fetch(url)
+    digest = hashlib.md5()
+    for i in range(0, len(body), chunk):
+        digest.update(body[i : i + chunk])
+    return body, digest.hexdigest()
+
+
+def fetch_json_records(
+    spark: SparkSession,
+    url: str,
+    record_field: str = "data",
+    fetch: Callable[[str], bytes] | None = None,
+) -> DataFrame | None:
+    """REST JSON API -> DataFrame of the nested record array (reference
+    Task2_Fetch_api_data.py:13-17 / sync_and_fetch.py:203-214). Returns
+    None on failure — the reference's graceful-degradation contract."""
+    try:
+        body, _ = fetch_url_with_md5(url, fetch=fetch)
+        payload = json.loads(body)
+    except Exception:
+        return None
+    records = payload.get(record_field, []) if isinstance(payload, dict) else []
+    if not records:
+        return None
+    return spark.createDataFrame(records)
+
+
+def remote_manifest(
+    spark: SparkSession,
+    base_url: str,
+    fetch: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """Manifest (key, md5, size) of an HTML-indexed remote directory:
+    scrape the index, fetch each file with streamed MD5. The per-file
+    fetch parallelizes over executors at real scale via an RDD of URLs;
+    driver-side here since manifests are small and the fetcher is
+    injectable."""
+    listing_html = fetch_url_with_md5(base_url, fetch=fetch)[0].decode("utf-8")
+    names = parse_directory_listing(listing_html)
+    rows = []
+    for name in names:
+        body, digest = fetch_url_with_md5(base_url.rstrip("/") + "/" + name, fetch=fetch)
+        rows.append((name, digest, len(body)))
+    return spark.createDataFrame(rows, "key string, md5 string, size long")

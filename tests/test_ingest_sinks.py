@@ -1,0 +1,161 @@
+"""Ingest helpers (S1/S3/S6) with injected fetchers + sinks (S4/S7/S11)
++ skew utilities."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from blspark.io.ingest import (
+    fetch_json_records,
+    fetch_url_with_md5,
+    parse_directory_listing,
+    remote_manifest,
+    with_retries,
+)
+from blspark.io.sinks import (
+    report_records,
+    timestamped_name,
+    write_json,
+    write_parquet,
+)
+from blspark.ops import salted_group_sum, salted_join
+
+INDEX_HTML = """
+<html><body><h1>Index of /pub/time.series/pr/</h1>
+<a href="../">Parent Directory</a>
+<a href="pr.class">pr.class</a>
+<a href="pr.data.0.Current">pr.data.0.Current</a>
+<a href="subdir/">subdir/</a>
+<a href="?C=N;O=D">sort link</a>
+<a href="pr.txt">pr.txt</a>
+</body></html>
+"""
+
+
+def test_parse_directory_listing():
+    assert parse_directory_listing(INDEX_HTML) == [
+        "pr.class",
+        "pr.data.0.Current",
+        "pr.txt",
+    ]
+
+
+def _fake_site(files: dict[str, bytes]):
+    def fetch(url: str) -> bytes:
+        name = url.rstrip("/").rsplit("/", 1)[-1]
+        if name == "pr":  # base index
+            links = "".join(f'<a href="{k}">{k}</a>' for k in files)
+            return f"<html>{links}</html>".encode()
+        if name in files:
+            return files[name]
+        raise IOError(f"404: {url}")
+
+    return fetch
+
+
+def test_fetch_url_with_md5_streams_consistent_digest():
+    import hashlib
+
+    body = b"x" * 20000  # spans multiple 8 KiB chunks
+    got, digest = fetch_url_with_md5("http://site/pr/a", fetch=lambda u: body)
+    assert got == body and digest == hashlib.md5(body).hexdigest()
+
+
+def test_remote_manifest_and_sync_classification(spark):
+    files = {"a.txt": b"alpha", "b.txt": b"beta"}
+    mf = remote_manifest(spark, "http://site/pr", fetch=_fake_site(files))
+    rows = {r["key"]: (r["md5"], r["size"]) for r in mf.collect()}
+    import hashlib
+
+    assert rows["a.txt"] == (hashlib.md5(b"alpha").hexdigest(), 5)
+    assert set(rows) == {"a.txt", "b.txt"}
+
+
+def test_fetch_json_records(spark):
+    payload = {"data": [{"Year": 2013, "Population": 1.0}], "source": []}
+    df = fetch_json_records(
+        spark, "http://api/data", fetch=lambda u: json.dumps(payload).encode()
+    )
+    assert df.count() == 1 and df.first()["Year"] == 2013
+    # graceful degradation: None on failure / empty payload
+    assert fetch_json_records(spark, "http://api/bad", fetch=_fake_site({})) is None
+    assert (
+        fetch_json_records(spark, "http://api/data", fetch=lambda u: b'{"data": []}')
+        is None
+    )
+
+
+def test_with_retries_backoff():
+    calls = []
+    sleeps = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise IOError("403")
+        return "ok"
+
+    assert with_retries(flaky, attempts=3, backoff_s=1.0, sleep=sleeps.append) == "ok"
+    assert sleeps == [1.0, 2.0]  # exponential
+
+    with pytest.raises(IOError):
+        with_retries(
+            lambda: (_ for _ in ()).throw(IOError("down")),
+            attempts=2,
+            sleep=sleeps.append,
+        )
+
+
+def test_timestamped_name_sorts_by_time():
+    a = timestamped_name("population_data", now=dt.datetime(2024, 1, 1, 0, 0, 0))
+    b = timestamped_name("population_data", now=dt.datetime(2024, 6, 15, 12, 30, 59))
+    assert a == "population_data_20240101_000000.json"
+    assert b > a  # lexicographic == chronological
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") % 2).alias("part"), (F.col("id") * 1.5).alias("v")
+    )
+    write_parquet(df, str(tmp_path / "pq"), partition_by=["part"])
+    back = spark.read.parquet(str(tmp_path / "pq"))
+    assert back.count() == 5 and set(back.columns) == {"id", "part", "v"}
+    write_json(df, str(tmp_path / "js"))
+    assert spark.read.json(str(tmp_path / "js")).count() == 5
+    recs = report_records(df.orderBy("id"), limit=2)
+    assert len(recs) == 2 and recs[0]["id"] == 0
+
+
+def test_salted_group_sum_matches_plain(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 0.01).alias("v")
+    )
+    plain = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r["s"] for r in salted_group_sum(df, ["k"], "v", "s", 8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.range(1000).select((F.col("id") % 5).alias("k"), F.col("id").alias("x"))
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k long, label string")
+    plain = fact.join(dim, "k").groupBy("label").count()
+    salted = salted_join(fact, dim, "k", 4).groupBy("label").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_format_numbers_display(spark):
+    from blspark.io.sinks import format_numbers
+
+    df = spark.createDataFrame([(322069808.0,)], "pop double")
+    assert format_numbers(df, ["pop"]).first()["pop"] == "322,069,808.00"
