@@ -96,6 +96,109 @@ def hyperplane_buckets(
     return df.withColumn(out, bucket.cast("int"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    centroid cell; a query probes only its ``nprobe`` nearest cells.
+    ``centroids`` is a tiny (cell_id int, centroid array<double>) frame —
+    broadcast everywhere; cell assignment is an argmin over a handful of
+    dot products, fully JVM-side.
+
+    With ``nprobe == |centroids|`` this degrades to exact brute force
+    (the correctness property tests assert); with nprobe=1 the bucketed
+    equi-join on cell_id replaces the cross product — the same shuffle
+    shape as the LSH variant but with learned, data-adaptive cells.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col("cell_id"), F.col("centroid").cast("array<double>").alias("cvec")
+    )
+
+    def assign(df: DataFrame, idc: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(idc),
+            "vec",
+            "cell_id",
+            (_dot(F.col("vec"), F.col("cvec"))
+             / (_norm(F.col("vec")) * _norm(F.col("cvec")))).alias("cell_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probes)
+            .drop("cell_sim", "crank")
+        )
+
+    c = assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "vec"
+        ),
+        "neighbor_id",
+        1,
+    )
+    q = assign(
+        with_double_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), "vec"
+        ),
+        "query_id",
+        nprobe,
+    ).select("query_id", F.col("vec").alias("qvec"), "cell_id")
+    scored = c.join(
+        q, (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("vec"), F.col("qvec"))
+         / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias("cos_raw"),
+    )
+    # each neighbor lives in exactly one cell, so (query, neighbor) pairs
+    # are already unique even with nprobe > 1 — no distinct needed
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame, id_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group elementwise mean -> (cell_id, centroid array<double>).
+    posexplode + groupBy(group, pos) + collect in position order — the
+    distributed vector aggregation underlying IVF training."""
+    per_pos = (
+        embeddings.select(
+            F.col(id_col).alias("cell_id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("col").alias("m"))
+    )
+    return (
+        per_pos.groupBy("cell_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "cell_id",
+            F.transform(F.col("pairs"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2,6 +2,7 @@
 ``blspark.catalog``. Modules are grouped by SURVEY.md §2 area."""
 
 import blspark.queries.advanced  # noqa: F401
+import blspark.queries.analytics  # noqa: F401
 import blspark.queries.core  # noqa: F401
 import blspark.queries.events  # noqa: F401
 import blspark.queries.sessions  # noqa: F401

@@ -483,6 +483,24 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_similarity_ivf",
+    oracle=None,
+    doc="IVF ANN: per-label centroids as coarse cells (label_centroids), "
+    "corpus bucketed by nearest cell, queries probe nprobe=2 cells — "
+    "the learned-cell counterpart of x_similarity_ann_lsh. Rows-only "
+    "driver check (centroid means are float-order-dependent); "
+    "tests/test_ivf.py proves full-probe == exact brute force.",
+)
+def x_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivf_topk, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = label_centroids(emb).withColumn("cell_id", F.col("cell_id").cast("int"))
+    return ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
+@register(
     "x_multimodal_metadata",
     oracle="""
     SELECT doc_id AS id,

@@ -1,0 +1,46 @@
+"""IVF ANN correctness properties: probing all cells == exact brute
+force; nprobe=1 returns a rank-consistent subset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.ext.similarity import cosine_topk, ivf_topk, label_centroids
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    return emb, queries, cents
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    emb, queries, cents = _load(spark)
+    n_cells = cents.count()
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=n_cells).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_single_probe_subset_and_ranked(spark):
+    emb, queries, cents = _load(spark)
+    rows = ivf_topk(emb, queries, cents, k=5, nprobe=1).collect()
+    assert len(rows) > 0
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)  # rank-consistent
+        assert len({r["neighbor_id"] for r in rs}) == len(rs)
