@@ -483,6 +483,58 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1]::DOUBLE AS first_val,
+           list_sort(embedding[1:3]::DOUBLE[]) AS first3_sorted,
+           list_contains(list_transform(embedding::DOUBLE[], x -> x > 0), true)
+             AS any_positive,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="Array-column surface: size/index/slice/sort/exists/filter over "
+    "array<float> — all higher-order functions, zero UDFs.",
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(vec, 1).alias("first_val"),
+        F.sort_array(F.slice(vec, 1, 3)).alias("first3_sorted"),
+        F.exists(vec, lambda x: x > 0).alias("any_positive"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "x_map_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           len(json_keys(props)) AS n_keys
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Semi-structured access: JSON string -> typed map "
+    "(from_json(MapType)) with key extraction and cardinality — the "
+    "props-column pattern for event payloads.",
+)
+def x_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
     "x_similarity_ivf",
     oracle=None,
     doc="IVF ANN: per-label centroids as coarse cells (label_centroids), "
