@@ -75,6 +75,36 @@ def best_years(bls: DataFrame) -> DataFrame:
     )
 
 
+def combined_report_safe(
+    bls: DataFrame,
+    population: DataFrame | None,
+    **kwargs,
+) -> DataFrame:
+    """Graceful-degradation wrapper (reference report_processor.py:269-281):
+    when the population side is unavailable, emit the report slice with a
+    null Population column instead of failing."""
+    from pyspark.sql import functions as F
+
+    if population is not None:
+        return combined_report(bls, population, **kwargs)
+    series_id = kwargs.get("series_id", "PRS30006032")
+    period = kwargs.get("period", "Q01")
+    return (
+        bls.filter(
+            (F.trim(F.col("series_id")) == series_id)
+            & (F.trim(F.col("period")) == period)
+        )
+        .select(
+            F.trim(F.col("series_id")).alias("series_id"),
+            F.col("year").cast("int").alias("year"),
+            F.trim(F.col("period")).alias("period"),
+            F.col("value"),
+            F.lit(None).cast("double").alias("Population"),
+        )
+        .orderBy("year")
+    )
+
+
 def combined_report(
     bls: DataFrame,
     population: DataFrame,

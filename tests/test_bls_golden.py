@@ -124,3 +124,16 @@ def test_cleaning_trim_and_coerce(spark):
     assert rows[0]["year"] == 2020 and rows[0]["value"] == 1.5
     # errors='coerce' parity: unparseable -> null, row survives
     assert rows[1]["year"] is None and rows[1]["value"] is None
+
+
+def test_q3_fallback_without_population(spark):
+    from blspark.queries.bls import combined_report_safe
+
+    bls = spark.createDataFrame(
+        [("PRS30006032", 2013, "Q01", 2.0), ("PRS30006032", 2014, "Q01", 3.0)],
+        "series_id string, year int, period string, value double",
+    )
+    out = combined_report_safe(bls, None).collect()
+    assert [r["year"] for r in out] == [2013, 2014]
+    assert all(r["Population"] is None for r in out)
+    assert out[0]["value"] == 2.0

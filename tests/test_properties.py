@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the semantic traps in
+SURVEY.md §7.2 — the places where a naive port silently diverges."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from blspark.queries.bls import best_years
+from blspark.sync import classify_mirror
+from blspark.io.manifest import listing_manifest
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 4))
+
+bls_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["S1", "S2", "S3"]),
+        st.integers(min_value=2000, max_value=2005),
+        st.sampled_from(["Q01", "Q02", "Q05"]),
+        st.one_of(st.none(), values),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(rows=bls_rows)
+def test_best_year_is_argmax_with_earliest_tiebreak(spark, rows):
+    df = spark.createDataFrame(
+        rows, "series_id string, year int, period string, value double"
+    )
+    got = {r["series_id"]: (r["year"], r["value"]) for r in best_years(df).collect()}
+
+    # reference model: drop nulls, sum per (series, year) over ALL periods
+    # (Q05 included), argmax with earliest-year tie-break
+    sums: dict[tuple[str, int], float] = {}
+    for s, y, p, v in rows:
+        if None in (s, y, p, v):
+            continue
+        sums[(s, y)] = sums.get((s, y), 0.0) + v
+    expect: dict[str, tuple[int, float]] = {}
+    for (s, y), v in sorted(sums.items()):
+        cur = expect.get(s)
+        if cur is None or v > cur[1] + 1e-9 or (abs(v - cur[1]) <= 1e-9 and y < cur[0]):
+            expect[s] = (y, v)
+    assert set(got) == set(expect)
+    for s in expect:
+        assert got[s][0] == expect[s][0], (s, got[s], expect[s])
+        assert math.isclose(got[s][1], expect[s][1], rel_tol=1e-9, abs_tol=1e-9)
+
+
+manifests = st.dictionaries(
+    st.sampled_from([f"f{i}" for i in range(8)]),
+    st.sampled_from(["h1", "h2", "h3"]),
+    max_size=8,
+)
+
+
+@SLOW
+@given(remote=manifests, mirror=manifests)
+def test_mirror_classification_partitions_keyspace(spark, remote, mirror):
+    plan = {
+        r["key"]: r["action"]
+        for r in classify_mirror(
+            listing_manifest(spark, remote), listing_manifest(spark, mirror)
+        ).collect()
+    }
+    assert set(plan) == set(remote) | set(mirror)  # total, no dupes
+    for k, action in plan.items():
+        if k not in mirror:
+            assert action == "insert"
+        elif k not in remote:
+            assert action == "delete"
+        elif remote[k] != mirror[k]:
+            assert action == "update"
+        else:
+            assert action == "skip"
+
+
+@SLOW
+@given(
+    xs=st.lists(values, min_size=2, max_size=30),
+)
+def test_sample_stddev_matches_ddof1(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    got = df.agg(F.stddev("v").alias("s")).first()["s"]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / (n - 1)  # ddof=1, pandas default
+    expect = math.sqrt(var)
+    assert math.isclose(got, expect, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@SLOW
+@given(
+    raw=st.lists(
+        st.one_of(
+            st.integers(min_value=-10**6, max_value=10**6).map(str),
+            st.sampled_from(["oops", "", " 12 ", "1.5.6", "nan"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_coerce_numeric_null_on_failure(spark, raw):
+    from blspark.clean import coerce_numeric
+
+    df = spark.createDataFrame([(x,) for x in raw], "v string")
+    out = [r["v"] for r in coerce_numeric(df, {"v": "double"}).collect()]
+    for orig, got in zip(raw, out):
+        try:
+            expect = float(orig)
+            if math.isnan(expect):
+                assert got is None or math.isnan(got)
+            else:
+                assert got == expect
+        except ValueError:
+            assert got is None  # errors='coerce' parity

@@ -72,3 +72,61 @@ def test_checkpoint_exactly_once_and_batch_fn(spark, tmp_path):
     )
     run_available_now(stream3, batch_fn=batch_fn, checkpoint_dir=str(ckpt))
     assert sum(n for _, n in seen) == 3
+
+
+def test_watermark_append_mode_emits_closed_windows(spark, tmp_path):
+    """Late-data handling: append-mode windowed aggregation only emits a
+    window once the watermark (max event time - delay) passes its end.
+    Run 1 seeds the watermark; run 2's later data closes run 1's windows
+    and they appear in the sink exactly once."""
+    import json
+
+    inbox = tmp_path / "inbox"
+    ckpt = tmp_path / "ckpt"
+    out_rows: list[tuple] = []
+    inbox.mkdir()
+
+    def write_events(name, ts_list):
+        with open(inbox / name, "w") as f:
+            for ts, v in ts_list:
+                f.write(json.dumps({"ts": ts, "v": v}) + "\n")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def run_once():
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.format("json").schema(schema).load(str(inbox))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(
+                lambda df, eid: out_rows.extend(
+                    (r["ws"].isoformat(), r["n"]) for r in df.collect()
+                )
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_events("a.json", [("2024-01-01T10:05:00", 1.0), ("2024-01-01T10:40:00", 2.0)])
+    run_once()
+    assert out_rows == []  # window 10:00-11:00 still open (watermark 10:30)
+
+    # event at 12:00 pushes the watermark past 11:00 -> 10:00 window closes
+    write_events("b.json", [("2024-01-01T12:00:00", 3.0)])
+    run_once()
+    assert out_rows == [("2024-01-01T10:00:00", 2)]
