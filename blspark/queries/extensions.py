@@ -488,7 +488,8 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1]::DOUBLE AS first_val,
-           list_sort(embedding[1:3]::DOUBLE[]) AS first3_sorted,
+           list_sort(embedding[1:3]::DOUBLE[])[1] AS min3,
+           list_sort(embedding[1:3]::DOUBLE[])[3] AS max3,
            list_contains(list_transform(embedding::DOUBLE[], x -> x > 0), true)
              AS any_positive,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
@@ -500,11 +501,16 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
+    # scalar outputs only: raw array columns stringify differently across
+    # result-materialization layers (numpy vs list), so project the
+    # sorted slice down to element scalars
+    first3 = F.sort_array(F.slice(vec, 1, 3))
     return emb.filter(F.col("vec_id") < 50).select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at(vec, 1).alias("first_val"),
-        F.sort_array(F.slice(vec, 1, 3)).alias("first3_sorted"),
+        F.element_at(first3, 1).alias("min3"),
+        F.element_at(first3, 3).alias("max3"),
         F.exists(vec, lambda x: x > 0).alias("any_positive"),
         F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
     )
