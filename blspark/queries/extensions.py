@@ -482,6 +482,46 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+EMBED_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) >= 0.5
+"""
+
+
+@register(
+    "x_dedup_embedding_cosine",
+    oracle=EMBED_DUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.5 over all pairs). "
+    "The semantic-dedup baseline: brute-force self-join here; at 100 TB "
+    "route through the LSH/IVF bucketing (x_similarity_ann_lsh / "
+    "x_similarity_ivf) so only bucket-mates are compared.",
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
+    v = emb.select("vec_id", "vec", _norm(F.col("vec")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
 @register(
     "x_array_functions",
     oracle="""
