@@ -7,9 +7,17 @@ where SQL-expressible, a DuckDB oracle twin. See blspark/queries/*.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# blspark lives next to this file; make the import independent of the
+# caller's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
