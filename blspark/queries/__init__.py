@@ -5,6 +5,7 @@ import blspark.queries.advanced  # noqa: F401
 import blspark.queries.analytics  # noqa: F401
 import blspark.queries.core  # noqa: F401
 import blspark.queries.events  # noqa: F401
+import blspark.queries.joins2  # noqa: F401
 import blspark.queries.sessions  # noqa: F401
 import blspark.queries.sync_q  # noqa: F401
 import blspark.queries.tpch_like  # noqa: F401

@@ -130,3 +130,69 @@ def test_watermark_append_mode_emits_closed_windows(spark, tmp_path):
     write_events("b.json", [("2024-01-01T12:00:00", 3.0)])
     run_once()
     assert out_rows == [("2024-01-01T10:00:00", 2)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks joined to purchases within
+    1 hour, both sides streaming. State is bounded by the watermarks;
+    results match the equivalent batch interval join."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inbox = tmp_path / "ev"
+    inbox.mkdir()
+    rows = [
+        (1, "2024-01-01T10:00:00", "click", 100),
+        (1, "2024-01-01T10:30:00", "purchase", 101),  # within 1h of click
+        (1, "2024-01-01T12:00:00", "purchase", 102),  # too late
+        (2, "2024-01-01T10:00:00", "purchase", 103),  # no prior click
+        (2, "2024-01-01T10:10:00", "click", 104),
+        (2, "2024-01-01T10:20:00", "purchase", 105),  # match
+    ]
+    with open(inbox / "events.json", "w") as f:
+        for uid, ts, et, eid in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts, "event_type": et, "event_id": eid}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src = spark.readStream.format("json").schema(schema).load(str(inbox))
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+
+    name = "ssj_out"
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+    assert got == {(100, 101), (104, 105)}
