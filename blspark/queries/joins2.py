@@ -56,26 +56,29 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# deterministic regression: every sum is an exact decimal; the final
-# slope/intercept/r are double expressions over exact inputs.
-_REG_X = "CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1000000.0"  # s since 2024-01-01
+# Deterministic regression: x stays EXACT integer microseconds end-to-end
+# (casting the seconds-double to DECIMAL(,6) would round values sitting
+# exactly on 6-decimal halves — engine-dependent); every sum is an exact
+# decimal, and the final slope/intercept are double expressions over
+# those exact inputs. Slope is per-microsecond — rescale at the end.
+_REG_X_US = "CAST(epoch_us(ts) - 1704067200000000 AS BIGINT)"  # µs since 2024-01-01
 
 
 def _reg_oracle() -> str:
-    sx = "CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)"
+    sx = "CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE)"
     sy = "CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)"
-    sxx = "CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE)"
-    sxy = "CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE)"
+    sxx = "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)"
+    sxy = "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE)"
     n = "CAST(COUNT(*) AS DOUBLE)"
-    slope = f"({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx})"
+    slope_us = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
     return f"""
     WITH xy AS (
-      SELECT event_type, {_REG_X} AS x, value AS y FROM events
+      SELECT event_type, {_REG_X_US} AS x, value AS y FROM events
     )
     SELECT event_type,
            COUNT(*) AS n,
-           {slope} AS slope,
-           ({sy} - {slope} * {sx}) / {n} AS intercept
+           {slope_us} * 1000000.0 AS slope,
+           ({sy} - {slope_us} * {sx}) / {n} AS intercept
     FROM xy GROUP BY event_type
     """
 
@@ -89,28 +92,26 @@ def _reg_oracle() -> str:
 )
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    x = (
-        (F.unix_micros("ts") - F.lit(1704067200000000)).cast("double") / 1000000.0
-    ).alias("x")
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)).alias("x")  # exact µs
     xy = ev.select("event_type", x, F.col("value").alias("y"))
-    xd = F.col("x").cast("decimal(19,6)")
-    yd = F.col("y").cast("decimal(19,6)")
+    x0 = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(18,6)")
     agg = xy.groupBy("event_type").agg(
         F.count("*").alias("n_l"),
-        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("double").alias("sx"),
         F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
-        F.sum(xd * xd).cast("double").alias("sxx"),
-        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(x0 * x0).cast("double").alias("sxx"),
+        F.sum(x0 * yd).cast("double").alias("sxy"),
     )
     n = F.col("n_l").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    slope_us = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         n * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return agg.select(
         "event_type",
         F.col("n_l").alias("n"),
-        slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        (slope_us * 1000000.0).alias("slope"),
+        ((F.col("sy") - slope_us * F.col("sx")) / n).alias("intercept"),
     )
 
 
