@@ -599,6 +599,24 @@ def x_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_kmeans_clusters",
+    oracle=None,
+    doc="Lloyd's k-means over the embedding column (3 iterations, k=4): "
+    "broadcast centroids, JVM-side assignment, posexplode centroid "
+    "recompute — one shuffle per iteration; the training loop behind "
+    "IVF cells. Rows-only check (float means are order-dependent); "
+    "tests/test_kmeans.py asserts monotone inertia + planted-cluster "
+    "recovery.",
+)
+def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _history = kmeans(emb, k=4, max_iters=3)
+    return assigned
+
+
+@register(
     "x_multimodal_metadata",
     oracle="""
     SELECT doc_id AS id,
