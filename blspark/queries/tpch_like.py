@@ -139,6 +139,44 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           {o_dsum('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: orders whose total lineitem quantity exceeds a "
+    "threshold (grouped HAVING as a semi-join filter, then re-join for "
+    "detail).",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # fresh alias: `big` derives from `li`, and re-joining li would make
+    # l_orderkey ambiguous (self-join lineage)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_key"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
     "q_bls_pipeline_parity",
     oracle="""
     WITH bls AS (
