@@ -128,3 +128,43 @@ def test_coerce_numeric_null_on_failure(spark, raw):
                 assert got == expect
         except ValueError:
             assert got is None  # errors='coerce' parity
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # by key
+        st.integers(min_value=0, max_value=50),         # time offset (s)
+        st.integers(min_value=0, max_value=99),         # row id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(lrows=asof_rows, rrows=asof_rows, exact=st.booleans())
+def test_asof_window_equals_pandas_on_random_data(spark, lrows, rrows, exact):
+    import datetime as dt
+
+    from blspark.ext.asof import asof_join, asof_join_window
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: [  # noqa: E731
+        (k, base + dt.timedelta(seconds=s), i * 1000 + j)
+        for j, (k, s, i) in enumerate(rows)
+    ]
+    left = spark.createDataFrame(mk(lrows), "k int, ts timestamp, lid long")
+    right = spark.createDataFrame(mk(rrows), "k int, ts timestamp, rid long")
+    kw = dict(
+        on="ts", by="k", right_cols=["ts", "rid"],
+        allow_exact_matches=exact, tiebreak=["rid"],
+    )
+    a = sorted(
+        (r["lid"], r["ts_prev"], r["rid_prev"])
+        for r in asof_join(left, right, **kw).collect()
+    )
+    b = sorted(
+        (r["lid"], r["ts_prev"], r["rid_prev"])
+        for r in asof_join_window(left, right, **kw).collect()
+    )
+    assert a == b
