@@ -599,6 +599,44 @@ def x_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_ngram_freq",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(range(length(text) - 2),
+                    i -> substring(text, CAST(i + 1 AS INT), 3))) AS gram
+      FROM documents
+    )
+    SELECT lang, gram, COUNT(*) AS n
+    FROM grams
+    GROUP BY lang, gram
+    HAVING COUNT(*) >= 100
+    """,
+    doc="Character 3-gram frequency profile per language (HAVING-filtered)"
+    " — the statistical underpinning of n-gram language ID; explode is "
+    "map-side, one hash agg on (lang, gram).",
+)
+def x_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # substring's shifting start position needs the SQL lambda form
+    # (F.substring takes plain ints for pos/len)
+    return (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(text) - 3),"
+                    " i -> substring(text, i + 1, 3))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@register(
     "x_kmeans_clusters",
     oracle=None,
     doc="Lloyd's k-means over the embedding column (3 iterations, k=4): "
