@@ -3,6 +3,7 @@
 
 import blspark.queries.advanced  # noqa: F401
 import blspark.queries.analytics  # noqa: F401
+import blspark.queries.analytics2  # noqa: F401
 import blspark.queries.core  # noqa: F401
 import blspark.queries.events  # noqa: F401
 import blspark.queries.joins2  # noqa: F401
