@@ -70,11 +70,67 @@ def register(
     return deco
 
 
+# Explicit registry ordering. The driver's correctness gate checks queries
+# in registration order with a bounded budget, so the queries that most
+# need a hard differential signal this round go first: the extension
+# operators (dedup / similarity / text / multimodal), the TPC-H join
+# shapes, sync/streaming, the BLS IO-parity path, and any query whose
+# oracle changed. Names absent from this list keep registration order
+# after it; names listed but not registered are ignored.
+_PRIORITY: tuple[str, ...] = (
+    # extension operators (LLM-pipeline scope)
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_dedup_embedding_cosine",
+    "x_similarity_cosine_topk",
+    "x_similarity_ann_lsh",
+    "x_similarity_ivf",
+    "x_embed_label_centroids",
+    "x_text_token_stats",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_text_ngram_freq",
+    "x_text_chunk_windows",
+    "x_array_functions",
+    "x_map_from_json",
+    "x_kmeans_clusters",
+    "x_multimodal_metadata",
+    "x_multimodal_decode",
+    "x_approx_sketches",
+    # TPC-H join shapes
+    "q_shipping_priority",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_nation_pairs_volume",
+    "q_large_orders",
+    # reference IO / sync / session-window / streaming
+    "q_bls_pipeline_parity",
+    "q_sync_classify",
+    "q_events_session_window",
+    "s_stream_events_hourly",
+    "s_stream_sessionize_stateful",
+    # oracles fixed or plans rewritten this round — need fresh green rows
+    "q_conditional_agg",
+    "q_funnel_conversion",
+    "q_ntile_deciles",
+)
+
+
 def registry() -> dict[str, Query]:
     # Import query modules for their registration side effects.
     import blspark.queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -109,13 +109,24 @@ def asof_join_window(
     sort BEFORE right rows at the same ``on`` (the frame excludes them);
     with exact matching allowed, right rows sort first. Equal right keys
     are ordered by ``tiebreak`` so the max tiebreak wins (same semantics
-    as ``asof_join``)."""
+    as ``asof_join``).
+
+    All carried right-side columns travel in ONE struct and are filled by
+    a single ``last(struct, ignoreNulls=True)``: the struct is null for
+    left rows but non-null for every right row (even when individual
+    fields are null), so each left row receives ALL carried values from
+    the same matched right row — never stitched across rows the way
+    per-column fills would when right columns contain nulls."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     carried = [c for c in right_cols if c != by]
     tb = tiebreak or sorted(c for c in carried if c != on)
     right_prio = 1 if not allow_exact_matches else -1
+    rstruct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in carried]
+    )
 
     lcols = left.columns
     l_side = left.select(
@@ -123,17 +134,14 @@ def asof_join_window(
         F.col(on).alias("__on"),
         F.lit(0).alias("__prio"),
         *[F.col(c) for c in lcols if c != by],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in carried
-        ],
+        F.lit(None).cast(rstruct_type).alias("__rvals"),
     )
     r_side = right.select(
         F.col(by),
         F.col(on).alias("__on"),
         F.lit(right_prio).alias("__prio"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != by],
-        *[F.col(c).alias(c + suffix) for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__rvals"),
     )
     unioned = l_side.unionByName(r_side)
     w = (
@@ -141,18 +149,14 @@ def asof_join_window(
         .orderBy(
             F.col("__on").asc(),
             F.col("__prio").asc(),
-            *[F.col(c + suffix).asc_nulls_first() for c in tb],
+            *[F.col(f"__rvals.{c}").asc_nulls_first() for c in tb],
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + "__filled")
-            for c in carried
-        ],
+        "*", F.last("__rvals", ignorenulls=True).over(w).alias("__rfill")
     )
     return filled.filter(F.col("__prio") == 0).select(
         *[F.col(c) for c in lcols],
-        *[F.col(c + "__filled").alias(c + suffix) for c in carried],
+        *[F.col(f"__rfill.{c}").alias(c + suffix) for c in carried],
     )

@@ -73,12 +73,15 @@ def kmeans(
                 )
             )[0].alias("best"),
         )
+        prev_assigned = assigned
         assigned = scored.select(
             "id",
             "vec",
             F.col("best.cluster").alias("cluster"),
             F.col("best.d").alias("sq_dist"),
         ).persist()
+        if prev_assigned is not None:
+            prev_assigned.unpersist(blocking=False)
         inertia = assigned.agg(
             F.sum(F.col("sq_dist").cast("decimal(28,10)")).cast("double")
         ).first()[0]
@@ -101,5 +104,10 @@ def kmeans(
         )
         centroids = sorted((r["cluster"], list(r["cvec"])) for r in new_cent)
 
-    vecs.unpersist()
-    return assigned.select("id", "cluster", "sq_dist"), inertia_history
+    # Materialize the (small: id, cluster, sq_dist) result so both cached
+    # inputs can be released now; the local checkpoint is reclaimed by
+    # Spark's ContextCleaner once the caller drops the DataFrame.
+    result = assigned.select("id", "cluster", "sq_dist").localCheckpoint(eager=True)
+    assigned.unpersist(blocking=False)
+    vecs.unpersist(blocking=False)
+    return result, inertia_history

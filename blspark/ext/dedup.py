@@ -155,8 +155,13 @@ def jaccard_pairs(
         sh = sh.join(
             freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
         )
-    # consumed three times below (sizes + both sides of the self-join)
-    sh = sh.persist()
+    # sh is consumed three times below (sizes + both sides of the
+    # self-join) but deliberately NOT persisted: the exploded shingle
+    # table is far larger than the source documents, so re-running the
+    # map-side scan+explode three times is cheaper at scale than pinning
+    # it in storage for the session lifetime — and the freq-filter
+    # join's exchange is deduplicated by ReusedExchange because all
+    # three consumers live in the single returned plan.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

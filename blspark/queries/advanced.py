@@ -415,12 +415,12 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_conditional_agg",
     oracle=f"""
     SELECT user_id,
-           count_if(event_type = 'purchase') AS n_purchases,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
            {o_dsum("CASE WHEN event_type = 'purchase' THEN value END")}
              AS purchase_value,
            COUNT(DISTINCT event_type) AS n_types,
-           MIN(ts) AS first_seen,
-           MAX(ts) AS last_seen
+           CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_seen
     FROM events GROUP BY user_id
     """,
     doc="Conditional aggregation (count_if / filtered sums) + multi "

@@ -48,9 +48,9 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           count_if(first_signup IS NOT NULL) AS n_signed_up,
-           count_if(first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                    AND first_purchase > first_signup) AS n_converted
+           CAST(count_if(first_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+           CAST(count_if(first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                    AND first_purchase > first_signup) AS BIGINT) AS n_converted
     FROM firsts
     """,
     doc="Funnel: users -> signed up -> purchased after signup. One "

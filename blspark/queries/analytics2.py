@@ -66,15 +66,54 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     GROUP BY decile
     """,
-    doc="NTILE decile bucketing + per-bucket stats. The global order-by "
-    "window is the scale caveat: at 100 TB use approx quantile cut "
-    "points (x_approx_sketches) instead of a single-partition NTILE.",
+    doc="NTILE decile bucketing + per-bucket stats, computed WITHOUT a "
+    "single-partition global window: rows are range-partitioned on the "
+    "sort key, ranked locally per partition, and local ranks are shifted "
+    "by broadcast per-partition cumulative offsets — an exact distributed "
+    "global row_number. Deciles then follow from NTILE's bucket formula "
+    "(first n%10 buckets get one extra row), reproducing NTILE(10) "
+    "bit-for-bit while every stage stays parallel.",
 )
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    # Range-partition on the sort key so partition id order == sort order;
+    # both downstream branches reference the same exchange (ReusedExchange).
+    parted = orders.repartitionByRange(
+        32, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = parted.withColumn("local_rn", F.row_number().over(wloc))
+    # Tiny per-partition counts -> cumulative start offset per pid (runs on
+    # a num-partitions-sized frame, then broadcast back to the fact side).
+    counts = local.groupBy("pid").agg(
+        F.max("local_rn").alias("cnt")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("offset"),
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(total))
+        .withColumn("rn", F.col("local_rn") + F.col("offset"))
+    )
+    # NTILE(k) bucket for global rank i over n rows: with q = n div k,
+    # r = n mod k, the first r buckets hold q+1 rows.
+    q = F.expr("n_total div 10")
+    r = F.col("n_total") % 10
+    big = r * (q + 1)
+    decile = (
+        F.when(F.col("rn") <= big, F.ceil(F.col("rn") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rn") - big) / q))
+        .cast("int")
+        .alias("decile")
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", decile)
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

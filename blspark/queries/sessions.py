@@ -13,12 +13,16 @@ from blspark.catalog import load_table, register
 @register(
     "q_events_session_window",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+      -- truncate to microseconds: events.parquet stores TIMESTAMP(NANOS);
+      -- Spark reads micros-truncated, so gap tests and outputs must agree
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,

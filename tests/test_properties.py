@@ -168,3 +168,50 @@ def test_asof_window_equals_pandas_on_random_data(spark, lrows, rrows, exact):
         for r in asof_join_window(left, right, **kw).collect()
     )
     assert a == b
+
+
+@SLOW
+@given(lrows=asof_rows, rrows=asof_rows, exact=st.booleans())
+def test_asof_window_carries_all_columns_from_same_row_with_nulls(
+    spark, lrows, rrows, exact
+):
+    """Right rows carry a payload column that is null whenever rid % 3 == 0.
+    Per-column last(ignoreNulls) fills would stitch the payload from an
+    OLDER right row than the matched one; the single-struct fill must keep
+    (ts_prev, rid_prev, val_prev) consistent — identical to merge_asof,
+    which always carries whole rows."""
+    import datetime as dt
+
+    from blspark.ext.asof import asof_join, asof_join_window
+
+    base = dt.datetime(2024, 1, 1)
+    mkl = [
+        (k, base + dt.timedelta(seconds=s), i * 1000 + j)
+        for j, (k, s, i) in enumerate(lrows)
+    ]
+    mkr = [
+        (
+            k,
+            base + dt.timedelta(seconds=s),
+            i * 1000 + j,
+            None if (i * 1000 + j) % 3 == 0 else float(i + j),
+        )
+        for j, (k, s, i) in enumerate(rrows)
+    ]
+    left = spark.createDataFrame(mkl, "k int, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        mkr, "k int, ts timestamp, rid long, val double"
+    )
+    kw = dict(
+        on="ts", by="k", right_cols=["ts", "rid", "val"],
+        allow_exact_matches=exact, tiebreak=["rid"],
+    )
+    a = sorted(
+        (r["lid"], r["ts_prev"], r["rid_prev"], r["val_prev"])
+        for r in asof_join(left, right, **kw).collect()
+    )
+    b = sorted(
+        (r["lid"], r["ts_prev"], r["rid_prev"], r["val_prev"])
+        for r in asof_join_window(left, right, **kw).collect()
+    )
+    assert a == b
