@@ -38,34 +38,53 @@ def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(
+def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle). Documents
-    with fewer than ``n`` tokens produce no shingles. Tokenization is a
-    plain single-space split (deterministic, oracle-portable)."""
+    """Distinct n-word shingles per document as ONE array row:
+    (id, shset array<string>). Documents with fewer than ``n`` tokens are
+    dropped. Tokenization is a plain single-space split (deterministic,
+    oracle-portable).
+
+    The set form lets consumers that need whole-document set operations
+    (exact Jaccard verification via ``array_intersect``) skip the
+    explode/re-aggregate round trip entirely."""
     # Tokenize into a real column first: referencing `split(text)` from
     # inside the shingle lambda would re-split the document for every
     # element access (no common-subexpression elimination across lambda
     # boundaries) — tokenize-once turns that O(tokens²) into O(tokens).
+    # Shingles are built by zip_with-folding n shifted slices of the token
+    # array rather than transform+element_at over an index sequence: the
+    # slices stream sequentially (no per-element positional lookups),
+    # measured ~25% faster at sf0.1.
     toks = F.col("_toks")
-    idxs = F.sequence(F.lit(0), F.size(toks) - n)
-    shingle = F.transform(
-        idxs,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    # per-document set semantics via array_distinct BEFORE the explode:
-    # dedup happens map-side inside codegen — a global .distinct() here
-    # would shuffle every (id, shingle) pair for nothing, since shingle
-    # duplicates only ever occur within one document's row
+    n_shingles = F.size(toks) - (n - 1)
+    shingle = F.slice(toks, 1, n_shingles)
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, n_shingles)
+        shingle = F.zip_with(
+            shingle, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    # per-document set semantics via array_distinct map-side inside
+    # codegen — a global .distinct() downstream would shuffle every
+    # (id, shingle) pair for nothing, since shingle duplicates only ever
+    # occur within one document's row
     return (
         df.select(
             F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
         )
         .filter(F.size(toks) >= n)
-        .select("id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .select("id", F.array_distinct(shingle).alias("shset"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document, exploded: (id, shingle).
+    See ``shingle_sets`` for the array-per-document form."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("shset").alias("shingle")
     )
 
 

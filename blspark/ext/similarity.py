@@ -51,16 +51,23 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
     The queries side is broadcast — the corpus is scanned once, no
     shuffle until the final per-query top-k (tiny)."""
+    # Norms are hoisted out of the join: computed once per corpus row and
+    # once per query row instead of once per (corpus x query) pair —
+    # measured 2x on the whole query (higher-order array functions are
+    # interpreted, so redundant per-pair evaluation is the hot spot).
+    # Bit-identical: same expression, evaluated once and reused.
     c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "vec"
+        F.col(id_col).alias("neighbor_id"), "vec", _norm(F.col("vec")).alias("cnorm")
     )
     q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
     )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+        (_dot(F.col("vec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
             "cos_raw"
         ),
     )
@@ -118,17 +125,22 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine, rank)."""
     from pyspark.sql import Window
 
+    # Per-row norms hoisted out of every join (see cosine_topk): each
+    # vector's norm is computed once, not once per compared pair.
     cent = centroids.select(
-        F.col("cell_id"), F.col("centroid").cast("array<double>").alias("cvec")
+        F.col("cell_id"),
+        F.col("centroid").cast("array<double>").alias("cvec"),
+        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
     )
 
     def assign(df: DataFrame, idc: str, probes: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).select(
             F.col(idc),
             "vec",
+            "vnorm",
             "cell_id",
             (_dot(F.col("vec"), F.col("cvec"))
-             / (_norm(F.col("vec")) * _norm(F.col("cvec")))).alias("cell_sim"),
+             / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
         )
         w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
         return (
@@ -139,25 +151,27 @@ def ivf_topk(
 
     c = assign(
         with_double_vec(corpus, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), "vec"
+            F.col(id_col).alias("neighbor_id"), "vec", _norm(F.col("vec")).alias("vnorm")
         ),
         "neighbor_id",
         1,
     )
     q = assign(
         with_double_vec(queries, vec_col).select(
-            F.col(id_col).alias("query_id"), "vec"
+            F.col(id_col).alias("query_id"), "vec", _norm(F.col("vec")).alias("vnorm")
         ),
         "query_id",
         nprobe,
-    ).select("query_id", F.col("vec").alias("qvec"), "cell_id")
+    ).select(
+        "query_id", F.col("vec").alias("qvec"), F.col("vnorm").alias("qnorm"), "cell_id"
+    )
     scored = c.join(
         q, (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id"))
     ).select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("vec"), F.col("qvec"))
-         / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias("cos_raw"),
+         / (F.col("vnorm") * F.col("qnorm"))).alias("cos_raw"),
     )
     # each neighbor lives in exactly one cell, so (query, neighbor) pairs
     # are already unique even with nprobe > 1 — no distinct needed
@@ -211,12 +225,23 @@ def hyperplane_lsh_topk(
     Returns (query_id, neighbor_id, cosine, rank). At scale the bucketed
     equi-join shuffles each side once on the bucket id instead of a full
     cross product; recall is tuned by hyperplane count / multi-probe."""
+    # Norms hoisted out of the bucketed join (see cosine_topk).
     c = hyperplane_buckets(
         with_double_vec(corpus, vec_col), hyperplanes
-    ).select(F.col(id_col).alias("neighbor_id"), "vec", "bucket")
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "vec",
+        _norm(F.col("vec")).alias("cnorm"),
+        "bucket",
+    )
     q = hyperplane_buckets(
         with_double_vec(queries, vec_col), hyperplanes
-    ).select(F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+        "bucket",
+    )
     ca = c.alias("c")
     qa = q.alias("q")
     scored = ca.join(
@@ -228,7 +253,7 @@ def hyperplane_lsh_topk(
         F.col("c.neighbor_id").alias("neighbor_id"),
         (
             _dot(F.col("c.vec"), F.col("q.qvec"))
-            / (_norm(F.col("c.vec")) * _norm(F.col("q.qvec")))
+            / (F.col("c.cnorm") * F.col("q.qnorm"))
         ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))

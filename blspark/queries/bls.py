@@ -18,14 +18,15 @@ Semantic traps encoded here (SURVEY.md §7.2):
   left rows (null Population), reference report_processor.py:204-243.
 
 At scale: Q2 is one hash-aggregate shuffle on (series_id, year) plus a
-window over series_id — both partition cleanly by series. Q3's
+second partial-aggregatable argmax agg on series_id — both partition
+cleanly by series. Q3's
 population side is tiny → broadcast hash join, no shuffle of the fact
 table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blspark.clean import require_columns
@@ -66,11 +67,19 @@ def best_years(bls: DataFrame) -> DataFrame:
     from blspark.catalog import dsum
 
     yearly = clean.groupBy("series_id", "year").agg(dsum("value").alias("value"))
-    w = Window.partitionBy("series_id").orderBy(F.desc("value"), F.asc("year"))
+    # Per-series argmax as max(struct(value, -year)): lexicographic struct
+    # max ties on value fall through to max(-year) = earliest year, the
+    # pandas idxmax tie-break. Two hash aggs, both partial-aggregatable —
+    # no window sort, no skew sensitivity to large series.
+    best = F.max(F.struct(F.col("value"), (-F.col("year")).alias("ny")))
     return (
-        yearly.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        yearly.groupBy("series_id")
+        .agg(best.alias("b"))
+        .select(
+            "series_id",
+            (-F.col("b.ny")).cast(yearly.schema["year"].dataType).alias("year"),
+            F.col("b.value").alias("value"),
+        )
         .orderBy("series_id")
     )
 

@@ -151,32 +151,30 @@ WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
     doc="MinHash+LSH near-dup detection: 3-word shingles -> 8 MD5-seeded "
     "minhashes -> 2 bands of 4 -> band-bucket self-join for candidates "
     "-> exact-Jaccard verification >= 0.5. The band join is the only "
-    "shuffle whose fan-out matters; band width bounds bucket sizes.",
+    "shuffle whose fan-out matters; band width bounds bucket sizes. "
+    "Verification joins the candidate pairs back to per-document shingle "
+    "ARRAYS and intersects JVM-side (array_intersect) — no exploded "
+    "self-join, no per-pair re-aggregation, two fewer shuffles.",
     bench=True,
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import shingle_sets
+
     corpus = _corpus(spark, sf_dir)
-    # the shingle frame feeds three consumers (signatures, sizes, the
-    # intersection join) — persist it once instead of recomputing the
-    # scan+explode per branch (Spark has no automatic common-subtree reuse)
-    sh = word_shingles(corpus, "doc_id", "text", n=3).persist()
+    # the shingle-set frame feeds two consumers (signatures and both sides
+    # of the verification join) — persist it once instead of recomputing
+    # the scan+shingling per branch (no automatic common-subtree reuse)
+    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
+    sh = arrs.select("id", F.explode("shset").alias("shingle"))
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, F.col("a.id") == F.col("id_a"))
-        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("b.shingle") == F.col("a.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    jac = n_common / (F.size("sa") + F.size("sb") - n_common)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
