@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("BLSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime Bloom-filter pruning for semi-join shapes: the optimizer
+        # plants bloom_filter_agg/might_contain on shuffle joins whose
+        # build side carries a selective filter, so the fact scan drops
+        # non-joining rows before the shuffle (tests/test_bloom.py asserts
+        # the injection; blspark.ext.bloom has the explicit operator for
+        # key sets beyond broadcast size).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -113,3 +113,28 @@ def test_multimodal_decode_schema_and_determinism(docs):
     assert (rows[1]["width"], rows[1]["height"]) == (rows[4]["width"], rows[4]["height"])
     w, h, c = fake_decode(DOCS[0][1].encode(), "image")
     assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (w, h, c)
+
+
+def test_decoder_hook_dispatch():
+    """library_decode is the real-decoder hook: with no media libs in
+    this container it must raise a clear NotImplementedError naming the
+    missing library, and best_decoder falls back to fake_decode."""
+    import pytest as _pytest
+
+    from blspark.ext.multimodal import best_decoder, library_decode
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if have_pil:
+        assert best_decoder() is library_decode
+    else:
+        assert best_decoder() is fake_decode
+        with _pytest.raises(NotImplementedError, match="pillow"):
+            library_decode(b"xx", "image")
+    with _pytest.raises(NotImplementedError):
+        library_decode(b"xx", "video")

@@ -44,3 +44,37 @@ def test_ivf_single_probe_subset_and_ranked(spark):
         cos = [r["cosine"] for r in rs]
         assert cos == sorted(cos, reverse=True)  # rank-consistent
         assert len({r["neighbor_id"] for r in rs}) == len(rs)
+
+
+def _recall_at_k(exact_rows, approx_rows, k=5) -> float:
+    """Fraction of brute-force top-k neighbors the ANN result recovers,
+    averaged over queries."""
+    exact_by_q: dict[int, set] = {}
+    for r in exact_rows:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_by_q: dict[int, set] = {}
+    for r in approx_rows:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_by_q[q] & approx_by_q.get(q, set())) / len(exact_by_q[q])
+        for q in exact_by_q
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ivf_recall_at_k_bounds_and_monotone_in_nprobe(spark):
+    """recall@5 is a first-class accuracy metric for the ANN path:
+    nprobe=1 must beat a floor, and probing more cells must not lose
+    recall (deterministic data + centroids -> stable assertion)."""
+    emb, queries, cents = _load(spark)
+    n_cells = cents.count()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    recalls = {}
+    for nprobe in (1, max(2, n_cells // 2), n_cells):
+        approx = ivf_topk(emb, queries, cents, k=5, nprobe=nprobe).collect()
+        recalls[nprobe] = _recall_at_k(exact, approx)
+    probes = sorted(recalls)
+    assert recalls[probes[0]] >= 0.05  # single-probe floor on test data
+    for lo, hi in zip(probes, probes[1:]):
+        assert recalls[hi] >= recalls[lo] - 1e-9  # monotone in nprobe
+    assert recalls[n_cells] == 1.0  # full probe == exact (recall view)
