@@ -100,12 +100,16 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_metadata",
     "x_multimodal_decode",
     "x_approx_sketches",
+    "x_dedup_components",
+    "x_sample_split",
+    "x_udaf_weighted_stats",
     # TPC-H join shapes
     "q_shipping_priority",
     "q_regional_revenue",
     "q_returned_items",
     "q_nation_pairs_volume",
     "q_large_orders",
+    "q_min_cost_supplier",
     # reference IO / sync / session-window / streaming
     "q_bls_pipeline_parity",
     "q_sync_classify",

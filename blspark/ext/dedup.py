@@ -243,3 +243,66 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return bit_sums.select("id", simhash.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the minimum label among itself and its neighbors
+    until a fixpoint. Returns (node, component) for EVERY node in
+    ``nodes`` (singletons keep their own id as component).
+
+    This is the "dedup groups" operator: feed it near-duplicate pairs
+    (MinHash/LSH or exact-Jaccard) and each component is one duplicate
+    cluster, from which a canonical representative (min id) falls out
+    directly.
+
+    Scale: each iteration is one join keyed by node + one min
+    aggregation — all partial-aggregatable; rounds needed = graph
+    diameter, and dup clusters are shallow (diameter <= a few hops), so
+    3-5 rounds close real corpora. For adversarially long chains use the
+    large-star/small-star variant (alternating pointer-jumping) — same
+    join primitives, O(log n) rounds. The driver only ever sees one
+    convergence COUNT per round, never data."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        prev = labels
+        labels = (
+            prev.join(nbr, prev.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+                F.col("lab").alias("old_lab"),
+            )
+        ).persist()
+        changed = labels.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = labels.drop("old_lab")
+        prev.unpersist(blocking=False)
+        if changed == 0:
+            break
+    out = labels.select("node", F.col("lab").alias("component"))
+    result = out.localCheckpoint(eager=True)
+    labels.unpersist(blocking=False)
+    return result

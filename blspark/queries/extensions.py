@@ -688,3 +688,146 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary(docs, "text", modality="image")
     return decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# dedup components / deterministic splits / custom UDAF
+# ---------------------------------------------------------------------------
+
+COMPONENTS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register(
+    "x_dedup_components",
+    oracle=COMPONENTS_ORACLE,
+    doc="Duplicate-cluster extraction: exact-Jaccard near-dup pairs "
+    "(>= 0.6) grouped into connected components by iterative min-label "
+    "propagation (blspark.ext.dedup.connected_components); every corpus "
+    "doc gets a component id (its cluster's min doc_id), singletons "
+    "included. Per round: one node-keyed join + one partial-aggregatable "
+    "min — rounds = cluster diameter (shallow for dup clusters). Oracle: "
+    "DuckDB recursive-CTE transitive closure.",
+)
+def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components, jaccard_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
+    nodes = corpus.select("doc_id")
+    return connected_components(pairs, nodes, id_col="doc_id")
+
+
+# md5-derived 24-bit hash of the doc id (reuses the shingle hex-nibble
+# arithmetic) -> deterministic, engine-portable bucket in [0, 100)
+SPLIT_BUCKET_SQL = f"({SHINGLE_V_SQL}) % 100"
+
+
+@register(
+    "x_sample_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT doc_id,
+           CAST({SPLIT_BUCKET_SQL} AS INT) AS bucket,
+           CASE WHEN {SPLIT_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by hashed id: "
+    "bucket = md5(doc_id)-derived 24-bit int mod 100. Pure map-side "
+    "expression — no shuffle, no RNG, stable across runs/engines/"
+    "partitionings; the same mechanism stratifies or samples (filter "
+    "bucket < pct) at any scale.",
+)
+def x_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h")
+    )
+    bucket = F.expr(SPLIT_BUCKET_SQL)
+    return h.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "x_udaf_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Custom UDAF via applyInPandas: per-group quantity-weighted mean "
+    "price, computed with exact int64 arithmetic inside Arrow batches "
+    "(price scaled to 1e-4 ticks) so the result is partition-order "
+    "independent and bit-equal to the decimal-sum SQL oracle. The "
+    "pattern for aggregations Catalyst can't express (t-digests, "
+    "per-group model fits): groupBy -> Arrow batch -> numpy.",
+)
+def x_udaf_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty = pdf["l_quantity"].to_numpy(dtype=np.int64)
+        ticks = np.rint(pdf["l_extendedprice"].to_numpy() * 10000).astype(np.int64)
+        sum_pq = int((ticks * qty).sum())  # exact: < 2^63
+        sum_q = int(qty.sum())
+        # float(sum_pq)/10000 mirrors CAST(DECIMAL(,4) AS DOUBLE); both
+        # round the same exact rational to nearest double
+        wavg = (float(sum_pq) / 10000.0) / float(sum_q)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "total_qty": [sum_q],
+                "weighted_avg_price": [wavg],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        agg,
+        schema="l_returnflag string, n_rows bigint, total_qty bigint, "
+        "weighted_avg_price double",
+    )

@@ -6,7 +6,7 @@ warehouse workload needs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blspark.catalog import dsum, load_table, o_dsum, register
@@ -284,3 +284,41 @@ def q_bls_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("value")
     )
     return best_years(obs)
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_partkey < 2000 AND l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best
+      FROM costs
+    )
+    SELECT l_partkey, l_suppkey, unit_cost
+    FROM ranked WHERE unit_cost = best
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier): per-(part, supplier) min "
+    "unit price, then the suppliers achieving each part's minimum — the "
+    "correlated-min-subquery pattern as one agg + a per-part window min "
+    "(ties keep all suppliers). Raw double division both sides: "
+    "bit-identical IEEE ops, no rounding. Ref: the reference has no "
+    "multi-level correlated shapes; this extends J1/A5-A7 coverage.",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") < 2000) & (F.col("l_quantity") > 0)
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        costs.withColumn("best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select("l_partkey", "l_suppkey", "unit_cost")
+    )

@@ -138,3 +138,19 @@ def test_decoder_hook_dispatch():
             library_decode(b"xx", "image")
     with _pytest.raises(NotImplementedError):
         library_decode(b"xx", "video")
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from blspark.ext.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}

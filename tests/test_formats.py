@@ -56,3 +56,22 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(seg" in plan  # pruning reached the scan
     assert back.count() == df.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_zstd_parquet_roundtrip(spark, tmp_path):
+    """zstd-compressed parquet writes: the compression codec to default
+    to for large-scale archival tables (better ratio than snappy at
+    similar scan speed)."""
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(500)
+    out = str(tmp_path / "orders_zstd")
+    df.write.option("compression", "zstd").parquet(out)
+    import glob
+    import pyarrow.parquet as pq
+
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert sorted(back.columns) == sorted(df.columns)
