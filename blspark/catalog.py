@@ -103,6 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_components",
     "x_sample_split",
     "x_udaf_weighted_stats",
+    "x_text_normalize",
+    "x_pack_sequences",
     # TPC-H join shapes
     "q_shipping_priority",
     "q_regional_revenue",
@@ -114,8 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_bls_pipeline_parity",
     "q_sync_classify",
     "q_events_session_window",
+    "q_grouping_sets",
     "s_stream_events_hourly",
     "s_stream_sessionize_stateful",
+    "s_stream_dedup_exact",
     # oracles fixed or plans rewritten this round — need fresh green rows
     "q_conditional_agg",
     "q_funnel_conversion",

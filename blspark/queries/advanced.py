@@ -491,3 +491,35 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nation"),
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) * 2
+             + CAST(GROUPING(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+    doc="GROUPING SETS (the general form behind ROLLUP/CUBE): three "
+    "explicit grouping combinations in ONE pass over the fact table "
+    "with a grouping-id disambiguator — vs three scans + union. Same "
+    "partial-aggregation shuffle as a plain groupBy.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(f"""
+      SELECT l_returnflag, l_linestatus,
+             {{}} AS sum_qty,
+             COUNT(*) AS n,
+             CAST(GROUPING(l_returnflag) AS INT) * 2
+               + CAST(GROUPING(l_linestatus) AS INT) AS gid
+      FROM v_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))
+    """.format("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)"))

@@ -831,3 +831,86 @@ def x_udaf_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_returnflag string, n_rows bigint, total_qty bigint, "
         "weighted_avg_price double",
     )
+
+
+@register(
+    "x_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    doc="LLM-ingest text normalization: lowercase, strip non-alnum, "
+    "collapse runs of spaces, trim — plus post-normalization token "
+    "count. Pure Catalyst expressions compiled into the scan (zero "
+    "shuffle); the regexes are shared-subset RE2/Java so both engines "
+    "agree byte-for-byte.",
+)
+def x_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "x_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="Training-sequence packing: per-language running token offsets "
+    "(window cumsum ordered by doc_id) bucket documents into 2048-token "
+    "sequences with in-sequence offsets — the distributed version of "
+    "greedy context-window packing. Partitioned by lang, so every window "
+    "is shard-local; no global sort, no single-partition funnel.",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
+        (start % 2048).cast("bigint").alias("seq_offset"),
+    )

@@ -40,3 +40,28 @@ def s_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+@register(
+    "s_stream_dedup_exact",
+    oracle=None,
+    doc="Streaming exact dedup: file-arrival stream over documents, "
+    "content-MD5 digest groupBy (min doc_id + copy count) in complete "
+    "mode — the streaming twin of x_dedup_exact for continuous-ingest "
+    "corpora. Only 16-byte digests enter state; bodies never shuffle. "
+    "Rows-only driver check; batch equivalence in tests/test_stream.py.",
+)
+def s_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="documents.parquet"
+    )
+    agg = (
+        stream.select(
+            F.md5(F.col("text").cast("binary")).alias("digest"), F.col("doc_id")
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+    name = run_available_now(agg, output_mode="complete")
+    return spark.table(name)

@@ -196,3 +196,20 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
     assert got == {(100, 101), (104, 105)}
+
+
+def test_stream_dedup_exact_equals_batch(spark):
+    """The streaming dedup query's drained result matches the batch
+    exact-dedup over the same corpus file."""
+    from blspark.catalog import registry
+    from blspark.ext.dedup import exact_dedup_keys
+    from tests.conftest import SF_SMOKE
+
+    got = registry()["s_stream_dedup_exact"].spark_fn(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = exact_dedup_keys(docs, "doc_id", "text").withColumnRenamed(
+        "digest", "digest"
+    )
+    a = sorted(map(tuple, got.select("digest", "keep_id", "n_copies").collect()))
+    b = sorted(map(tuple, want.select("digest", "keep_id", "n_copies").collect()))
+    assert a == b
