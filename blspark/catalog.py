@@ -105,6 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_udaf_weighted_stats",
     "x_text_normalize",
     "x_pack_sequences",
+    "x_skew_salted_join",
+    "x_embed_quantize",
     # TPC-H join shapes
     "q_shipping_priority",
     "q_regional_revenue",
@@ -112,6 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_nation_pairs_volume",
     "q_large_orders",
     "q_min_cost_supplier",
+    "q_order_priority_check",
+    "q_linestatus_priority_counts",
+    "q_customer_order_distribution",
+    "q_promo_revenue",
+    "q_small_quantity_revenue",
+    "q_disjunctive_filter_revenue",
+    "q_idle_rich_customers",
     # reference IO / sync / session-window / streaming
     "q_bls_pipeline_parity",
     "q_sync_classify",
@@ -119,11 +128,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "s_stream_events_hourly",
     "s_stream_sessionize_stateful",
-    "s_stream_dedup_exact",
     # oracles fixed or plans rewritten this round — need fresh green rows
     "q_conditional_agg",
     "q_funnel_conversion",
     "q_ntile_deciles",
+    # slot 51: first to fall outside a 50-query driver budget. Rows-only
+    # anyway (weak check) and covered by a local batch-equivalence test,
+    # so it loses the least by being the overflow entry.
+    "s_stream_dedup_exact",
 )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blspark.catalog import load_table, register
+from blspark.catalog import dsum, load_table, o_dsum, register
 from blspark.ext.dedup import (
     exact_dedup_keys,
     lsh_candidate_pairs,
@@ -913,4 +913,80 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
         (start % 2048).cast("bigint").alias("seq_offset"),
+    )
+
+
+@register(
+    "x_skew_salted_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Skew-mitigating salted equi-join (ext/skew.salted_join): the "
+    "probe side gets a deterministic xxhash64 row salt, the build side "
+    "replicates once per salt, and the join key becomes (orderkey, "
+    "salt) — splitting any hot key across num_salts reducers. The "
+    "oracle is the PLAIN join + aggregate: salting must be "
+    "result-invariant, which is exactly what the hash check proves.",
+)
+def x_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "x_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(t.i AS INT) AS pos,
+           CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE)
+                      * (127.0 / maxabs) + 0.5) AS INT) AS qval
+    FROM v, range(0, 64) t(i)
+    WHERE maxabs > 0
+    """,
+    doc="Symmetric int8 embedding quantization (4x storage/bandwidth "
+    "cut for ANN at 100 TB): per-vector scale = 127/max|x|, element "
+    "q = floor(x*scale + 0.5). Pure JVM expressions (array_max + "
+    "transform + posexplode), zero shuffle, codegen into the scan. "
+    "floor(x+0.5) instead of round(): half-even vs half-up rounding "
+    "differs between engines, floor is bit-deterministic in IEEE "
+    "double. float->double casts are exact, so both engines compute "
+    "identical ints.",
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn(
+        "maxabs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("maxabs") > 0)
+    scale = F.lit(127.0) / F.col("maxabs")
+    return emb.select(
+        "vec_id",
+        F.posexplode("v").alias("pos", "x"),
+        scale.alias("_scale"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("x") * F.col("_scale") + F.lit(0.5)).cast("int").alias("qval"),
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blspark.catalog import dsum, load_table, o_dsum, register
+from blspark.catalog import davg, dsum, load_table, o_davg, o_dsum, register
 
 
 @register(
@@ -321,4 +321,292 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         costs.withColumn("best", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("best"))
         .select("l_partkey", "l_suppkey", "unit_cost")
+    )
+
+
+@register(
+    "q_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders in a quarter with at least one lineitem "
+    "shipped >90 days after order date (EXISTS as a LEFT SEMI join with "
+    "an equi key + non-equi residual), counted per priority. The semi "
+    "join deduplicates multi-lineitem orders inside the join, no "
+    "distinct needed; both sides hash-partition on orderkey.",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    # derived pushdown: o_orderdate >= 1996-01-01 and the +90-day residual
+    # together imply l_shipdate > 1996-03-31, so the fact scan can prune
+    # on a literal Catalyst can't infer across the join
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-31").cast("timestamp"))
+    )
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: fact-fact join (lineitem year slice x orders) "
+    "with conditional CASE aggregation splitting counts by priority "
+    "class. Shuffle join on orderkey (both sides fact-sized; AQE picks "
+    "the strategy), then a 2-group aggregate. SUMs CAST to BIGINT for "
+    "cross-engine type parity (DuckDB integer SUM is HUGEINT).",
+)
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution via LEFT "
+    "OUTER join with a predicate inside the join condition (not a "
+    "post-filter — customers with only urgent orders must count 0), "
+    "COUNT(nullable) per customer, then a second tiny aggregation over "
+    "counts. Two shuffles; the second key space is O(max orders/cust).",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders_f = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    cond = (cust.c_custkey == orders_f.o_custkey) & (
+        orders_f.o_orderpriority != "1-URGENT"
+    )
+    return (
+        cust.join(orders_f, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT
+      100.0 * {o_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+        / {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_pct,
+      {o_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS promo_revenue,
+      {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: promotion revenue share — join lineitem month "
+    "slice to part, conditional revenue ratio. Part scales with SF so no "
+    "broadcast hint (AQE decides from runtime size); both conditional "
+    "sums are exact decimal, the final ratio one deterministic double "
+    "division.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle=f"""
+    WITH avgs AS (
+      SELECT l_partkey, {o_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {o_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgs a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    doc="TPC-H Q17 shape: revenue from small-quantity orders of one "
+    "brand — the correlated per-part AVG subquery decorrelated into a "
+    "grouped aggregate joined back to the fact on partkey. The avg uses "
+    "the exact decimal-sum convention so the 0.2*avg threshold is "
+    "bit-identical across engines; the brand filter prunes after the "
+    "partkey join (AQE broadcast candidate).",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avgs = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avgs, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_filter_revenue",
+    oracle=f"""
+    SELECT {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of brand/size/quantity conjunction "
+    "bands as a post-join residual. Catalyst extracts the common "
+    "partkey equi-key for the hash join and pushes the "
+    "brand-OR / quantity-OR envelopes down to each scan "
+    "(constraint propagation from the disjunction).",
+)
+def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#18")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_idle_rich_customers",
+    oracle=f"""
+    SELECT c.c_nationkey, COUNT(*) AS n_cust,
+           {o_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT {o_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "recent orders, per nation — a scalar aggregate subquery (1-row broadcast "
+    "cross join) plus a LEFT ANTI join against the orders fact. The "
+    "anti join shuffles only (custkey) pairs; the scalar avg is exact "
+    "decimal so the threshold matches bitwise.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_row = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
     )
