@@ -12,4 +12,5 @@ import blspark.queries.sync_q  # noqa: F401
 import blspark.queries.tpch_like  # noqa: F401
 import blspark.queries.tpch_like2  # noqa: F401
 import blspark.queries.extensions  # noqa: F401
+import blspark.queries.extensions2  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401

@@ -1,0 +1,188 @@
+"""Training-data pipeline operators, batch 2: corpus mixture reporting,
+stratified sampling, benchmark decontamination, and exact-quantile
+quality filtering. All are map-side or histogram-sized shuffles — the
+shapes that stay cheap at 100 TB — and every one carries a DuckDB oracle
+twin (MD5-based hashing and histogram-based order statistics keep each
+step engine-portable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+from blspark.queries.extensions import SPLIT_BUCKET_SQL
+
+
+@register(
+    "x_corpus_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST((SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     FROM documents) AS DOUBLE) AS token_share
+    FROM per
+    ORDER BY source, lang
+    """,
+    doc="Corpus mixture report: per (source, lang) document and token "
+    "counts plus each cell's share of all tokens — the first artifact "
+    "any pretraining-mix decision needs. Token counts are exact int64 "
+    "sums (order-independent); the global total is a scalar broadcast. "
+    "One histogram-sized shuffle (|sources|x|langs| keys); text never "
+    "shuffles — tokens are counted map-side in the scan projection.",
+)
+def x_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(F.split("text", " ")).alias("toks")
+    )
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("grand"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("grand").cast("double")).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "x_sample_stratified",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT doc_id, lang, CAST({SPLIT_BUCKET_SQL} AS INT) AS bucket
+    FROM h
+    WHERE {SPLIT_BUCKET_SQL} <
+          CASE WHEN lang = 'en' THEN 30 ELSE 100 END
+    """,
+    doc="Stratified deterministic sampling: downsample the dominant "
+    "language to 30% while keeping low-resource languages whole — the "
+    "standard pretraining rebalance. Membership is md5(doc_id) mod 100 "
+    "against a per-stratum rate, so the sample is reproducible across "
+    "runs, engines, and partitionings, needs no RNG state, and is a "
+    "pure map-side filter (zero shuffle at any corpus size). Extends "
+    "x_sample_split's mechanism from global to per-stratum rates.",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    bucket = F.expr(SPLIT_BUCKET_SQL)
+    rate = F.when(F.col("lang") == "en", F.lit(30)).otherwise(F.lit(100))
+    return h.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket")
+    )
+
+
+@register(
+    "x_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+7], ' ') AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 7)) AS i
+            FROM toks WHERE len(w) >= 8)
+    ), probe AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shared
+    FROM sh s JOIN probe p ON s.shingle = p.shingle
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id
+    ORDER BY n_shared DESC, doc_id
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any "
+    "8-word shingle with a held-out probe set (docs with id % 50 = 0 "
+    "stand in for an eval benchmark), reporting how many distinct "
+    "shingles leak. The probe shingle set is tiny relative to the "
+    "corpus, so the join broadcasts it and the corpus never shuffles "
+    "raw text — per-doc distinct shingles explode map-side (the same "
+    "zip_with tokenize-once machinery as MinHash). At 100 TB this is "
+    "the standard n-gram-overlap decontamination pass run before "
+    "training.",
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    probe = (
+        sh.filter(F.col("id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(probe), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "x_quality_filter_quantile",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM hist
+    ), thr AS (
+      SELECT MIN(n_chars) AS t FROM cum
+      WHERE cum >= CEIL(0.25 * (SELECT COUNT(*) FROM documents))
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, thr
+    WHERE d.n_chars > thr.t
+    """,
+    doc="Quality filtering at an exact quantile: drop the bottom-25% of "
+    "documents by length WITHOUT a global sort. The order statistic is "
+    "computed from a value histogram — groupBy(n_chars) is a "
+    "|distinct-values|-sized shuffle, the cumulative window runs over "
+    "that tiny frame (not the corpus), and the resulting threshold is a "
+    "1-row broadcast into a map-side filter. This is the scalable "
+    "replacement for percentile-based filters: exact, deterministic, "
+    "and O(distinct values) where a sort-based quantile is O(N log N) "
+    "through one machine.",
+)
+def x_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    # window over the histogram (hundreds of rows), not the corpus
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n_chars", F.sum("c").over(w).alias("cum"))
+    total = docs.agg(F.count("*").alias("n"))
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") >= F.ceil(F.lit(0.25) * F.col("n")))
+        .agg(F.min("n_chars").alias("t"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") > F.col("t"))
+        .select("doc_id", "n_chars")
+    )
