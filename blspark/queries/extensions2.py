@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blspark.catalog import load_table, register
+from blspark.ext.dedup import SHINGLE_V_SQL
 from blspark.queries.extensions import SPLIT_BUCKET_SQL
+
+# 24-bit md5-derived int mod 16 — same portable-hash mechanism as
+# SPLIT_BUCKET_SQL, narrowed to a shard count.
+SHARD_BUCKET_SQL = f"({SHINGLE_V_SQL}) % 16"
 
 
 @register(
@@ -185,4 +190,150 @@ def x_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(thr))
         .filter(F.col("n_chars") > F.col("t"))
         .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "x_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks WHERE len(w) >= 3)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) - 2 AS BIGINT) AS n_grams,
+           COUNT(DISTINCT s.s) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT s.s) AS DOUBLE)
+               / CAST(len(t.w) - 2 AS DOUBLE) AS rep_ratio
+    FROM toks t JOIN sh s ON t.doc_id = s.doc_id
+    GROUP BY t.doc_id, len(t.w)
+    ORDER BY rep_ratio DESC, t.doc_id
+    """,
+    doc="Intra-document repetition score (Gopher-style quality signal): "
+    "fraction of repeated word 3-grams within each document — high "
+    "values mark boilerplate/spam for filtering. Entirely map-side on "
+    "Spark: the distinct count is size(array_distinct(shingles)) inside "
+    "one projection, zero shuffle, no explode (the oracle explodes "
+    "because DuckDB lambdas can't slice; semantics identical). The "
+    "integer-ratio output is a raw double division (deterministic).",
+)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # shingles built inline (same zip_with fold as ext.dedup.shingle_sets)
+    # so total and distinct counts come from ONE tokenization in one
+    # projection — no self-join back to the doc row for n_grams
+    base = docs.select(F.col("doc_id"), F.split("text", " ").alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    toks = F.col("_toks")
+    n = 3
+    n_sh = F.size(toks) - (n - 1)
+    shingle = F.slice(toks, 1, n_sh)
+    for j in range(1, n):
+        shingle = F.zip_with(
+            shingle, F.slice(toks, j + 1, n_sh), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return (
+        base.select(
+            "doc_id",
+            n_sh.cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(shingle)).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .orderBy(F.desc("rep_ratio"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "x_quality_gopher_rules",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_frac,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 100000
+            AND (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' '))) BETWEEN 2.0 AND 10.0
+            AND len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a'))) > 0) AS passes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style rule-based quality gate: word count bounds, mean "
+    "word length band, and stopword presence, emitted per document with "
+    "the composite pass flag. Pure Catalyst expressions over one scan — "
+    "tokenize once, every rule folds into the same whole-stage-codegen "
+    "projection, zero shuffle at any corpus size. The standard cheap "
+    "pre-filter run before any model-based quality scoring.",
+)
+def x_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.col("text"), F.split("text", " ").alias("_toks")
+    )
+    n_words = F.size("_toks").cast("bigint")
+    mwl = (F.length("text") - (F.size("_toks") - 1)).cast("double") / F.size("_toks")
+    n_stop = F.size(F.filter(F.col("_toks"), lambda t: t.isin("the", "a")))
+    stop_frac = n_stop.cast("double") / F.size("_toks")
+    passes = (
+        F.size("_toks").between(20, 100000)
+        & mwl.between(2.0, 10.0)
+        & (n_stop > 0)
+    )
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_shard_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    )
+    SELECT CAST(({SHARD_BUCKET_SQL}) AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM h
+    GROUP BY 1
+    ORDER BY shard
+    """,
+    doc="Deterministic output sharding for training-data writes: shard "
+    "= md5(doc_id)-derived 24-bit int mod 16, with per-shard counts "
+    "proving the balance (uniform to ~sqrt(n) at any scale). In a real "
+    "write this column feeds repartition(shard)/partitionBy so every "
+    "run, engine, and retry lands identical shard contents — the "
+    "idempotent-recompute property the reference's sync loop needs "
+    "(sync.py) applied to corpus publishing. Map-side hash + one "
+    "16-key aggregate; document bodies never shuffle for the report.",
+)
+def x_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h")
+    )
+    shard = F.expr(SHARD_BUCKET_SQL)
+    return (
+        h.groupBy(shard.cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
     )
