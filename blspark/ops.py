@@ -81,3 +81,33 @@ def checked_pipeline(*stages: Callable[[DataFrame], DataFrame]):
         return df
 
     return run
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise scan parallelism for CPU-heavy narrow pipelines (per-row
+    MD5/shingling/vector math). Parquet scans split at row-group
+    boundaries, so a small local file yields ~1 effective partition and a
+    compute-bound stage serializes on one core — while at cluster scale
+    the same query naturally gets thousands of splits. No-op when the
+    scan would already split wide enough (gated on driver-side file
+    metadata — never a job); otherwise one cheap round-robin shuffle of
+    the (small) input buys full-width execution of everything
+    downstream. Results are unaffected: every consumer in this repo is
+    partition-order independent by construction."""
+    import os
+
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        total = 0
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            total += os.path.getsize(p) if os.path.exists(p) else max_split
+        est_splits = max(len(files), (total + max_split - 1) // max_split)
+    except Exception:
+        est_splits = target  # unknown source: assume wide enough, no-op
+    if est_splits < target:
+        return df.repartition(target)
+    return df

@@ -132,8 +132,9 @@ def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import word_shingles
+    from blspark.ops import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "doc_id", "text", n=8)
     probe = (
         sh.filter(F.col("id") % 50 == 0)
