@@ -128,3 +128,82 @@ def decode_features(
             yield out
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def fake_decode_sha256(content: bytes) -> tuple[str, int, int, int, int, int]:
+    """sha256-based deterministic fake decode. Unlike ``fake_decode``
+    (sha1), every derived field is reproducible in engines that ship
+    sha256 but not sha1 (DuckDB), so the mapInPandas decode path can be
+    differential-tested end-to-end: (hex, width, height, channels,
+    n_frames, duration_s)."""
+    h = hashlib.sha256(content).digest()
+    return (
+        hashlib.sha256(content).hexdigest(),
+        16 + h[0] % 240,
+        16 + h[1] % 240,
+        1 + h[2] % 4,
+        1 + h[3] % 4,
+        1 + h[4],
+    )
+
+
+CHECKED_SCHEMA = (
+    "id long, n_bytes long, sha256 string, width int, height int, n_channels int"
+)
+
+
+def decode_features_checked(media: DataFrame) -> DataFrame:
+    """Oracle-checkable variant of ``decode_features``: same Arrow-batched
+    mapInPandas shape, sha256-derived pseudo-dims (see
+    ``fake_decode_sha256``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = [fake_decode_sha256(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "sha256": [d[0] for d in dec],
+                    "width": [d[1] for d in dec],
+                    "height": [d[2] for d in dec],
+                    "n_channels": [d[3] for d in dec],
+                }
+            )
+
+    return media.mapInPandas(run, schema=CHECKED_SCHEMA)
+
+
+FRAMES_SCHEMA = "id long, n_frames int, duration_s int, frame_idx int, t_ms long"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Deterministic frame sampling for video-like blobs: pseudo
+    frame-count and duration from the content hash, frames evenly spaced
+    (integer milliseconds, exact arithmetic). One input row fans out to
+    n_frames output rows INSIDE the Arrow batch — the decode-side
+    explode pattern (a real decoder yields frame tensors here; only the
+    per-frame features leave the stage, the blob never shuffles)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, durs, idxs, ts = [], [], [], [], []
+            for i, c in zip(pdf["id"], pdf["content"]):
+                _, _, _, _, n_frames, dur = fake_decode_sha256(c)
+                for k in range(n_frames):
+                    ids.append(i)
+                    nfs.append(n_frames)
+                    durs.append(dur)
+                    idxs.append(k)
+                    ts.append((k * dur * 1000) // n_frames)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_frames": nfs,
+                    "duration_s": durs,
+                    "frame_idx": idxs,
+                    "t_ms": ts,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -338,3 +338,73 @@ def x_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hexbyte(i: int) -> str:
+    """DuckDB SQL for the i-th (1-based) byte of hex string column h."""
+    return (
+        f"((instr('{_HEX}', substring(h, {2 * i - 1}, 1))-1)*16 "
+        f"+ instr('{_HEX}', substring(h, {2 * i}, 1))-1)"
+    )
+
+
+@register(
+    "x_multimodal_decode_checked",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS id, sha256(text) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT id, CAST(n_bytes AS BIGINT) AS n_bytes, h AS sha256,
+           CAST(16 + {_hexbyte(1)} % 240 AS INT) AS width,
+           CAST(16 + {_hexbyte(2)} % 240 AS INT) AS height,
+           CAST(1 + {_hexbyte(3)} % 4 AS INT) AS n_channels
+    FROM m
+    """,
+    doc="Hash-checked multimodal decode: the SAME Arrow-batched "
+    "mapInPandas plumbing as x_multimodal_decode (binary content column "
+    "in, per-blob features out, blobs never shuffle) with the "
+    "deterministic fake decoder switched to sha256-derived pseudo-dims "
+    "so a pure-SQL oracle can replay it byte-for-byte — the decode "
+    "path's Python/Arrow batching is differential-tested end-to-end, "
+    "not just rows-counted. Real decoders swap in via "
+    "ext/multimodal.best_decoder (env-limited here).",
+)
+def x_multimodal_decode_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.multimodal import attach_binary, decode_features_checked
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features_checked(attach_binary(docs, "text", modality="image"))
+
+
+@register(
+    "x_multimodal_framesample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS id, sha256(text) AS h FROM documents
+    ), d AS (
+      SELECT id, CAST(1 + {_hexbyte(4)} % 4 AS INT) AS n_frames,
+             CAST(1 + {_hexbyte(5)} AS INT) AS duration_s
+      FROM m
+    )
+    SELECT id, n_frames, duration_s,
+           CAST(t.k AS INT) AS frame_idx,
+           CAST((t.k * duration_s * 1000) // n_frames AS BIGINT) AS t_ms
+    FROM d, unnest(generate_series(0, n_frames - 1)) AS t(k)
+    """,
+    doc="Deterministic frame sampling over video-like blobs: pseudo "
+    "frame-count/duration from the content hash, frames evenly spaced "
+    "at exact integer milliseconds. One input row fans out to n_frames "
+    "rows INSIDE the Arrow batch — the decode-side explode pattern "
+    "(real decoders emit frame tensors here); only per-frame features "
+    "leave the scan stage. Exact int arithmetic both engines.",
+)
+def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.multimodal import attach_binary, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs, "text", modality="video"))
