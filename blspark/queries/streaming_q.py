@@ -65,3 +65,51 @@ def s_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(agg, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "s_stream_quality_ingest",
+    oracle=None,
+    doc="Streaming continuous-ingest preprocessor: file-arrival stream "
+    "over documents -> Gopher-style quality gate + stratified md5 "
+    "sampling + deterministic shard assignment, all stateless map-side "
+    "expressions (append mode, no state store at any corpus size) — the "
+    "filter/route stage every training-data ingest runs before "
+    "dedup/write. Rows-only driver check; batch equivalence in "
+    "tests/test_stream.py.",
+)
+def s_stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="documents.parquet"
+    )
+    out = _quality_ingest_transform(stream)
+    name = run_available_now(out, output_mode="append")
+    return spark.table(name)
+
+
+def _quality_ingest_transform(docs: DataFrame) -> DataFrame:
+    """Stateless ingest preprocessing, shared verbatim by the streaming
+    query and its batch twin (the equivalence test runs this exact
+    function over a static frame)."""
+    from blspark.queries.extensions import SPLIT_BUCKET_SQL
+    from blspark.queries.extensions2 import SHARD_BUCKET_SQL
+
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mwl = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    passes = n_words.between(20, 100000) & mwl.between(2.0, 10.0) & (n_stop > 0)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h")
+    base = docs.select("doc_id", "lang", "text").withColumn("h", h)
+    bucket = F.expr(SPLIT_BUCKET_SQL)
+    rate = F.when(F.col("lang") == "en", F.lit(30)).otherwise(F.lit(100))
+    return (
+        base.filter(passes & (bucket < rate))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(SHARD_BUCKET_SQL).cast("int").alias("shard"),
+            n_words.cast("bigint").alias("n_words"),
+        )
+    )

@@ -198,10 +198,11 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q11 shape: parts whose NATION_0-supplied value exceeds "
     "0.1% of that nation's total — grouped aggregate reused for both the "
     "per-part values and the global threshold (the scalar subquery is a "
-    "1-row broadcast, the HAVING a post-agg filter). The grouped frame "
-    "is computed once and cached for its two consumers; the re-sum over "
-    "already-exact doubles goes through decimals again so both engines "
-    "agree bitwise.",
+    "1-row broadcast, the HAVING a post-agg filter). The grouped "
+    "frame's shuffle is computed once — verified at runtime: the "
+    "threshold branch shows ReusedExchange over the per-part aggregate "
+    "exchange. The re-sum over already-exact doubles goes through "
+    "decimals again so both engines agree bitwise.",
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -213,3 +213,20 @@ def test_stream_dedup_exact_equals_batch(spark):
     a = sorted(map(tuple, got.select("digest", "keep_id", "n_copies").collect()))
     b = sorted(map(tuple, want.select("digest", "keep_id", "n_copies").collect()))
     assert a == b
+
+
+def test_stream_quality_ingest_equals_batch(spark):
+    """The streaming ingest preprocessor's drained result matches the
+    same stateless transform over the static documents frame."""
+    from blspark.catalog import registry
+    from blspark.queries.streaming_q import _quality_ingest_transform
+    from tests.conftest import SF_SMOKE
+
+    got = registry()["s_stream_quality_ingest"].spark_fn(spark, SF_SMOKE)
+    want = _quality_ingest_transform(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    cols = ["doc_id", "lang", "shard", "n_words"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert len(a) > 0 and a == b
