@@ -98,7 +98,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_map_from_json",
     "x_kmeans_clusters",
     "x_multimodal_metadata",
-    "x_multimodal_decode",
+    # hash-checked decode twin takes the driver slot (same mapInPandas
+    # plumbing, sha256 pseudo-dims so the oracle can replay it); the
+    # sha1 rows-only variant stays registered after the priority block
+    "x_multimodal_decode_checked",
     "x_approx_sketches",
     "x_dedup_components",
     "x_sample_split",
@@ -209,19 +212,34 @@ def dstd(col: str | Column) -> Column:
 
 
 # The same expressions, for oracle SQL strings.
+#
+# decimal->double goes through VARCHAR: Java (Spark's Decimal.toDouble ->
+# BigDecimal.doubleValue) is correctly rounded for any magnitude (string
+# fallback), while DuckDB's direct DECIMAL->DOUBLE cast divides an
+# int128-converted double by 10^scale — two roundings, off by one ulp
+# once the scaled integer exceeds 2^53 (observed on Σxy at sf0.1). The
+# string round-trip is strtod -> correctly rounded, matching Java
+# bit-for-bit at every magnitude; for small values both routes agree, so
+# this is uniformly safe.
+def o_d2d(expr: str) -> str:
+    """Correctly-rounded DECIMAL->DOUBLE (STRING parses in BOTH engines:
+    some shared-SQL queries run this text through spark.sql too)."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 def o_dsum(x: str) -> str:
-    return f"CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE)"
+    return o_d2d(f"SUM(CAST({x} AS DECIMAL(28,4)))")
 
 
 def o_davg(x: str) -> str:
-    return f"CAST(CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({x}) AS DOUBLE)"
+    return f"CAST({o_dsum(x)} / COUNT({x}) AS DOUBLE)"
 
 
 def o_dstd(x: str) -> str:
     # DECIMAL(19,4) forces DuckDB onto its INT128 multiply path (the
     # (18,4) width overflows INT64); the product is exact at scale 8
     # either way, matching Spark's decimal(18,4) operands.
-    sx = f"CAST(SUM(CAST({x} AS DECIMAL(28,4))) AS DOUBLE)"
-    sx2 = f"CAST(SUM(CAST({x} AS DECIMAL(19,4)) * CAST({x} AS DECIMAL(19,4))) AS DOUBLE)"
+    sx = o_dsum(x)
+    sx2 = o_d2d(f"SUM(CAST({x} AS DECIMAL(19,4)) * CAST({x} AS DECIMAL(19,4)))")
     n = f"CAST(COUNT({x}) AS DOUBLE)"
     return f"SQRT(({sx2} - {sx} * {sx} / {n}) / ({n} - 1.0))"

@@ -93,13 +93,17 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     metadata — never a job); otherwise one cheap round-robin shuffle of
     the (small) input buys full-width execution of everything
     downstream. Results are unaffected: every consumer in this repo is
-    partition-order independent by construction."""
+    partition-order independent by construction. Apply directly to the
+    scan frame: the gate reads scan-level file metadata, so a frame that
+    already went through a shuffle would be re-shuffled."""
     import os
 
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
+        if not files:  # non-file source (range, shuffle output): leave as-is
+            return df
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
         total = 0
         for f in files:
@@ -107,7 +111,7 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             total += os.path.getsize(p) if os.path.exists(p) else max_split
         est_splits = max(len(files), (total + max_split - 1) // max_split)
     except Exception:
-        est_splits = target  # unknown source: assume wide enough, no-op
+        return df  # unknown source: assume wide enough, no-op
     if est_splits < target:
         return df.repartition(target)
     return df

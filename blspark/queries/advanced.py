@@ -522,4 +522,4 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v_lineitem_gs
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                               (l_returnflag), (l_linestatus))
-    """.format("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)"))
+    """.format("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE)"))

@@ -184,7 +184,7 @@ SQL_BEST_YEAR = """
 WITH yearly AS (
   SELECT l_suppkey AS series_key,
          CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS total_value
   FROM lineitem
   WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
     AND l_extendedprice IS NOT NULL

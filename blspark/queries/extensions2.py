@@ -408,3 +408,39 @@ def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary(docs, "text", modality="video"))
+
+
+from blspark.queries.extensions import COMPONENTS_ORACLE
+
+APPLY_NEARDUP_ORACLE = (
+    "WITH comp AS (" + COMPONENTS_ORACLE + ") "
+    "SELECT component AS doc_id, COUNT(*) AS n_merged "
+    "FROM comp GROUP BY component ORDER BY doc_id"
+)
+
+
+@register(
+    "x_dedup_apply_neardup",
+    oracle=APPLY_NEARDUP_ORACLE,
+    doc="Near-dup dedup APPLIED: collapse each duplicate cluster "
+    "(connected components over exact-Jaccard >= 0.6 pairs) to its "
+    "min-id representative and report how many documents it absorbed — "
+    "the surviving-corpus step that follows candidate generation and "
+    "cluster resolution in a real dedup pass. One extra "
+    "|docs|-keyed aggregate over the component labels; the survivors "
+    "list is exactly the rows where component == doc_id.",
+)
+def x_dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components, jaccard_pairs, word_shingles
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir, wide=True)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
+    nodes = corpus.select("doc_id")
+    comp = connected_components(pairs, nodes, id_col="doc_id")
+    return (
+        comp.groupBy(F.col("component").alias("doc_id"))
+        .agg(F.count("*").alias("n_merged"))
+        .orderBy("doc_id")
+    )

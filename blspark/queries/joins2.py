@@ -65,10 +65,14 @@ _REG_X_US = "CAST(epoch_us(ts) - 1704067200000000 AS BIGINT)"  # µs since 2024-
 
 
 def _reg_oracle() -> str:
-    sx = "CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE)"
-    sy = "CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)"
-    sxx = "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)"
-    sxy = "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE)"
+    from blspark.catalog import o_d2d
+
+    # string round-trip: these scaled sums exceed 2^53 at sf>=0.1, where
+    # DuckDB's direct decimal->double cast is off by one ulp vs Java
+    sx = o_d2d("SUM(CAST(x AS DECIMAL(28,0)))")
+    sy = o_d2d("SUM(CAST(y AS DECIMAL(28,6)))")
+    sxx = o_d2d("SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))")
+    sxy = o_d2d("SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,6)))")
     n = "CAST(COUNT(*) AS DOUBLE)"
     slope_us = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
     return f"""

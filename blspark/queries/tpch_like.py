@@ -239,14 +239,14 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ), clean AS (
       SELECT trim(series_id) AS series_id, year, trim(period) AS period,
-             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS value
       FROM bls
       WHERE series_id IS NOT NULL AND year IS NOT NULL
         AND period IS NOT NULL AND value IS NOT NULL
       GROUP BY trim(series_id), year, trim(period)
     ), yearly AS (
       SELECT series_id, year,
-             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS value
       FROM clean GROUP BY series_id, year
     )
     SELECT series_id, year, value FROM (

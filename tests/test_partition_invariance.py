@@ -1,0 +1,44 @@
+"""Partition-count invariance: the numeric policy (decimal-exact sums,
+raw integer-ratio divisions — see blspark/catalog.py) promises BITWISE
+identical results at any parallelism. A 1000-executor cluster associates
+partial aggregates in a different order than local[8]; these tests prove
+the promise by running the same aggregate-heavy queries under different
+shuffle-partition counts and comparing exact (repr-level) equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from blspark.catalog import registry
+from tests.conftest import SF_ORACLE
+
+# aggregate-heavy queries where float association order would show first
+QUERIES = [
+    "q1_population_stats",
+    "q2_best_year",
+    "q_regression_stats",
+    "q_regional_revenue",
+    "q_market_share",
+    "x_corpus_mix",
+    "x_udaf_weighted_stats",
+]
+
+
+def _run_exact(spark, name, n_parts):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        df = registry()[name].spark_fn(spark, SF_ORACLE)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(repr(row[c]) for c in cols) for row in df.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_bitwise_equal_across_partition_counts(spark, name):
+    a = _run_exact(spark, name, 3)
+    b = _run_exact(spark, name, 67)
+    assert a == b

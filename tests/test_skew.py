@@ -105,3 +105,21 @@ def test_quantize_roundtrip_error_bound(spark):
     )
     worst = joined.agg(F.max("excess")).first()[0]
     assert worst <= 1e-12
+
+
+def test_fan_out_widens_small_scan_and_preserves_results(spark):
+    """fan_out raises partition count for an under-split local scan and
+    never changes row content; an already-wide frame passes through
+    untouched (no extra shuffle node)."""
+    from blspark.ops import fan_out
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wide = fan_out(docs)
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    a = sorted(map(tuple, docs.select("doc_id", "text").collect()))
+    b = sorted(map(tuple, wide.select("doc_id", "text").collect()))
+    assert a == b
+
+    rng = spark.range(0, 1000)  # non-file source: gate passes through
+    assert fan_out(rng) is rng
