@@ -58,7 +58,11 @@ def shingle_sets(
     # slices stream sequentially (no per-element positional lookups),
     # measured ~25% faster at sf0.1.
     toks = F.col("_toks")
-    n_shingles = F.size(toks) - (n - 1)
+    # clamped at 0: the >= n filter below drops short docs, but Catalyst
+    # may evaluate this projection before the filter (e.g. the
+    # ConvertToLocalRelation rule folds projects over local relations
+    # eagerly), and slice() throws on negative length
+    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     shingle = F.slice(toks, 1, n_shingles)
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, n_shingles)

@@ -231,7 +231,9 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.col("_toks")
     n = 3
-    n_sh = F.size(toks) - (n - 1)
+    # clamped at 0 like ext.dedup.shingle_sets: slice() throws on a
+    # negative length if this projection ever evaluates pre-filter
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     shingle = F.slice(toks, 1, n_sh)
     for j in range(1, n):
         shingle = F.zip_with(
@@ -444,3 +446,78 @@ def x_dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_merged"))
         .orderBy("doc_id")
     )
+
+
+PAGERANK_ORACLE = """
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_cnt AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT id AS src, (id * id + 7) % (SELECT n FROM n_cnt) AS dst FROM nodes
+  UNION ALL
+  SELECT id, (id * id * 3 + 1) % (SELECT n FROM n_cnt) FROM nodes
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.dst, SUM(r.r // g.d) AS contrib
+       FROM edges e JOIN r0 r ON r.id = e.src JOIN deg g ON g.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
+c2 AS (SELECT e.dst, SUM(r.r // g.d) AS contrib
+       FROM edges e JOIN r1 r ON r.id = e.src JOIN deg g ON g.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 c ON c.dst = n.id)
+SELECT id, r AS rank_ppm FROM r2
+"""
+
+
+@register(
+    "x_pagerank_iters",
+    oracle=PAGERANK_ORACLE,
+    doc="Iterative PageRank (2 fixed power iterations, damping 0.85) "
+    "over a deterministic synthetic link graph, in EXACT integer "
+    "arithmetic: ranks are parts-per-million bigints, contributions "
+    "rank div degree, damping (85*x) div 100 — floor division both "
+    "engines, so results hash-match with no float drift. The third "
+    "iterative-algorithm family next to k-means and connected "
+    "components, and the only one with a full SQL oracle (fixed "
+    "iteration count unrolls to chained CTEs). Per iteration: one "
+    "src-keyed join + one dst-keyed aggregate — the rank frame is "
+    "(id, bigint) only, edges never change, so at 100 TB the loop "
+    "re-shuffles 16 bytes/node/round while the edge partitioning is "
+    "reused across rounds.",
+)
+def x_pagerank_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n_cnt = nodes.agg(F.count("*").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_cnt))
+    edges = (
+        base.select("id", ((F.col("id") * F.col("id") + 7) % F.col("n")).alias("dst"))
+        .unionByName(
+            base.select(
+                "id", ((F.col("id") * F.col("id") * 3 + 1) % F.col("n")).alias("dst")
+            )
+        )
+        .select(F.col("id").alias("src"), "dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
+            "id",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(contrib, 0L) div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select("id", F.col("r").alias("rank_ppm"))

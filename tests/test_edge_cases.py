@@ -1,0 +1,88 @@
+"""Degenerate-input behavior: the dedup/similarity/text operator
+library must return empty (not crash) on empty corpora, handle
+single-document inputs, and tolerate documents shorter than the shingle
+width — the boundary conditions a 100 TB run WILL hit in some partition
+or some tenant's slice."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_empty_corpus_all_dedup_ops(spark):
+    from blspark.ext.dedup import (
+        exact_dedup_keys,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash16,
+        word_shingles,
+    )
+
+    empty = _docs(spark, [])
+    assert exact_dedup_keys(empty, "doc_id", "text").count() == 0
+    sh = word_shingles(empty, "doc_id", "text", n=3)
+    assert sh.count() == 0
+    assert jaccard_pairs(sh).count() == 0
+    sig = minhash_signatures(sh, n_hashes=8)
+    assert sig.count() == 0
+    assert lsh_candidate_pairs(sig, n_hashes=8, bands=2).count() == 0
+    assert simhash16(empty, "doc_id", "text").count() == 0
+
+
+def test_single_and_short_documents(spark):
+    from blspark.ext.dedup import exact_dedup_keys, jaccard_pairs, word_shingles
+
+    docs = _docs(
+        spark,
+        [
+            (1, "only one document here for the test"),
+            (2, "tiny"),  # shorter than the 3-token shingle width
+            (3, "two words"),
+        ],
+    )
+    # short docs drop out of shingling but never crash it
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    assert sorted(r["id"] for r in sh.select("id").distinct().collect()) == [1]
+    # no pair exists -> empty, not an error
+    assert jaccard_pairs(sh).count() == 0
+    # exact dedup still sees all three
+    assert exact_dedup_keys(docs, "doc_id", "text").count() == 3
+
+
+def test_empty_corpus_similarity(spark):
+    from blspark.ext.similarity import cosine_topk
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    assert cosine_topk(empty, empty, id_col="vec_id", vec_col="embedding").count() == 0
+
+    one = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    out = cosine_topk(one, one.filter(F.col("vec_id") == 1), k=5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == 2
+
+
+def test_empty_corpus_text_ops(spark):
+    from blspark.ext.text import fingerprint, lang_id, quality_score, token_stats
+
+    empty = _docs(spark, [])
+    for fn in (token_stats, quality_score, lang_id, fingerprint):
+        assert fn(empty, "doc_id", "text").count() == 0
