@@ -521,3 +521,130 @@ def x_pagerank_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("r"),
         )
     return ranks.select("id", F.col("r").alias("rank_ppm"))
+
+
+# quality expression shared by the weighted-sampling / budget-selection
+# ops — identical to ext.text.quality_score's composite
+_Q_SQL = (
+    "(LEAST(len(string_split(text, ' ')) / 100.0, 1.0)"
+    " + len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))"
+    " / 2.0"
+)
+
+
+@register(
+    "x_sample_quality_weighted",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             {_Q_SQL} AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality
+    FROM s
+    WHERE CAST({SHINGLE_V_SQL} AS DOUBLE) / 16777216.0 < quality
+    ORDER BY doc_id
+    """,
+    doc="Quality-weighted deterministic sampling: each document is kept "
+    "with probability equal to its composite quality score — the "
+    "continuous generalization of stratified sampling that upweights "
+    "clean text in a pretraining mix. The coin is md5(doc_id)'s 24-bit "
+    "value scaled to [0,1): reproducible across runs/engines/"
+    "partitionings, zero shuffle, pure map-side filter at any corpus "
+    "size. Quality is the same deterministic double as x_text_quality.",
+)
+def x_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "quality"
+    )
+    h = q.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    coin = F.expr(SHINGLE_V_SQL).cast("double") / F.lit(16777216.0)
+    return (
+        h.filter(coin < F.col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_select_token_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(FLOOR({_Q_SQL} * 1000) AS INT) AS bin
+      FROM documents
+    ),
+    binsum AS (SELECT bin, SUM(n_tokens) AS btok FROM s GROUP BY bin),
+    cumbin AS (
+      SELECT bin, SUM(btok) OVER (ORDER BY bin DESC) - btok AS prior
+      FROM binsum
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.n_tokens, s.bin, c.prior,
+             SUM(s.n_tokens) OVER (PARTITION BY s.bin ORDER BY s.doc_id)
+               - s.n_tokens AS within
+      FROM s JOIN cumbin c ON c.bin = s.bin
+    )
+    SELECT doc_id, n_tokens, bin
+    FROM ranked
+    WHERE prior + within < 15000
+    ORDER BY bin DESC, doc_id
+    """,
+    doc="Data selection under a token budget: take the highest-quality "
+    "documents until ~15k tokens are selected (greedy by quality bin, "
+    "deterministic doc_id order inside the boundary bin). No global "
+    "sort: quality discretizes to 1000 bins, the bin-level cumulative "
+    "runs over a 1000-row histogram, and the only per-document window "
+    "partitions BY BIN (keyed, parallel) — the same "
+    "histogram-order-statistic trick as x_quality_filter_quantile "
+    "extended to budgeted cumulative selection. A doc enters iff the "
+    "tokens selected before it (all better bins + earlier docs in its "
+    "bin) are under budget, so the output overshoots by at most one "
+    "document per the greedy definition.",
+)
+def x_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    s = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.floor(
+            (
+                F.least(F.size(F.split("text", " ")) / F.lit(100.0), F.lit(1.0))
+                + F.size(F.array_distinct(F.split("text", " ")))
+                / F.size(F.split("text", " "))
+            )
+            / F.lit(2.0)
+            * 1000
+        ).cast("int").alias("bin"),
+    )
+    binsum = s.groupBy("bin").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cumbin = binsum.select(
+        "bin", (F.sum("btok").over(wb) - F.col("btok")).alias("prior")
+    )
+    wd = Window.partitionBy(F.col("s.bin")).orderBy("doc_id")
+    ranked = (
+        s.alias("s")
+        .join(F.broadcast(cumbin).alias("c"), F.col("s.bin") == F.col("c.bin"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("s.bin").alias("bin"),
+            "prior",
+            (F.sum("n_tokens").over(wd) - F.col("n_tokens")).alias("within"),
+        )
+    )
+    return (
+        ranked.filter(F.col("prior") + F.col("within") < 15000)
+        .select("doc_id", "n_tokens", "bin")
+        .orderBy(F.desc("bin"), F.asc("doc_id"))
+    )
