@@ -648,3 +648,88 @@ def x_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "bin")
         .orderBy(F.desc("bin"), F.asc("doc_id"))
     )
+
+
+_DOTQ = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_NORMQ = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _ivf_assign_sql(src: str, id_out: str, probes: int, id_filter: str = "") -> str:
+    cs = _DOTQ.format(a=f"{src}.vec", b="c.cvec")
+    nn = f"({_NORMQ.format(a=f'{src}.vec')} * {_NORMQ.format(a='c.cvec')})"
+    return f"""
+  SELECT {id_out}, vec, cell_id FROM (
+    SELECT {src}.vec_id AS {id_out}, {src}.vec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+             ORDER BY {cs} / {nn} DESC, c.cell_id ASC) AS r
+    FROM vecs {src}, cents c {id_filter}) t
+  WHERE r <= {probes}
+"""
+
+
+IVF_CHECKED_ORACLE = f"""
+WITH cm AS (
+  SELECT label, t.i AS pos, ROUND(AVG(embedding[t.i + 1]::DOUBLE), 6) AS m
+  FROM embeddings, range(0, 64) t(i)
+  GROUP BY label, t.i
+),
+cents AS (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY label
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cassign AS ({_ivf_assign_sql('v', 'neighbor_id', 1)}),
+qassign AS ({_ivf_assign_sql('q', 'query_id', 2,
+                             'WHERE q.vec_id >= 5 AND q.vec_id < 10')}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DOTQ.format(a='c.vec', b='q.vec')}
+           / ({_NORMQ.format(a='c.vec')} * {_NORMQ.format(a='q.vec')}) AS cos_raw
+  FROM cassign c JOIN qassign q
+    ON c.cell_id = q.cell_id AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@register(
+    "x_similarity_ivf_checked",
+    oracle=IVF_CHECKED_ORACLE,
+    doc="IVF ANN with a full SQL oracle: cells are the label groups' "
+    "elementwise-mean centroids (rounded to 6 decimals so the "
+    "distributed average is cross-engine deterministic — same device "
+    "as x_embed_label_centroids), corpus assigned to its nearest cell, "
+    "queries probe their 2 nearest cells, exact cosine top-3 inside "
+    "probed cells. Identical plan shape to x_similarity_ivf (broadcast "
+    "centroids, cell-bucketed equi-join — never a cross product) but "
+    "with deterministic cells instead of k-means-learned ones, which "
+    "upgrades the IVF family from rows-only+recall-tests to a hard "
+    "hash-checked driver row.",
+)
+def x_similarity_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_pos = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+    )
+    cents = (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = ivf_topk(
+        emb, queries, cents, id_col="vec_id", vec_col="embedding", k=3, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
