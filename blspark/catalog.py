@@ -83,8 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     # they exist: x_similarity_ivf_checked exercises the same ivf_topk
     # path as x_similarity_ivf but with deterministic centroids and a
     # full SQL oracle; x_multimodal_decode_checked is the sha256
-    # pseudo-dim replayable variant of x_multimodal_decode. The
-    # rows-only originals stay registered after the priority block.
+    # pseudo-dim replayable variant of x_multimodal_decode;
+    # x_kmeans_checked unrolls two decimal-exact Lloyd iterations of
+    # x_kmeans_clusters; x_sketch_accuracy_checked turns the
+    # x_approx_sketches accuracy contract into oracle-checkable values.
+    # The rows-only originals stay registered after the priority block.
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
@@ -100,9 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_fingerprint",
     "x_text_ngram_freq",
     "x_text_chunk_windows",
-    "x_kmeans_clusters",
+    "x_kmeans_checked",
     "x_multimodal_decode_checked",
-    "x_approx_sketches",
+    "x_sketch_accuracy_checked",
     # -- slots 19-38: training-data pipeline operators (dedup graph,
     # corpus curation, sampling, packing, sharding, quantization)
     "x_dedup_components",
@@ -168,6 +171,8 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_quality_ingest",
     "x_similarity_ivf",
     "x_multimodal_decode",
+    "x_kmeans_clusters",
+    "x_approx_sketches",
     "x_dedup_apply",
 )
 

@@ -733,3 +733,122 @@ def x_similarity_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, id_col="vec_id", vec_col="embedding", k=3, nprobe=2
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_D2 = ("list_sum(list_transform(list_zip({a}, {b}), "
+       "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+
+def _km_assign_sql(cents: str) -> str:
+    d2 = _D2.format(a="v.vec", b="c.cvec")
+    return f"""
+  SELECT vec_id, vec, cell_id FROM (
+    SELECT v.vec_id, v.vec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2} ASC, c.cell_id ASC) AS r
+    FROM vecs v, {cents} c) t
+  WHERE r = 1
+"""
+
+
+def _km_means_sql(assigned: str) -> str:
+    from blspark.catalog import o_davg
+
+    return f"""
+  SELECT cell_id, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cell_id, t.i AS pos, {o_davg("a.vec[t.i + 1]")} AS m
+    FROM {assigned} a, range(0, 64) t(i)
+    GROUP BY a.cell_id, t.i) s
+  GROUP BY cell_id
+"""
+
+
+KMEANS_CHECKED_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+init AS (SELECT CAST(vec_id AS INT) AS cell_id, vec AS cvec
+         FROM vecs WHERE vec_id < 4),
+a0 AS ({_km_assign_sql("init")}),
+c1 AS ({_km_means_sql("a0")}),
+a1 AS ({_km_assign_sql("c1")}),
+c2 AS ({_km_means_sql("a1")}),
+a2 AS ({_km_assign_sql("c2")})
+SELECT vec_id, cell_id AS cluster FROM a2
+"""
+
+
+def _km_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its squared-euclidean-nearest centroid
+    (tie-break lowest cell_id). Broadcast centroids + map-side distance +
+    min(struct) hash-agg argmin — vectors never shuffle on a join key, so
+    the step is a single scan at any corpus size. Distances are
+    deterministic cross-engine: float->double is exact, each
+    subtract/multiply rounds identically, and the left-to-right aggregate
+    fold matches DuckDB's list_sum order."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vec", "cell_id", d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell_id")).alias("s"),
+            # every row in the group carries the identical vec (it is
+            # functionally dependent on vec_id), so first() is
+            # deterministic in value
+            F.first("vec").alias("vec"),
+        )
+        .select("vec_id", "vec", F.col("s.cell_id").alias("cell_id"))
+    )
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """Per-cell elementwise mean via the decimal-exact davg device —
+    order-independent across any partitioning, so the recomputed
+    centroids are bit-equal to the oracle's. Shuffle is keyed by
+    (cell_id, pos): k*dim groups with map-side partial aggregation."""
+    from blspark.catalog import davg
+
+    per_pos = (
+        assigned.select("cell_id", F.posexplode("vec"))
+        .groupBy("cell_id", "pos")
+        .agg(davg("col").alias("m"))
+    )
+    return per_pos.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cvec")
+    )
+
+
+@register(
+    "x_kmeans_checked",
+    oracle=KMEANS_CHECKED_ORACLE,
+    doc="K-means with a full SQL oracle: k=4 centroids seeded from the "
+    "vectors with vec_id < 4, exactly two unrolled Lloyd iterations "
+    "(assign -> decimal-exact mean -> assign -> mean -> assign), output "
+    "= final cluster per vector. Same per-step plan shape as the "
+    "learned-k-means x_kmeans_clusters (broadcast centroids, map-side "
+    "distances, (cell,pos)-keyed mean shuffle) but with deterministic "
+    "init and order-independent decimal centroid updates, which "
+    "upgrades the k-means family from rows-only+property-tests to a "
+    "hard hash-checked driver row.",
+)
+def x_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    init = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell_id"), F.col("vec").alias("cvec")
+    )
+    a0 = _km_nearest(vecs, init)
+    c1 = _km_means(a0)
+    a1 = _km_nearest(vecs, c1)
+    c2 = _km_means(a1)
+    a2 = _km_nearest(vecs, c2)
+    return a2.select("vec_id", F.col("cell_id").alias("cluster"))

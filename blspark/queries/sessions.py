@@ -153,3 +153,51 @@ def s_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@register(
+    "x_sketch_accuracy_checked",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+             AS exact_parts,
+           (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+             AS exact_orders,
+           TRUE AS parts_ok, TRUE AS orders_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    """,
+    doc="Sketch-accuracy contract, hash-checked: exact distinct counts "
+    "as values plus Spark-computed booleans asserting the HLL++ "
+    "estimates land within 10% of exact and percentile_approx(1e4) "
+    "within 5% of the exact interpolated percentile. The oracle "
+    "recomputes the exact counts and expects every contract boolean "
+    "TRUE — a hard driver row for the sketch family (sketch internals "
+    "differ across engines, so the raw estimates themselves stay in "
+    "the rows-only x_approx_sketches). HLL bounds: rsd=0.05 default, "
+    "observed error ~2%; approx-percentile rank error <= N/accuracy.",
+)
+def x_sketch_accuracy_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    within = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(approx - exact) <= tol * F.abs(exact)
+    )
+    counts = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+    )
+    pct = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+    )
+    return counts.crossJoin(pct).select(
+        "exact_parts",
+        "exact_orders",
+        within(F.col("ap"), F.col("exact_parts"), 0.10).alias("parts_ok"),
+        within(F.col("ao"), F.col("exact_orders"), 0.10).alias("orders_ok"),
+        within(F.col("a50"), F.col("e50"), 0.05).alias("p50_ok"),
+        within(F.col("a95"), F.col("e95"), 0.05).alias("p95_ok"),
+    )
