@@ -113,3 +113,60 @@ def _quality_ingest_transform(docs: DataFrame) -> DataFrame:
             n_words.cast("bigint").alias("n_words"),
         )
     )
+
+
+@register(
+    "s_stream_interval_join",
+    oracle=None,
+    doc="Watermarked stream-stream interval join: clicks joined to "
+    "purchases within 1 hour per user, BOTH sides streaming — the "
+    "streaming twin of q_events_interval_join. The 2-hour watermarks "
+    "bound join state (Spark drops buffered rows once the other side's "
+    "watermark passes the interval), so state is O(events in window), "
+    "not O(stream). Rows-only driver check; exact batch equivalence in "
+    "tests/test_stream.py::test_stream_stream_interval_join.",
+)
+def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = file_arrival_stream(
+        spark, sf_dir, schema=raw_schema, glob="events.parquet"
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts")))
+        .cast("bigint")
+        .alias("delay_us"),
+    )
+    name = run_available_now(joined, output_mode="append")
+    return spark.table(name)

@@ -230,3 +230,18 @@ def test_stream_quality_ingest_equals_batch(spark):
     a = sorted(map(tuple, got.select(*cols).collect()))
     b = sorted(map(tuple, want.select(*cols).collect()))
     assert len(a) > 0 and a == b
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """The watermarked stream-stream interval join drains to exactly the
+    batch interval join's result over the same events file."""
+    from blspark.catalog import registry
+    from tests.conftest import SF_SMOKE
+
+    reg = registry()
+    cols = ["user_id", "click_id", "purchase_id", "delay_us"]
+    got = reg["s_stream_interval_join"].spark_fn(spark, SF_SMOKE)
+    want = reg["q_events_interval_join"].spark_fn(spark, SF_SMOKE)
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert a == b and len(a) > 0
