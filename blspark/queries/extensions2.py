@@ -852,3 +852,45 @@ def x_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = _km_means(a1)
     a2 = _km_nearest(vecs, c2)
     return a2.select("vec_id", F.col("cell_id").alias("cluster"))
+
+
+# GPT-2-style pretokenizer pattern, restricted to syntax Java regex and
+# RE2 (DuckDB) interpret identically: ordered alternation, no lookarounds
+# (RE2 has none), explicit ASCII classes. Contractions, space-prefixed
+# word/number/punctuation runs, then residual whitespace runs.
+BPE_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+
+@register(
+    "x_text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+                AS DOUBLE)
+             / NULLIF(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+             AS bpe_per_word
+    FROM documents
+    """,
+    doc="Regex pretokenizer token counting (the BPE front half): "
+    "whitespace count vs a GPT-2-style ordered-alternation pattern "
+    "(contractions | space-prefixed letter/digit/punct runs | "
+    "whitespace), restricted to the Java-regex/RE2 common subset so "
+    "both engines extract identical matches. Pure map-side codegen — "
+    "zero shuffle at any corpus size; the ratio is the token-inflation "
+    "factor budget planners use.",
+)
+def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("bigint")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / F.nullif(n_ws, F.lit(0))).alias("bpe_per_word"),
+    )

@@ -21,6 +21,9 @@ QUERIES = [
     "q_market_share",
     "x_corpus_mix",
     "x_udaf_weighted_stats",
+    # the decimal-exact centroid means are the whole point of the
+    # checked k-means: assignment must not flip with association order
+    "x_kmeans_checked",
 ]
 
 
