@@ -207,3 +207,63 @@ def sample_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "id long, src_width int, src_height int, width int, height int, "
+    "n_channels int, n_bytes long, content binary"
+)
+
+
+def resize_stub(content: bytes, n: int) -> bytes:
+    """Deterministic stand-in for a real pixel resample: tile-or-truncate
+    the source bytes to exactly ``n``. A real implementation feeds the
+    decoded tensor to PIL.Image.resize / cv2.resize here; the stub keeps
+    the byte-exact contract (output length == w*h*c) testable without
+    media libraries."""
+    if not content:
+        return b"\x00" * n
+    if len(content) >= n:
+        return content[:n]
+    reps = -(-n // len(content))
+    return (content * reps)[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    decoder: Callable[[bytes, str], tuple[int, int, int]] = fake_decode,
+) -> DataFrame:
+    """Arrow-batched resize over (id, content, modality): each blob is
+    'decoded' (stub dims from the content digest), resampled to
+    width x height preserving channel count, and re-emitted as a binary
+    column of exactly width*height*channels bytes. Runs map-side via
+    mapInPandas — source and resized blobs stay in the scan stage and
+    never shuffle; cap Arrow batch bytes with
+    spark.sql.execution.arrow.maxRecordsPerBatch when blobs are large."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                decoder(c, m)
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            n_out = [width * height * d[2] for d in dims]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "src_width": [d[0] for d in dims],
+                    "src_height": [d[1] for d in dims],
+                    "width": width,
+                    "height": height,
+                    "n_channels": [d[2] for d in dims],
+                    "n_bytes": n_out,
+                    "content": [
+                        resize_stub(c, n)
+                        for c, n in zip(pdf["content"], n_out)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

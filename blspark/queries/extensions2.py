@@ -894,3 +894,62 @@ def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         (n_bpe.cast("double") / F.nullif(n_ws, F.lit(0))).alias("bpe_per_word"),
     )
+
+
+RESIZE_W, RESIZE_H = 32, 32
+
+RESIZE_CHECKED_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS id, sha256(text) AS h,
+         CAST(octet_length(text::BLOB) AS BIGINT) AS src_bytes
+  FROM documents
+)
+SELECT id, src_bytes,
+       CAST(1 + {_hexbyte(3)} % 4 AS INT) AS n_channels,
+       CAST({RESIZE_W} * {RESIZE_H} * (1 + {_hexbyte(3)} % 4) AS BIGINT)
+         AS n_bytes
+FROM m
+"""
+
+
+@register(
+    "x_multimodal_resize_checked",
+    oracle=RESIZE_CHECKED_ORACLE,
+    doc="Oracle-checkable half of the resize path: per-blob channel "
+    "count (sha256 pseudo-decode, same device as "
+    "x_multimodal_decode_checked) and the exact resized byte budget "
+    "width*height*channels. The resized bytes themselves ride in the "
+    "rows-only x_multimodal_resize (DuckDB has no BLOB "
+    "substring/digest, so byte content is not SQL-replayable); "
+    "tests/test_ext.py pins the tile-or-truncate byte contract.",
+)
+def x_multimodal_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.multimodal import attach_binary, fake_decode_sha256, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "text", modality="image")
+    resized = resize_images(
+        media,
+        RESIZE_W,
+        RESIZE_H,
+        decoder=lambda c, m: fake_decode_sha256(c)[1:4],
+    )
+    src = media.select("id", F.col("n_bytes").cast("bigint").alias("src_bytes"))
+    return resized.select("id", "n_channels", "n_bytes").join(src, "id")
+
+
+@register(
+    "x_multimodal_resize",
+    oracle=None,
+    doc="Arrow-batched resize over binary media columns via mapInPandas: "
+    "stub pixel resample (tile-or-truncate to width*height*channels "
+    "bytes — swap in PIL/cv2 where available) with real Spark plumbing; "
+    "blobs stay in the scan stage and never shuffle. Rows-only driver "
+    "check; byte contract + partitioning invariance in tests/test_ext.py.",
+)
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.multimodal import attach_binary, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "text", modality="image")
+    return resize_images(media, RESIZE_W, RESIZE_H)

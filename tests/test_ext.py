@@ -154,3 +154,31 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_resize_byte_contract_and_partition_invariance(spark):
+    """Resized blobs are exactly width*height*channels bytes, follow the
+    tile-or-truncate rule, and are identical under different input
+    partitionings (the mapInPandas batch boundaries must not leak into
+    results)."""
+    from blspark.ext.multimodal import fake_decode, resize_images, resize_stub
+
+    rows = [(1, "a" * 10), (2, "xyz"), (3, "long document " * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_binary(docs, "text", modality="image")
+    out = {r["id"]: r for r in resize_images(media, 4, 5).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in rows:
+        r = out[doc_id]
+        src = text.encode()
+        _, _, c = fake_decode(src, "image")
+        assert r["n_channels"] == c
+        assert r["n_bytes"] == 4 * 5 * c
+        assert len(r["content"]) == r["n_bytes"]
+        assert bytes(r["content"]) == resize_stub(src, 4 * 5 * c)
+
+    repart = {
+        r["id"]: bytes(r["content"])
+        for r in resize_images(media.repartition(7), 4, 5).collect()
+    }
+    assert repart == {i: bytes(out[i]["content"]) for i in out}
