@@ -43,8 +43,10 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
       SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
