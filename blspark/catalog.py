@@ -192,20 +192,33 @@ def registry() -> dict[str, Query]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table. `events.parquet` stores TIMESTAMP(NANOS)
-    which Spark's parquet reader rejects; read it as nanos-longs and
-    truncate to microsecond timestamps (`div 1000` floors, matching
-    DuckDB's nanos->micros truncation)."""
+    """Load one star-schema table. `events.parquet` stores TIMESTAMP(NANOS);
+    Spark's reader delivers it differently by version — pyspark <=4.1.1
+    rejects nanos unless `nanosAsLong` is set (then: bigint), pyspark
+    4.1.2+ reads it as TIMESTAMP_NTZ truncated to micros. Normalize both
+    paths to a UTC session-TZ TIMESTAMP with nanos *truncated* (floored)
+    to micros, matching DuckDB's `CAST(ts AS TIMESTAMP)` — verified
+    value-identical on sample rows for the 4.1.2 NTZ path."""
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to a UTC session-TZ TIMESTAMP with
+    nanos truncated (floored) to micros, whatever the reader delivered:
+    bigint nanos (<=4.1.1 `nanosAsLong`) or TIMESTAMP_NTZ (4.1.2+)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # session TZ is UTC, so NTZ wall-clock -> LTZ is value-identity
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

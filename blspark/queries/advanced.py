@@ -138,9 +138,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(28,4)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             / COUNT(*) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              AS moving_avg3
     FROM events
@@ -171,12 +173,12 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            FIRST_VALUE(event_type) OVER w AS first_type,
            LAST_VALUE(event_type) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS last_type,
            LEAD(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
     doc="first_value / last_value (full-frame) / lead over per-user "
     "timelines.",

@@ -26,11 +26,12 @@ from blspark.catalog import dsum, load_table, o_dsum, register
            ROW_NUMBER() OVER w AS rn,
            LAG(event_type) OVER w AS prev_type,
            CAST(SUM(CAST(value AS DECIMAL(28,4)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_value
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
     doc="row_number / lag / running sum over per-user event timelines "
     "(§2.5 extension surface). Partitions by user -> scales with users.",
@@ -107,13 +108,17 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_events_sessionize",
     oracle="""
-    WITH gaps AS (
+    WITH ev_us AS (
+      -- truncate to microseconds so a nanos-preserving DuckDB evaluates the
+      -- 30-min gap at the same precision Spark reads (nanos->micros)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM ev_us
     ), sessions AS (
       SELECT user_id,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -167,7 +167,7 @@ WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import shingle_sets
 
-    corpus = _corpus(spark, sf_dir, wide=True)
+    corpus = _corpus(spark, sf_dir)
     # the shingle-set frame feeds two consumers (signatures and both sides
     # of the verification join) — persist it once instead of recomputing
     # the scan+shingling per branch (no automatic common-subtree reuse)
@@ -215,7 +215,7 @@ WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import jaccard_pairs
 
-    sh = word_shingles(_corpus(spark, sf_dir, wide=True), "doc_id", "text", n=3)
+    sh = word_shingles(_corpus(spark, sf_dir), "doc_id", "text", n=3)
     return jaccard_pairs(sh, min_jaccard=0.6)
 
 
@@ -259,7 +259,7 @@ def _simhash_oracle() -> str:
     "one aggregation pass, no pairwise work.",
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash16(_corpus(spark, sf_dir, wide=True), "doc_id", "text")
+    return simhash16(_corpus(spark, sf_dir), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +300,7 @@ SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
     bench=True,
 )
 def x_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -511,7 +511,7 @@ WHERE {_DOT.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) >= 0.5
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.similarity import _dot, _norm, with_double_vec
 
-    emb = with_double_vec(fan_out(load_table(spark, sf_dir, "embeddings")), "embedding")
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
     v = emb.select("vec_id", "vec", _norm(F.col("vec")).alias("nrm"))
     a = v.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
@@ -742,7 +742,7 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import connected_components, jaccard_pairs
 
-    corpus = _corpus(spark, sf_dir, wide=True)
+    corpus = _corpus(spark, sf_dir)
     sh = word_shingles(corpus, "doc_id", "text", n=3)
     pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
     nodes = corpus.select("doc_id")

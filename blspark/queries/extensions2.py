@@ -132,9 +132,7 @@ def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import word_shingles
-    from blspark.ops import fan_out
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=8)
     probe = (
         sh.filter(F.col("id") % 50 == 0)
@@ -436,7 +434,7 @@ def x_dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import connected_components, jaccard_pairs, word_shingles
     from blspark.queries.extensions import _corpus
 
-    corpus = _corpus(spark, sf_dir, wide=True)
+    corpus = _corpus(spark, sf_dir)
     sh = word_shingles(corpus, "doc_id", "text", n=3)
     pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
     nodes = corpus.select("doc_id")

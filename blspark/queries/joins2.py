@@ -21,8 +21,10 @@ from blspark.catalog import load_table, register
     oracle="""
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
       ON p.user_id = c.user_id
      AND p.ts > c.ts
      AND p.ts <= c.ts + INTERVAL '1 hour'

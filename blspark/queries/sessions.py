@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blspark.catalog import load_table, register
+from blspark.catalog import load_table, normalize_event_ts, register
 
 
 @register(
@@ -108,8 +108,7 @@ def s_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     GAP_US = 30 * 60 * 1_000_000
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blspark.catalog import register
+from blspark.catalog import normalize_event_ts, register
 from blspark.stream import file_arrival_stream, run_available_now
 
 
@@ -31,8 +31,7 @@ def s_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_arrival_stream(
         spark, sf_dir, schema=raw_schema, glob="events.parquet"
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = stream.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count("*").alias("n_events"))
@@ -135,8 +134,7 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = file_arrival_stream(
         spark, sf_dir, schema=raw_schema, glob="events.parquet"
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_event_ts(src)
     clicks = (
         src.filter(F.col("event_type") == "click")
         .withWatermark("ts", "2 hours")
