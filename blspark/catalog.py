@@ -78,75 +78,34 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- slots 1-18: extension-operator core (the round-1 judge's
-    # capability table). Hash-checked twins take the driver slot where
-    # they exist: x_similarity_ivf_checked exercises the same ivf_topk
-    # path as x_similarity_ivf but with deterministic centroids and a
-    # full SQL oracle; x_multimodal_decode_checked is the sha256
-    # pseudo-dim replayable variant of x_multimodal_decode;
-    # x_kmeans_checked unrolls two decimal-exact Lloyd iterations of
-    # x_kmeans_clusters; x_sketch_accuracy_checked turns the
-    # x_approx_sketches accuracy contract into oracle-checkable values.
-    # The rows-only originals stay registered after the priority block.
-    "x_dedup_exact",
+    # -- slots 1-5: NEW round-3 operators (BM25 retrieval, PII scrub,
+    # per-source caps, VariantType access, Python UDTF) — need their
+    # first hard driver signal.
+    "x_bm25_topk",
+    "x_text_redact_pii",
+    "x_source_cap_topk",
+    "x_variant_json",
+    "x_udtf_bigrams",
+    # -- slots 6-10: oracles changed this round (nanosecond-timestamp
+    # truncation portability) — fresh green rows required.
+    "q_events_sessionize",
+    "q_events_interval_join",
+    "q_window_rank_lag",
+    "q_window_moving_avg",
+    "q_window_first_last",
+    # -- slots 11-18: physical plans changed this round (shuffle-merge
+    # pin / fan_out removal) — results must be re-proven.
+    "q_shipping_priority",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
     "x_dedup_simhash",
     "x_dedup_embedding_cosine",
-    "x_similarity_cosine_topk",
-    "x_similarity_ann_lsh",
-    "x_similarity_ivf_checked",
-    "x_embed_label_centroids",
-    "x_text_token_stats",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_text_ngram_freq",
-    "x_text_chunk_windows",
-    "x_kmeans_checked",
-    "x_multimodal_decode_checked",
-    "x_sketch_accuracy_checked",
-    # -- slots 19-38: training-data pipeline operators (dedup graph,
-    # corpus curation, sampling, packing, sharding, quantization)
     "x_dedup_components",
-    "x_dedup_apply_neardup",
-    "x_pack_sequences",
-    "x_text_normalize",
-    "x_text_repetition",
-    "x_quality_gopher_rules",
-    "x_quality_filter_quantile",
-    "x_corpus_mix",
-    "x_sample_split",
-    "x_sample_stratified",
-    "x_sample_quality_weighted",
-    "x_select_token_budget",
     "x_decontaminate",
-    "x_shard_assign",
-    "x_skew_salted_join",
-    "x_embed_quantize",
-    "x_udaf_weighted_stats",
-    "x_pagerank_iters",
-    "x_multimodal_metadata",
-    "x_multimodal_framesample",
-    # -- slots 39-43: TPC-H join shapes the r1 gate never reached
-    "q_shipping_priority",
-    "q_regional_revenue",
-    "q_returned_items",
-    "q_large_orders",
-    "q_nation_pairs_volume",
-    # -- slots 44-47: reference IO parity / sync / streaming twins
-    "q_bls_pipeline_parity",
-    "q_sync_classify",
-    "s_stream_events_hourly",
-    "s_stream_sessionize_stateful",
-    # -- slots 48-50: oracles fixed or plans rewritten since r1 —
-    # need fresh green rows to retire the judge's 'weak' marks
-    "q_conditional_agg",
-    "q_funnel_conversion",
-    "q_ntile_deciles",
-    # -- slot 51+: first to fall outside a 50-query driver budget,
-    # ordered so a larger budget still checks never-checked queries
-    # before re-checking round-1 greens.
+    "x_similarity_cosine_topk",
+    # -- slots 19-40: oracle-checked queries never inside any round's
+    # driver budget (r01 checked registration order, r02 the priority
+    # block; these fell outside both).
     "q_min_cost_supplier",
     "q_order_priority_check",
     "q_linestatus_priority_counts",
@@ -167,12 +126,62 @@ _PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "x_array_functions",
     "x_map_from_json",
+    "x_text_bpe_tokens",
+    "x_multimodal_resize_checked",
+    # -- slots 41-50: capability-table anchors (extension cores, BLS IO
+    # parity, streaming rows-only twins) re-checked each round.
+    "x_dedup_exact",
+    "x_similarity_ann_lsh",
+    "x_similarity_ivf_checked",
+    "x_embed_label_centroids",
+    "x_kmeans_checked",
+    "x_multimodal_decode_checked",
+    "x_sketch_accuracy_checked",
+    "q_bls_pipeline_parity",
+    "s_stream_events_hourly",
+    "s_stream_sessionize_stateful",
+    # -- slot 51+: round-1/2 greens, unchanged since their last check,
+    # ordered prior-never-checked first should the budget grow.
+    "q_sync_classify",
+    "q_conditional_agg",
+    "q_funnel_conversion",
+    "q_ntile_deciles",
+    "x_dedup_apply_neardup",
+    "x_pack_sequences",
+    "x_text_normalize",
+    "x_text_repetition",
+    "x_quality_gopher_rules",
+    "x_quality_filter_quantile",
+    "x_corpus_mix",
+    "x_sample_split",
+    "x_sample_stratified",
+    "x_sample_quality_weighted",
+    "x_select_token_budget",
+    "x_shard_assign",
+    "x_skew_salted_join",
+    "x_embed_quantize",
+    "x_udaf_weighted_stats",
+    "x_pagerank_iters",
+    "x_multimodal_metadata",
+    "x_multimodal_framesample",
+    "x_text_token_stats",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_text_ngram_freq",
+    "x_text_chunk_windows",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_large_orders",
+    "q_nation_pairs_volume",
     "s_stream_dedup_exact",
     "s_stream_quality_ingest",
+    "s_stream_interval_join",
     "x_similarity_ivf",
     "x_multimodal_decode",
     "x_kmeans_clusters",
     "x_approx_sketches",
+    "x_multimodal_resize",
     "x_dedup_apply",
 )
 

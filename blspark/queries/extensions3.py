@@ -1,0 +1,333 @@
+"""Round-3 extension operators: BM25 retrieval scoring, PII redaction,
+per-source corpus caps, Spark-4 VariantType JSON access, and a Python
+UDTF — the curation/retrieval surface a training-data pipeline runs on
+top of the dedup/quality stages in ``extensions.py``.
+
+Scale design notes (100 TB lens):
+- BM25: corpus statistics (N, avgdl, per-term df) are tiny aggregates
+  broadcast back onto the map-side tf stream; the fact table never
+  shuffles except the final per-term top-k window, whose key space is
+  |terms|, not |docs|. This is the standard two-pass distributed BM25.
+- PII redaction: pure Catalyst regexp expressions, codegen into the
+  scan, zero shuffle — runs at full scan bandwidth.
+- Source caps: one window keyed by source; skewed mega-sources are the
+  known hazard — cap with a pre-filter on a per-source quality
+  threshold (computed via approx_percentile) before the exact window
+  when a single source exceeds executor memory.
+- Variant: Spark 4's binary-encoded VariantType replaces per-access
+  JSON string re-parsing; parse once, then typed variant_get accesses
+  are struct-speed. The oracle mirrors semantics over the raw JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "hash", "window", "merge"]
+_K1 = 1.2
+_B = 0.75
+
+_TERMS_VALUES = ", ".join(f"('{t}')" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+terms(term) AS (VALUES {_TERMS_VALUES}),
+tf AS (
+  SELECT d.doc_id, d.dl, terms.term,
+         len(list_filter(d.toks, x -> x = terms.term)) AS tf
+  FROM d CROSS JOIN terms
+),
+m AS (SELECT * FROM tf WHERE tf > 0),
+dfreq AS (SELECT term, COUNT(*) AS dft FROM m GROUP BY term),
+scored AS (
+  -- every fractional constant CAST AS DOUBLE: DuckDB parses x.y literals
+  -- as DECIMAL, and e.g. tf * 2.2 is then EXACT (15.4) where Spark's
+  -- double multiply rounds (15.400000000000002) — a last-ulp hash break
+  SELECT m.term, m.doc_id,
+         ((stats.n_docs - dfreq.dft + CAST(0.5 AS DOUBLE))
+            / (dfreq.dft + CAST(0.5 AS DOUBLE)))
+           * ((m.tf * CAST({_K1 + 1.0} AS DOUBLE)) /
+              (m.tf + CAST({_K1} AS DOUBLE) *
+                 (CAST({1.0 - _B} AS DOUBLE)
+                  + (CAST({_B} AS DOUBLE) * m.dl) / stats.avgdl)))
+           AS score
+  FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN stats
+)
+SELECT term, doc_id, score, CAST(rn AS INT) AS rank FROM (
+  SELECT term, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) t WHERE rn <= 10
+"""
+
+
+@register(
+    "x_bm25_topk",
+    oracle=BM25_ORACLE,
+    doc="BM25 (k1=1.2, b=0.75) top-10 docs per query term, idf in "
+    "Robertson odds form (ln omitted: idf is a per-term constant, so "
+    "ranking is unchanged, and dropping the 1-ulp Math.log keeps the "
+    "score bitwise-deterministic cross-engine). Two tiny aggregates "
+    "(corpus stats, per-term df) broadcast onto the map-side tf stream; "
+    "docs never shuffle except the |terms|-keyed top-k window.",
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    per_term = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(
+                        F.filter(F.col("toks"), lambda x: x == F.lit(t))
+                    ).alias("tf"),
+                )
+                for t in BM25_TERMS
+            ]
+        )
+    )
+    m = (
+        d.select("doc_id", "dl", per_term.alias("t"))
+        .select("doc_id", "dl", "t.term", "t.tf")
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = m.groupBy("term").agg(F.count("*").alias("dft"))
+    # idf kept in Robertson odds form, NOT ln(odds): Java Math.log is
+    # 1-ulp (not correctly rounded) and diverges from the oracle's libm
+    # on real inputs. idf is constant within a term partition, so the
+    # per-term ranking — the operator's contract — is identical; every
+    # remaining op is single-rounded IEEE math, bitwise-equal anywhere.
+    idf = (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    score = idf * (
+        (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + (F.lit(_B) * F.col("dl")) / F.col("avgdl"))
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        m.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so Spark and the oracle match identically.
+_EMAIL_PAT = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"
+
+PII_CORPUS_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+@register(
+    "x_text_redact_pii",
+    oracle=f"""
+    WITH corpus AS ({PII_CORPUS_SQL})
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_PHONE_PAT}', '<PHONE>', 'g') AS red_text,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS INT) AS n_phones
+    FROM corpus
+    """,
+    doc="PII scrub pass: plant deterministic emails/phones on every 7th "
+    "doc (both engines), then redact via regexp_replace and count "
+    "matches. Pure codegen map-side expressions — scan-bandwidth at any "
+    "corpus size; patterns kept to the Java-regex ∩ RE2 subset.",
+)
+def x_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    text = planted
+    red = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("red_text"),
+        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus caps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_source_cap_topk",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             (LEAST(len(toks) / 100.0, 1.0)
+              + len(list_distinct(toks)) / len(toks)) / 2.0 AS quality
+      FROM q
+    )
+    SELECT source, doc_id, quality, CAST(rn AS INT) AS rank FROM (
+      SELECT source, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 20
+    """,
+    doc="Per-source corpus cap: keep the top-20 docs per source by the "
+    "composite quality score (domain balancing, the CommonCrawl-style "
+    "per-domain cap). One window keyed by source; for skewed "
+    "mega-sources pre-filter on an approx_percentile quality threshold "
+    "before the exact window.",
+)
+def x_source_cap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    quality = (
+        F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.size(F.array_distinct(toks)) / n
+    ) / F.lit(2.0)
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", quality.alias("quality"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VariantType JSON access
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_variant_json",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN TRUE ELSE FALSE END AS missing_is_null
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Semi-structured access via Spark 4 VariantType: parse_json once "
+    "into the binary variant encoding, then typed variant_get accesses "
+    "(struct-speed, no per-access JSON re-parse — the 100 TB-friendly "
+    "way to read event payloads). Oracle mirrors over the raw JSON "
+    "string.",
+)
+def x_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): per-row table function with lateral join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_udtf_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS pos,
+           toks[i + 1] || ' ' || toks[i + 2] AS bigram
+    FROM t, UNNEST(range(len(toks) - 1)) u(i)
+    WHERE len(toks) >= 2
+    """,
+    doc="Python UDTF (Spark 4 user-defined table function) emitting "
+    "(pos, bigram) rows per document via LATERAL join — the API-parity "
+    "demo for custom row-expanding operators. NOTE: UDTFs are "
+    "row-at-a-time Python; production bigrams use the zip_with/slice "
+    "Catalyst path in ext/dedup.py (this exists to cover the API "
+    "surface, on a deliberately small slice).",
+)
+def x_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("blspark_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL blspark_bigrams(d.text) b
+        WHERE d.doc_id < 200
+        """
+    )
