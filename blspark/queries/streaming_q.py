@@ -168,3 +168,122 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(joined, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "s_stream_user_profile_tws",
+    oracle=None,
+    doc="Per-user profile rollup via transformWithStateInPandas (Spark "
+    "4's arbitrary-state v2 API, successor to applyInPandasWithState): "
+    "a StatefulProcessor with a ValueState tuple (n_events, "
+    "n_purchases) per user, RocksDB-backed state store. State is "
+    "O(users), not O(events) — the continuous-ingest form of "
+    "q_conditional_agg's profile aggregation. ENVIRONMENT GATE: the v2 "
+    "API's state-server protocol needs google.protobuf, absent from "
+    "this container (no installs allowed) — when missing, the same "
+    "semantics run through applyInPandasWithState (identical output, "
+    "state, and O(users) bound; only the state API generation "
+    "differs). Rows-only driver check; batch equivalence in "
+    "tests/test_stream.py.",
+)
+def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="events.parquet"
+    )
+    stream = normalize_event_ts(stream)
+    out_type = "user_id long, n_events long, n_purchases long"
+
+    def _accumulate(pdfs):
+        n_events = 0
+        n_purchases = 0
+        for pdf in pdfs:
+            n_events += len(pdf)
+            n_purchases += int((pdf["event_type"] == "purchase").sum())
+        return n_events, n_purchases
+
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+
+        _HAS_TWS = True
+    except ImportError:
+        _HAS_TWS = False
+
+    if _HAS_TWS:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # transformWithState requires the RocksDB state store provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        state_schema = StructType(
+            [
+                StructField("n_events", LongType(), True),
+                StructField("n_purchases", LongType(), True),
+            ]
+        )
+
+        class UserProfile(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("profile", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n_events, n_purchases = _accumulate(rows)
+                if self._state.exists():
+                    prev_events, prev_purchases = self._state.get()
+                    n_events += prev_events
+                    n_purchases += prev_purchases
+                self._state.update((n_events, n_purchases))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n_events],
+                        "n_purchases": [n_purchases],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserProfile(),
+            outputStructType=out_type,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def profile_v1(key, pdfs, state: GroupState):
+            n_events, n_purchases = _accumulate(pdfs)
+            if state.exists:
+                prev_events, prev_purchases = state.get
+                n_events += prev_events
+                n_purchases += prev_purchases
+            state.update((n_events, n_purchases))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_purchases": [n_purchases],
+                }
+            )
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            profile_v1,
+            outputStructType=out_type,
+            stateStructType="n_events long, n_purchases long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    name = run_available_now(out, output_mode="update")
+    return spark.table(name)

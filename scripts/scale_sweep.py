@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Scale-sweep harness: runs selected operators against synthetically
+amplified inputs (N x documents / events via per-row replication with
+re-keyed ids) and reports wall time per scale, to verify work grows
+~linearly and no plan flips into a quadratic or single-task shape as
+input grows. Results are recorded in SCALE.md; this script is evidence
+tooling, not CI (it deliberately burns minutes).
+
+Usage: python scripts/scale_sweep.py [factors...]   (default: 1 2 4)
+
+Amplification happens in-memory (explode over a sequence), so nothing
+is written anywhere; doc/vec ids are offset per replica to keep key
+cardinality growing with scale — the hard case for joins/windows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from blspark.session import get_spark  # noqa: E402
+from blspark.catalog import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplify(
+    df: DataFrame,
+    id_col: str,
+    factor: int,
+    id_stride: int,
+    text_col: str | None = None,
+) -> DataFrame:
+    """factor copies of every row, ids offset per replica (distinct keys).
+    With ``text_col``, each replica's text gets a distinct suffix token so
+    dedup-family operators don't see replicas as planted duplicates (which
+    would grow the *output* quadratically and measure data semantics, not
+    plan scaling)."""
+    if factor == 1:
+        return df
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
+    out = df.select("*", rep).withColumn(
+        id_col, F.col(id_col) + F.col("_rep").cast("long") * id_stride
+    )
+    if text_col is not None:
+        out = out.withColumn(
+            text_col,
+            F.concat(
+                F.col(text_col), F.lit(" replica"), F.col("_rep").cast("string")
+            ),
+        )
+    return out.drop("_rep")
+
+
+def bench_minhash(spark, factor: int) -> float:
+    from blspark.ext.dedup import shingle_sets, minhash_signatures, lsh_candidate_pairs
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    arrs = shingle_sets(docs, "doc_id", "text", n=3).persist()
+    sh = arrs.select("id", F.explode("shset").alias("shingle"))
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
+    a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    jac = n_common / (F.size("sa") + F.size("sb") - n_common)
+    n = (
+        cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.5).count()
+    )
+    dt = time.perf_counter() - t0
+    arrs.unpersist()
+    print(f"  minhash x{factor}: {dt:.2f}s ({n} pairs)", flush=True)
+    return dt
+
+
+def bench_exact_dedup(spark, factor: int) -> float:
+    from blspark.ext.dedup import exact_dedup_keys
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+    )
+    t0 = time.perf_counter()
+    n = exact_dedup_keys(docs, "doc_id", "text").count()
+    dt = time.perf_counter() - t0
+    print(f"  exact_dedup x{factor}: {dt:.2f}s ({n} groups)", flush=True)
+    return dt
+
+
+def bench_sessionize(spark, factor: int) -> float:
+    from pyspark.sql import Window
+
+    ev = amplify(
+        load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts"),
+        "user_id",
+        factor,
+        1_000_000,
+    )
+    t0 = time.perf_counter()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    n = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  sessionize x{factor}: {dt:.2f}s ({n} users)", flush=True)
+    return dt
+
+
+def bench_cosine(spark, factor: int) -> float:
+    from blspark.ext.similarity import cosine_topk
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5).count()
+    dt = time.perf_counter() - t0
+    print(f"  cosine_topk x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+BENCHES = {
+    "exact_dedup": bench_exact_dedup,
+    "minhash": bench_minhash,
+    "sessionize": bench_sessionize,
+    "cosine_topk": bench_cosine,
+}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark(app_name="blspark-scale-sweep")
+    for t in ("documents", "events", "embeddings"):
+        load_table(spark, SF_DIR, t).count()
+    results: dict[str, list[tuple[int, float]]] = {}
+    for name, fn in BENCHES.items():
+        print(f"{name}:", flush=True)
+        fn(spark, 1)  # warm the plan shape
+        results[name] = [(f, fn(spark, f)) for f in factors]
+    print("\nscaling summary (time ratio vs x1):")
+    for name, rows in results.items():
+        base = rows[0][1]
+        ratios = ", ".join(f"x{f}: {t / base:.2f}" for f, t in rows)
+        print(f"  {name}: {ratios}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -245,3 +245,27 @@ def test_stream_interval_join_equals_batch(spark):
     a = sorted(map(tuple, got.select(*cols).collect()))
     b = sorted(map(tuple, want.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_user_profile_tws_equals_batch(spark):
+    """The stateful per-user profile stream (transformWithStateInPandas
+    when google.protobuf is available, applyInPandasWithState fallback
+    otherwise) drains to the batch conditional-aggregation result."""
+    from pyspark.sql import functions as F
+
+    from blspark.catalog import load_table, registry
+    from tests.conftest import SF_SMOKE
+
+    got = registry()["s_stream_user_profile_tws"].spark_fn(spark, SF_SMOKE)
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        )
+    )
+    cols = ["user_id", "n_events", "n_purchases"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert len(a) > 0 and a == b
