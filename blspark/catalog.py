@@ -86,7 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_source_cap_topk",
     "x_variant_json",
     "x_udtf_bigrams",
-    # -- slots 6-10: oracles changed this round (nanosecond-timestamp
+    "x_tfidf_keywords",
+    # -- slots 7-11: oracles changed this round (nanosecond-timestamp
     # truncation portability) — fresh green rows required.
     "q_events_sessionize",
     "q_events_interval_join",
@@ -139,8 +140,11 @@ _PRIORITY: tuple[str, ...] = (
     "x_sketch_accuracy_checked",
     "q_bls_pipeline_parity",
     "s_stream_events_hourly",
+    # -- slot 51+ (s_stream_sessionize_stateful keeps its r02 rows-only
+    # record; the new streaming ops queue here for the next budget)
     "s_stream_sessionize_stateful",
-    # -- slot 51+: round-1/2 greens, unchanged since their last check,
+    "s_stream_user_profile_tws",
+    "s_stream_dedup_within_watermark",: round-1/2 greens, unchanged since their last check,
     # ordered prior-never-checked first should the budget grow.
     "q_sync_classify",
     "q_conditional_agg",

@@ -331,3 +331,64 @@ def x_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# ---------------------------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs FROM t),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) raw
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((stats.n_docs - dfreq.dft + CAST(0.5 AS DOUBLE))
+                  / (dfreq.dft + CAST(0.5 AS DOUBLE))) AS weight
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+)
+SELECT doc_id, term, weight, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rn
+  FROM scored
+) s WHERE rn <= 3
+"""
+
+
+@register(
+    "x_tfidf_keywords",
+    oracle=TFIDF_ORACLE,
+    doc="Per-document keyword extraction: full-vocabulary TF-IDF (idf "
+    "in odds form — see x_bm25_topk for why ln is omitted) with top-3 "
+    "terms per doc. Shuffles: one (doc,term) count agg, one |vocab|-"
+    "keyed df agg (broadcast back), one doc-keyed window. The df "
+    "aggregate is the only global structure and is vocabulary-sized, "
+    "not corpus-sized — at 100 TB prune its tail (df=1 hapaxes) before "
+    "the broadcast or switch the join side to shuffle when vocab "
+    "outgrows the threshold.",
+)
+def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dft"))
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    weight = F.col("tf") * (
+        (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", weight.alias("weight"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )

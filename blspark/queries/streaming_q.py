@@ -287,3 +287,32 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = run_available_now(out, output_mode="update")
     return spark.table(name)
+
+
+@register(
+    "s_stream_dedup_within_watermark",
+    oracle=None,
+    doc="Streaming key dedup with bounded state: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) under a "
+    "1-hour event-time watermark — unlike global streaming "
+    "dropDuplicates, state for a key is dropped once the watermark "
+    "passes it, so state is O(keys in window), not O(all keys ever) — "
+    "the only viable form on an unbounded 100 TB/day stream. Output is "
+    "the surviving key set (deterministic; which physical row survived "
+    "is not). Rows-only driver check; batch-distinct equivalence in "
+    "tests/test_stream.py.",
+)
+def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="events.parquet"
+    )
+    stream = normalize_event_ts(stream)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = run_available_now(deduped, output_mode="append")
+    return spark.table(name)

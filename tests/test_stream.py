@@ -269,3 +269,21 @@ def test_stream_user_profile_tws_equals_batch(spark):
     a = sorted(map(tuple, got.select(*cols).collect()))
     b = sorted(map(tuple, want.select(*cols).collect()))
     assert len(a) > 0 and a == b
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
+    """The watermark-bounded streaming dedup's surviving key set equals
+    the batch distinct over the same file (single availableNow batch =
+    all duplicates inside one watermark window)."""
+    from blspark.catalog import load_table, registry
+    from tests.conftest import SF_SMOKE
+
+    got = registry()["s_stream_dedup_within_watermark"].spark_fn(spark, SF_SMOKE)
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert len(a) > 0 and a == b
