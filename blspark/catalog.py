@@ -144,8 +144,9 @@ _PRIORITY: tuple[str, ...] = (
     # record; the new streaming ops queue here for the next budget)
     "s_stream_sessionize_stateful",
     "s_stream_user_profile_tws",
-    "s_stream_dedup_within_watermark",: round-1/2 greens, unchanged since their last check,
-    # ordered prior-never-checked first should the budget grow.
+    "s_stream_dedup_within_watermark",
+    # round-1/2 greens, unchanged since their last check, ordered
+    # prior-never-checked first should the budget grow.
     "q_sync_classify",
     "q_conditional_agg",
     "q_funnel_conversion",
