@@ -78,23 +78,24 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- slots 1-5: NEW round-3 operators (BM25 retrieval, PII scrub,
-    # per-source caps, VariantType access, Python UDTF) — need their
-    # first hard driver signal.
+    # -- slots 1-7: NEW round-3 operators (BM25 retrieval, PII scrub,
+    # per-source caps, VariantType access, Python UDTF, TF-IDF keywords,
+    # table profiling) — need their first hard driver signal.
     "x_bm25_topk",
     "x_text_redact_pii",
     "x_source_cap_topk",
     "x_variant_json",
     "x_udtf_bigrams",
     "x_tfidf_keywords",
-    # -- slots 7-11: oracles changed this round (nanosecond-timestamp
+    "x_table_profile",
+    # -- slots 8-12: oracles changed this round (nanosecond-timestamp
     # truncation portability) — fresh green rows required.
     "q_events_sessionize",
     "q_events_interval_join",
     "q_window_rank_lag",
     "q_window_moving_avg",
     "q_window_first_last",
-    # -- slots 11-18: physical plans changed this round (shuffle-merge
+    # -- slots 13-20: physical plans changed this round (shuffle-merge
     # pin / fan_out removal) — results must be re-proven.
     "q_shipping_priority",
     "x_dedup_minhash_lsh",
@@ -104,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_components",
     "x_decontaminate",
     "x_similarity_cosine_topk",
-    # -- slots 19-40: oracle-checked queries never inside any round's
+    # -- slots 21-42: oracle-checked queries never inside any round's
     # driver budget (r01 checked registration order, r02 the priority
     # block; these fell outside both).
     "q_min_cost_supplier",
@@ -129,7 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_map_from_json",
     "x_text_bpe_tokens",
     "x_multimodal_resize_checked",
-    # -- slots 41-50: capability-table anchors (extension cores, BLS IO
+    # -- slots 43-50: capability-table anchors (extension cores, BLS IO
     # parity, streaming rows-only twins) re-checked each round.
     "x_dedup_exact",
     "x_similarity_ann_lsh",
@@ -139,9 +140,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_decode_checked",
     "x_sketch_accuracy_checked",
     "q_bls_pipeline_parity",
+    # -- slot 51+ (the streaming rows-only twins keep their r02 records;
+    # new streaming ops queue here for the next budget)
     "s_stream_events_hourly",
-    # -- slot 51+ (s_stream_sessionize_stateful keeps its r02 rows-only
-    # record; the new streaming ops queue here for the next budget)
     "s_stream_sessionize_stateful",
     "s_stream_user_profile_tws",
     "s_stream_dedup_within_watermark",

@@ -392,3 +392,60 @@ def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality profiling (one-pass per-column stats)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    from blspark.catalog import o_dsum
+
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(f"""
+        SELECT '{c}' AS column_name,
+               COUNT({c}) AS n,
+               COUNT(*) - COUNT({c}) AS n_null,
+               CAST(MIN({c}) AS DOUBLE) AS min_v,
+               CAST(MAX({c}) AS DOUBLE) AS max_v,
+               {o_dsum(c)} AS sum_v
+        FROM lineitem""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "x_table_profile",
+    oracle=_profile_oracle(),
+    doc="Data-quality profiling: per-column (count, nulls, min, max, "
+    "decimal-exact sum) for the numeric lineitem columns, computed in "
+    "ONE scan pass (all aggregates in a single agg, unpivoted to rows "
+    "driver-side-free via stack) — the ingest-validation report every "
+    "pipeline runs before training. The oracle's UNION ALL re-scans per "
+    "column; Spark's plan reads the table once.",
+)
+def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            dsum(c).alias(f"{c}__sum"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__min, {c}__max, {c}__sum"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n, n_null, min_v, max_v, sum_v)"
+    )
