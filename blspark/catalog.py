@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "s_stream_user_profile_tws",
     "s_stream_dedup_within_watermark",
+    "x_concat_blocks",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.
     "q_sync_classify",

@@ -449,3 +449,80 @@ def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n, n_null, min_v, max_v, sum_v)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style stream packing: concat docs (+EOS) into fixed-size token blocks
+# ---------------------------------------------------------------------------
+
+_BLOCK = 512  # tokens per training block
+_PREFIX_SHARD = 500  # docs per prefix-sum shard
+
+
+@register(
+    "x_concat_blocks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) + 1 AS n_eos_toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_eos_toks,
+             SUM(n_eos_toks) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_eos_toks
+               AS offset_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_eos_toks AS BIGINT) AS n_eos_toks,
+           CAST(offset_start AS BIGINT) AS offset_start,
+           CAST(offset_start // {_BLOCK} AS BIGINT) AS block_id
+    FROM c
+    """,
+    doc="Pretraining stream packing: documents concatenated in doc_id "
+    "order (+1 EOS token each) and cut into fixed {b}-token blocks — "
+    "each doc gets its global token offset and starting block id. The "
+    "oracle uses a single global-window cumsum; the Spark plan is the "
+    "SCALABLE two-level prefix sum: per-shard window cumsum + tiny "
+    "shard-totals running offset broadcast back — no single-partition "
+    "window anywhere (same pattern as the distributed NTILE fix). "
+    "Exact-integer arithmetic, bitwise-deterministic.".format(b=_BLOCK),
+)
+def x_concat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_eos = (F.size(F.split("text", " ")) + 1).cast("bigint")
+    t = docs.select(
+        "doc_id",
+        n_eos.alias("n_eos_toks"),
+        (F.col("doc_id") / _PREFIX_SHARD).cast("bigint").alias("_shard"),
+    )
+    # level 1: cumsum within each shard (parallel windows, bounded width)
+    w_shard = (
+        Window.partitionBy("_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn(
+        "_local_cum", F.sum("n_eos_toks").over(w_shard) - F.col("n_eos_toks")
+    )
+    # level 2: running offset of whole shards (|shards| rows — tiny)
+    w_tot = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard_offsets = (
+        t.groupBy("_shard")
+        .agg(F.sum("n_eos_toks").alias("_shard_toks"))
+        .withColumn(
+            "_shard_offset", F.sum("_shard_toks").over(w_tot) - F.col("_shard_toks")
+        )
+        .select("_shard", "_shard_offset")
+    )
+    out = local.join(F.broadcast(shard_offsets), "_shard")
+    offset = F.col("_shard_offset") + F.col("_local_cum")
+    return out.select(
+        "doc_id",
+        "n_eos_toks",
+        offset.alias("offset_start"),
+        F.floor(offset / _BLOCK).cast("bigint").alias("block_id"),
+    )
