@@ -526,3 +526,44 @@ def x_concat_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset.alias("offset_start"),
         F.floor(offset / _BLOCK).cast("bigint").alias("block_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture rebalancing: per-language epoch factors (integer replication)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = {"en": 1, "es": 2, "zh": 3}  # replication factor per language
+
+
+@register(
+    "x_mix_epochs",
+    oracle=f"""
+    WITH f(lang, factor) AS (VALUES
+      {", ".join(f"('{lang}', {n})" for lang, n in sorted(_EPOCHS.items()))}
+    )
+    SELECT d.doc_id, d.lang, CAST(u.i + 1 AS INT) AS copy_idx
+    FROM documents d
+    JOIN f ON d.lang = f.lang
+    CROSS JOIN UNNEST(range(f.factor)) u(i)
+    """,
+    doc="Training-mixture rebalancing by integer replication: each "
+    "language gets an epoch factor (en x1 / es x2 / zh x3) and every "
+    "doc is emitted factor times with a copy index — the standard "
+    "'epochs per source' upsampling before stream packing. The factor "
+    "table broadcasts; replication is a map-side explode(sequence), "
+    "zero shuffle at any corpus size.",
+)
+def x_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    factors = spark.createDataFrame(
+        sorted(_EPOCHS.items()), "lang string, factor int"
+    )
+    return (
+        docs.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("_c"),
+        )
+        .select("doc_id", "lang", F.col("_c").cast("int").alias("copy_idx"))
+    )
