@@ -1,7 +1,9 @@
-"""Round-3 extension operators: BM25 retrieval scoring, PII redaction,
-per-source corpus caps, Spark-4 VariantType JSON access, and a Python
-UDTF — the curation/retrieval surface a training-data pipeline runs on
-top of the dedup/quality stages in ``extensions.py``.
+"""Round-3 extension operators: BM25 + TF-IDF retrieval scoring, PII
+redaction, per-source corpus caps, Spark-4 VariantType JSON access, a
+Python UDTF, one-pass table profiling, stream packing (two-level
+distributed prefix sum), and mixture-epoch resampling — the
+curation/retrieval surface a training-data pipeline runs on top of the
+dedup/quality stages in ``extensions.py``.
 
 Scale design notes (100 TB lens):
 - BM25: corpus statistics (N, avgdl, per-term df) are tiny aggregates
