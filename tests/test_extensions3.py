@@ -1,0 +1,110 @@
+"""Invariant tests for the round-3 operators (beyond the oracle
+differential, which checks exact equality at one SF): structural
+contracts that must hold at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, registry
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+
+
+def test_bm25_ranks_dense_and_scores_monotone(spark):
+    out = REG["x_bm25_topk"].spark_fn(spark, SF_SMOKE).collect()
+    by_term: dict[str, list] = {}
+    for r in out:
+        by_term.setdefault(r.term, []).append(r)
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1)), term
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True), term
+        assert all(s > 0 for s in scores), term
+
+
+def test_redact_pii_removes_all_matches(spark):
+    out = REG["x_text_redact_pii"].spark_fn(spark, SF_SMOKE)
+    leftovers = out.filter(
+        F.col("red_text").rlike("[a-z0-9._]+@[a-z0-9.]+")
+        | F.col("red_text").rlike("\\+1-555-[0-9]{4}")
+    ).count()
+    assert leftovers == 0
+    # every 7th doc got exactly one planted email and one phone
+    planted = out.filter(F.col("doc_id") % 7 == 0)
+    bad = planted.filter(
+        (F.col("n_emails") != 1) | (F.col("n_phones") != 1)
+    ).count()
+    assert bad == 0
+    clean = out.filter(F.col("doc_id") % 7 != 0)
+    assert clean.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).count() == 0
+
+
+def test_source_cap_bounds_and_dense_ranks(spark):
+    out = REG["x_source_cap_topk"].spark_fn(spark, SF_SMOKE)
+    per_source = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("rank").alias("max_rank")
+    )
+    assert per_source.filter(F.col("n") > 20).count() == 0
+    assert per_source.filter(F.col("n") != F.col("max_rank")).count() == 0
+
+
+def test_variant_json_matches_get_json_object(spark):
+    out = REG["x_variant_json"].spark_fn(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 2000)
+    legacy = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    joined = out.select("event_id", "k").join(
+        legacy.withColumnRenamed("k", "k_legacy"), "event_id"
+    )
+    assert joined.filter(F.col("k") != F.col("k_legacy")).count() == 0
+
+
+def test_concat_blocks_is_a_gapless_token_stream(spark):
+    rows = sorted(
+        REG["x_concat_blocks"].spark_fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.offset_start,
+    )
+    # offsets tile the stream exactly: each doc starts where the previous
+    # one ended, and block ids are offset // 512
+    pos = 0
+    for r in rows:
+        assert r.offset_start == pos
+        assert r.block_id == pos // 512
+        pos += r.n_eos_toks
+    # and the shard decomposition ordered docs by doc_id
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+
+
+def test_tfidf_keywords_rank_contract(spark):
+    out = REG["x_tfidf_keywords"].spark_fn(spark, SF_SMOKE)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_doc.filter((F.col("n") > 3) | (F.col("n") != F.col("mx"))).count() == 0
+
+
+def test_mix_epochs_replication_counts(spark):
+    out = REG["x_mix_epochs"].spark_fn(spark, SF_SMOKE)
+    per_doc = out.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
+    wrong = per_doc.filter(
+        ~(
+            ((F.col("lang") == "en") & (F.col("n") == 1))
+            | ((F.col("lang") == "es") & (F.col("n") == 2))
+            | ((F.col("lang") == "zh") & (F.col("n") == 3))
+        )
+    ).count()
+    assert wrong == 0
+
+
+def test_table_profile_null_accounting(spark):
+    out = {r.column_name: r for r in REG["x_table_profile"].spark_fn(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    total = li.count()
+    for c, r in out.items():
+        assert r.n + r.n_null == total, c
+        assert r.min_v <= r.max_v, c
