@@ -1,0 +1,117 @@
+"""Physical-plan regression tests: lock in the scale-critical plan
+shapes so a refactor (or a Spark upgrade changing optimizer defaults)
+cannot silently reintroduce a fact-side broadcast, a single-partition
+window over full data, or an unpushed filter. These assert on
+`executedPlan().toString()` substrings plus a small indentation-tree
+walk — robust to attribute-id churn."""
+
+from __future__ import annotations
+
+import re
+
+from blspark.catalog import registry
+from tests.conftest import SF_ORACLE
+
+REG = registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = REG[name].spark_fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    """explain('formatted') text — includes scan details (PushedFilters,
+    ReadSchema) that the tree toString omits."""
+    df = REG[name].spark_fn(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*()0123456789":
+        i += 1
+    return i
+
+
+def _subtrees(plan: str, node: str):
+    """Yield the subtree text beneath every line containing ``node``."""
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if node not in line:
+            continue
+        d = _indent(line)
+        sub = []
+        for l2 in lines[idx + 1 :]:
+            if not l2.strip() or _indent(l2) <= d:
+                break
+            sub.append(l2)
+        yield line, "\n".join(sub)
+
+
+def test_shipping_priority_fact_join_is_sort_merge(spark):
+    plan = _plan(spark, "q_shipping_priority")
+    assert "SortMergeJoin" in plan
+    # no broadcast whose subtree scans lineitem without aggregation
+    for line, sub in _subtrees(plan, "BroadcastExchange"):
+        if "lineitem.parquet" in sub:
+            assert "HashAggregate" in sub, "filtered lineitem scan broadcast!"
+
+
+def test_best_year_has_no_window(spark):
+    # the argmax is a max(struct) aggregate, not a ranking window
+    plan = _plan(spark, "q2_best_year")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_forecast_revenue_pushes_date_filter(spark):
+    plan = _formatted(spark, "q_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan[:2000]
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [c.split(":")[0] for c in m2.group(1).split(",")]
+    assert len(cols) <= 4, cols  # scan is column-pruned
+
+
+def test_regional_revenue_dims_broadcast(spark):
+    plan = _plan(spark, "q_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the fact table feeds a broadcast JOIN probe side, never an Exchange
+    # before aggregation: every Exchange subtree must contain a partial
+    # aggregate (i.e. only the final small group-by shuffles)
+    for line, sub in _subtrees(plan, "Exchange hashpartitioning"):
+        assert "HashAggregate" in sub, f"raw fact shuffle: {line}"
+
+
+def test_concat_blocks_single_partition_windows_are_post_aggregate(spark):
+    plan = _plan(spark, "x_concat_blocks")
+    for line, sub in _subtrees(plan, "Window"):
+        if "SinglePartition" in line or "SinglePartition" in sub.split("\n")[0:1]:
+            pass
+    # stronger check: any single-partition exchange feeds from an
+    # aggregate (the tiny shard-totals frame), never the raw scan
+    for line, sub in _subtrees(plan, "Exchange SinglePartition"):
+        assert "HashAggregate" in sub, "full-data single-partition exchange!"
+
+
+def test_ntile_deciles_has_no_global_window_over_rows(spark):
+    plan = _plan(spark, "q_ntile_deciles")
+    for line, sub in _subtrees(plan, "Exchange SinglePartition"):
+        assert "HashAggregate" in sub, "global ntile over raw rows came back!"
+
+
+def test_text_ops_are_shuffle_free(spark):
+    for name in ("x_text_token_stats", "x_text_quality", "x_text_redact_pii"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle"
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    plan = _plan(spark, "x_dedup_exact")
+    for line, sub in _subtrees(plan, "Exchange hashpartitioning"):
+        assert "digest" in line, line
+        assert "text" not in line, "document bodies in the shuffle key!"
