@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_dedup_within_watermark",
     "x_concat_blocks",
     "x_mix_epochs",
+    "q_scd2_merge",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.
     "q_sync_classify",

@@ -1,7 +1,8 @@
 """Round-3 extension operators: BM25 + TF-IDF retrieval scoring, PII
 redaction, per-source corpus caps, Spark-4 VariantType JSON access, a
 Python UDTF, one-pass table profiling, stream packing (two-level
-distributed prefix sum), and mixture-epoch resampling — the
+distributed prefix sum), mixture-epoch resampling, and SCD2
+dimension-history merge — the
 curation/retrieval surface a training-data pipeline runs on top of the
 dedup/quality stages in ``extensions.py``.
 
@@ -569,3 +570,82 @@ def x_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("_c").cast("int").alias("copy_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension-history merge (slowly changing dimension, type 2)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH current AS (
+  SELECT c_custkey AS key, c_acctbal AS attr FROM customer
+),
+updates AS (
+  -- deterministic update batch: every 10th key changes its balance,
+  -- every 97th key is brand new
+  SELECT c_custkey AS key, c_acctbal + 100.0 AS attr
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS key, 42.0 AS attr
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT cur.key, cur.attr, 1 AS version,
+       CASE WHEN u.key IS NULL THEN TRUE ELSE FALSE END AS is_current
+FROM current cur LEFT JOIN updates u ON cur.key = u.key
+UNION ALL
+SELECT u.key, u.attr, 2 AS version, TRUE AS is_current
+FROM updates u
+"""
+
+
+@register(
+    "q_scd2_merge",
+    oracle=SCD2_ORACLE,
+    doc="Slowly-changing-dimension type-2 merge: an update batch closes "
+    "the current version of changed keys (is_current=false) and appends "
+    "version-2 rows; unchanged keys stay open, new keys enter at v2 — "
+    "dimension history maintenance as one left join + union, the "
+    "MERGE-less expression of Delta's WHEN MATCHED THEN UPDATE / WHEN "
+    "NOT MATCHED THEN INSERT for history-keeping dims. Updates are "
+    "dimension-sized: broadcast; the history table never rewrites "
+    "untouched rows (at scale: partition history by key range and "
+    "overwrite only partitions containing changed keys).",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("attr")
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            (F.col("c_acctbal") + 100.0).alias("attr"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("key"),
+                F.lit(42.0).alias("attr"),
+            )
+        )
+    )
+    closed = (
+        current.join(
+            F.broadcast(updates.select("key", F.lit(True).alias("_upd"))),
+            "key",
+            "left",
+        )
+        .select(
+            "key",
+            "attr",
+            F.lit(1).cast("int").alias("version"),
+            F.col("_upd").isNull().alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "key",
+        "attr",
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(fresh)
