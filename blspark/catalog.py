@@ -149,6 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_concat_blocks",
     "x_mix_epochs",
     "q_scd2_merge",
+    "q_zscore_anomalies",
+    "s_stream_enrich_static",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.
     "q_sync_classify",

@@ -649,3 +649,53 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly detection (grouped stats broadcast back onto the stream)
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_oracle() -> str:
+    from blspark.catalog import o_davg, o_dstd
+
+    return f"""
+    WITH stats AS (
+      SELECT event_type,
+             {o_davg('value')} AS mean_v,
+             {o_dstd('value')} AS std_v
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean_v) / s.std_v AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE (e.value - s.mean_v) / s.std_v > 3.0
+       OR (e.value - s.mean_v) / s.std_v < -3.0
+    """
+
+
+@register(
+    "q_zscore_anomalies",
+    oracle=_anomaly_oracle(),
+    doc="Z-score anomaly detection: per-event-type mean/stddev from "
+    "decimal-exact sums (order-independent), broadcast back onto the "
+    "fact scan, |z| > 3 rows flagged. Two passes over events, zero "
+    "fact shuffle (|event_type| stats rows broadcast); the grouped-"
+    "stats + map-side-probe shape that scales to any fact size. sqrt "
+    "is IEEE correctly-rounded (unlike log), so z is cross-engine "
+    "bitwise-deterministic.",
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import davg, dstd
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg("value").alias("mean_v"), dstd("value").alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter((F.col("z") > 3.0) | (F.col("z") < -3.0))
+        .select("event_id", "event_type", "value", "z")
+    )

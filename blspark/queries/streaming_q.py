@@ -316,3 +316,43 @@ def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = run_available_now(deduped, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "s_stream_enrich_static",
+    oracle=None,
+    doc="Stream-static broadcast enrichment: the events stream joined "
+    "map-side to a static per-user profile dimension (derived "
+    "deterministically from batch events: each user's purchase count). "
+    "The static side re-resolves per micro-batch and broadcasts — no "
+    "stream state at all, the standard dimension-enrich stage before "
+    "a sink. Rows-only driver check; batch equivalence in "
+    "tests/test_stream.py.",
+)
+def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import load_table
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="events.parquet"
+    )
+    stream = normalize_event_ts(stream)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_purchases"))
+    )
+    enriched = (
+        stream.filter(F.col("event_type") == "click")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("user_purchases"), F.lit(0)).alias(
+                "user_purchases"
+            ),
+        )
+    )
+    name = run_available_now(enriched, output_mode="append")
+    return spark.table(name)

@@ -287,3 +287,32 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert len(a) > 0 and a == b
+
+
+def test_stream_enrich_static_equals_batch(spark):
+    """Stream-static broadcast enrichment drains to the batch left-join
+    result over the same file."""
+    from pyspark.sql import functions as F
+
+    from blspark.catalog import load_table, registry
+    from tests.conftest import SF_SMOKE
+
+    got = registry()["s_stream_enrich_static"].spark_fn(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_purchases"))
+    )
+    want = (
+        ev.filter(F.col("event_type") == "click")
+        .join(dim, "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("user_purchases"), F.lit(0)).alias("user_purchases"),
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert len(a) > 0 and a == b
