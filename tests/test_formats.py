@@ -75,3 +75,45 @@ def test_zstd_parquet_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Parquet schema evolution: files written with and without a new
+    column union under mergeSchema; old files read nulls for it."""
+    p = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(df.columns) >= {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_csv_malformed_rows_permissive_and_dropmalformed(spark, tmp_path):
+    """Bad-records handling on CSV scans: PERMISSIVE nulls out bad
+    fields and captures the raw line; DROPMALFORMED removes the row —
+    the reference's None-on-failure contract at scan level."""
+    f = tmp_path / "m.csv"
+    f.write_text("id,v\n1,10\nbad_row_without_delim\n3,30\n")
+    schema = "id int, v int, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(f))
+    )
+    rows = perm.collect()
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(rows) == 3 and len(corrupt) == 1
+    dropped = (
+        spark.read.schema("id int, v int")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(f))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
