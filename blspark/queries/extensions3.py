@@ -388,8 +388,11 @@ def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    # dfreq is VOCABULARY-sized (grows with the corpus) — no broadcast
+    # hint; Catalyst broadcasts it at bench SF from stats, AQE/SMJ takes
+    # over when vocab outgrows the threshold (prune df=1 hapaxes first)
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", weight.alias("weight"))
         .withColumn("rank", F.row_number().over(w).cast("int"))

@@ -130,7 +130,11 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # no hint on the fact⋈fact orderkey join: the date-filtered orders
+        # slice is still fact-sized at 100x — Catalyst broadcasts it at
+        # bench SF from stats (identical local plan) but falls back to
+        # SMJ at scale, which a hard hint would forbid
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
@@ -178,7 +182,9 @@ def q_nation_pairs_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # unfiltered orders is pure fact — never hint it broadcast (see
+        # q_returned_items note); stats/AQE pick broadcast at bench SF
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
