@@ -326,8 +326,11 @@ def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     "deterministically from batch events: each user's purchase count). "
     "The static side re-resolves per micro-batch and broadcasts — no "
     "stream state at all, the standard dimension-enrich stage before "
-    "a sink. Rows-only driver check; batch equivalence in "
-    "tests/test_stream.py.",
+    "a sink. The broadcast hint presumes the profile dim fits executor "
+    "memory; for a users-table that outgrows it, drop the hint and the "
+    "stream-static join shuffles the batch side instead (stream side "
+    "still never accumulates state). Rows-only driver check; batch "
+    "equivalence in tests/test_stream.py.",
 )
 def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.catalog import load_table
