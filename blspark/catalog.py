@@ -135,15 +135,17 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_exact",
     "x_similarity_ann_lsh",
     "x_similarity_ivf_checked",
-    "x_embed_label_centroids",
     "x_kmeans_checked",
     "x_multimodal_decode_checked",
-    "x_sketch_accuracy_checked",
     "q_bls_pipeline_parity",
-    # -- slot 51+ (the streaming rows-only twins keep their r02 records;
-    # new streaming ops queue here for the next budget)
+    # streaming twins gained full oracles in round 3 (availableNow
+    # drains are deterministic) — first-ever hash rows
     "s_stream_events_hourly",
     "s_stream_sessionize_stateful",
+    # -- slot 51+ — r02 greens unchanged since their check, then the
+    # newer streaming ops (also now oracle-checked)
+    "x_sketch_accuracy_checked",
+    "x_embed_label_centroids",
     "s_stream_user_profile_tws",
     "s_stream_dedup_within_watermark",
     "x_concat_blocks",

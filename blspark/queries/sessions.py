@@ -86,12 +86,27 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_sessionize_stateful",
-    oracle=None,
+    oracle="""
+    WITH ev_us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev_us
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
     doc="Custom stateful streaming operator via applyInPandasWithState: "
     "per-user session counting with 30-minute gap timeout, state = "
-    "(last_ts, session count) per user. Rows-only driver check; "
-    "tests/test_sessions.py proves equivalence to the batch "
-    "q_events_sessionize.",
+    "(last_ts, session count) per user. Full oracle (availableNow "
+    "drain is deterministic); tests/test_sessions.py proves "
+    "equivalence to the batch q_events_sessionize.",
 )
 def s_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -1,6 +1,7 @@
-"""Streaming pipeline queries (no SQL oracle — the driver records a
-rows-only check for these; semantics are covered by tests/test_stream.py
-against their batch twins)."""
+"""Streaming pipeline queries. Under trigger(availableNow=True) over a
+single input file every query drains in one deterministic micro-batch,
+so each has a full DuckDB oracle (round 3 — previously rows-only) in
+addition to the batch-equivalence tests in tests/test_stream.py."""
 
 from __future__ import annotations
 
@@ -13,7 +14,11 @@ from blspark.stream import file_arrival_stream, run_available_now
 
 @register(
     "s_stream_events_hourly",
-    oracle=None,
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
     doc="Structured Streaming twin of q_events_tumbling_window: file-"
     "arrival source over events.parquet, availableNow trigger (T1/T2), "
     "hourly tumbling counts into a memory sink. Exactly-once via "
@@ -43,12 +48,16 @@ def s_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_dedup_exact",
-    oracle=None,
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
     doc="Streaming exact dedup: file-arrival stream over documents, "
     "content-MD5 digest groupBy (min doc_id + copy count) in complete "
     "mode — the streaming twin of x_dedup_exact for continuous-ingest "
     "corpora. Only 16-byte digests enter state; bodies never shuffle. "
-    "Rows-only driver check; batch equivalence in tests/test_stream.py.",
+    "Full oracle; batch equivalence in tests/test_stream.py.",
 )
 def s_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -66,16 +75,41 @@ def s_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+from blspark.queries.extensions import SPLIT_BUCKET_SQL as _SPLIT_SQL
+from blspark.queries.extensions2 import SHARD_BUCKET_SQL as _SHARD_SQL
+
+_QUALITY_INGEST_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h,
+         string_split(text, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, h,
+         len(toks) AS n_words,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
+  FROM hashed
+)
+SELECT doc_id, lang,
+       CAST({_SHARD_SQL} AS INT) AS shard,
+       CAST(n_words AS BIGINT) AS n_words
+FROM m
+WHERE n_words BETWEEN 20 AND 100000
+  AND mwl BETWEEN 2.0 AND 10.0
+  AND n_stop > 0
+  AND ({_SPLIT_SQL}) < CASE WHEN lang = 'en' THEN 30 ELSE 100 END
+"""
+
+
 @register(
     "s_stream_quality_ingest",
-    oracle=None,
+    oracle=_QUALITY_INGEST_ORACLE,
     doc="Streaming continuous-ingest preprocessor: file-arrival stream "
     "over documents -> Gopher-style quality gate + stratified md5 "
     "sampling + deterministic shard assignment, all stateless map-side "
     "expressions (append mode, no state store at any corpus size) — the "
     "filter/route stage every training-data ingest runs before "
-    "dedup/write. Rows-only driver check; batch equivalence in "
-    "tests/test_stream.py.",
+    "dedup/write. Full oracle; batch equivalence in tests/test_stream.py.",
 )
 def s_stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -116,13 +150,23 @@ def _quality_ingest_transform(docs: DataFrame) -> DataFrame:
 
 @register(
     "s_stream_interval_join",
-    oracle=None,
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
     doc="Watermarked stream-stream interval join: clicks joined to "
     "purchases within 1 hour per user, BOTH sides streaming — the "
     "streaming twin of q_events_interval_join. The 2-hour watermarks "
     "bound join state (Spark drops buffered rows once the other side's "
     "watermark passes the interval), so state is O(events in window), "
-    "not O(stream). Rows-only driver check; exact batch equivalence in "
+    "not O(stream). Full oracle; exact batch equivalence in "
     "tests/test_stream.py::test_stream_stream_interval_join.",
 )
 def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +216,11 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_user_profile_tws",
-    oracle=None,
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases
+    FROM events GROUP BY user_id
+    """,
     doc="Per-user profile rollup via transformWithStateInPandas (Spark "
     "4's arbitrary-state v2 API, successor to applyInPandasWithState): "
     "a StatefulProcessor with a ValueState tuple (n_events, "
@@ -183,8 +231,7 @@ def s_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this container (no installs allowed) — when missing, the same "
     "semantics run through applyInPandasWithState (identical output, "
     "state, and O(users) bound; only the state API generation "
-    "differs). Rows-only driver check; batch equivalence in "
-    "tests/test_stream.py.",
+    "differs). Full oracle; batch equivalence in tests/test_stream.py.",
 )
 def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -291,7 +338,9 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_dedup_within_watermark",
-    oracle=None,
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
     doc="Streaming key dedup with bounded state: "
     "dropDuplicatesWithinWatermark on (user_id, event_type) under a "
     "1-hour event-time watermark — unlike global streaming "
@@ -299,8 +348,7 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     "passes it, so state is O(keys in window), not O(all keys ever) — "
     "the only viable form on an unbounded 100 TB/day stream. Output is "
     "the surviving key set (deterministic; which physical row survived "
-    "is not). Rows-only driver check; batch-distinct equivalence in "
-    "tests/test_stream.py.",
+    "is not). Full oracle; batch-distinct equivalence in tests/test_stream.py.",
 )
 def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -320,7 +368,16 @@ def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "s_stream_enrich_static",
-    oracle=None,
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           COALESCE(d.user_purchases, 0) AS user_purchases
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    WHERE e.event_type = 'click'
+    """,
     doc="Stream-static broadcast enrichment: the events stream joined "
     "map-side to a static per-user profile dimension (derived "
     "deterministically from batch events: each user's purchase count). "
@@ -329,8 +386,8 @@ def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     "a sink. The broadcast hint presumes the profile dim fits executor "
     "memory; for a users-table that outgrows it, drop the hint and the "
     "stream-static join shuffles the batch side instead (stream side "
-    "still never accumulates state). Rows-only driver check; batch "
-    "equivalence in tests/test_stream.py.",
+    "still never accumulates state). Full oracle; batch equivalence in "
+    "tests/test_stream.py.",
 )
 def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.catalog import load_table
