@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_mix_epochs",
     "q_scd2_merge",
     "q_zscore_anomalies",
+    "x_resample_ffill",
     "s_stream_enrich_static",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.

@@ -702,3 +702,83 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("z") > 3.0) | (F.col("z") < -3.0))
         .select("event_id", "event_type", "value", "z")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + forward fill (gap-free hourly grid, LOCF)
+# ---------------------------------------------------------------------------
+
+
+def _resample_oracle() -> str:
+    from blspark.catalog import o_davg
+
+    return f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1 FROM ev
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    ), hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n, {o_davg('value')} AS mean_v
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.h AS hour,
+           COALESCE(hr.n, 0) AS n_events,
+           LAST_VALUE(hr.mean_v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS mean_value_ffill
+    FROM grid g LEFT JOIN hourly hr
+      ON hr.event_type = g.event_type AND hr.h = g.h
+    """
+
+
+@register(
+    "x_resample_ffill",
+    oracle=_resample_oracle(),
+    doc="Time-series resample: a gap-free hourly grid per event_type "
+    "(calendar from one tiny min/max aggregate, broadcast) left-joined "
+    "to hourly aggregates; missing hours get zero counts and "
+    "last-observation-carried-forward means (last(ignoreNulls) window "
+    "per type). The pandas resample+ffill idiom, distributed: grid "
+    "size is |types|x|hours| (metadata-scale), facts shuffle once "
+    "into hourly partials, the LOCF window is keyed by type.",
+)
+def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), davg("value").alias("mean_v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("mean_v", ignorenulls=True).over(w).alias("mean_value_ffill"),
+        )
+    )
