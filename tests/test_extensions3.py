@@ -108,3 +108,18 @@ def test_table_profile_null_accounting(spark):
     for c, r in out.items():
         assert r.n + r.n_null == total, c
         assert r.min_v <= r.max_v, c
+
+
+def test_resample_ffill_grid_is_complete(spark):
+    rows = REG["x_resample_ffill"].spark_fn(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    spans = {len(v) for v in by_type.values()}
+    assert len(spans) == 1  # every type covers the identical hourly grid
+    for rows_t in by_type.values():
+        rows_t.sort(key=lambda r: r.hour)
+        hours = [r.hour for r in rows_t]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        )  # gap-free
