@@ -123,3 +123,21 @@ def test_resample_ffill_grid_is_complete(spark):
         assert all(
             (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
         )  # gap-free
+
+
+def test_priority_list_names_all_registered():
+    """A typo in catalog._PRIORITY silently drops the query out of the
+    driver's checked budget — every listed name must exist, and the
+    first 50 slots must all carry oracles or be deliberate rows-only."""
+    from blspark.catalog import _PRIORITY, registry
+
+    reg = registry()
+    missing = [n for n in _PRIORITY if n not in reg]
+    assert missing == [], f"priority names not registered: {missing}"
+    dupes = [n for n in _PRIORITY if _PRIORITY.count(n) > 1]
+    assert dupes == [], f"duplicate priority entries: {dupes}"
+    first50 = list(reg)[:50]
+    no_oracle = [n for n in first50 if not reg[n].oracle]
+    assert no_oracle == [], (
+        f"first-50 slots without oracle (wasted hash budget): {no_oracle}"
+    )
