@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scd2_merge",
     "q_zscore_anomalies",
     "x_resample_ffill",
+    "x_padding_efficiency",
     "s_stream_enrich_static",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.

@@ -782,3 +782,62 @@ def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("mean_v", ignorenulls=True).over(w).alias("mean_value_ffill"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batch padding-efficiency report (length-bucketed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_padding_efficiency",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+    ), b AS (
+      SELECT doc_id, n_toks,
+             CASE WHEN n_toks <= 32 THEN 32
+                  WHEN n_toks <= 64 THEN 64
+                  WHEN n_toks <= 128 THEN 128
+                  ELSE 256 END AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS sum_tokens,
+           MAX(n_toks) AS max_tokens,
+           COUNT(*) * MAX(n_toks) - SUM(n_toks) AS padding_waste,
+           SUM(n_toks) / (COUNT(*) * MAX(n_toks)) AS efficiency
+    FROM b GROUP BY bucket
+    """,
+    doc="Training-batch padding-efficiency report: docs bucketed by "
+    "token length (32/64/128/256 caps), per bucket the padding waste "
+    "and efficiency if batched at the bucket's observed max — the "
+    "analysis that decides length-bucketed batching vs packing. "
+    "Map-side bucketing + a 4-group aggregate; exact-int math, one "
+    "deterministic ratio.",
+)
+def x_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    bucket = (
+        F.when(n_toks <= 32, 32)
+        .when(n_toks <= 64, 64)
+        .when(n_toks <= 128, 128)
+        .otherwise(256)
+    )
+    return (
+        docs.select(n_toks.alias("n_toks"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+            (F.count("*") * F.max("n_toks") - F.sum("n_toks")).alias(
+                "padding_waste"
+            ),
+            (F.sum("n_toks") / (F.count("*") * F.max("n_toks"))).alias(
+                "efficiency"
+            ),
+        )
+    )
