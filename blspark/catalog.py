@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_zscore_anomalies",
     "x_resample_ffill",
     "x_padding_efficiency",
+    "x_lsh_eval",
     "s_stream_enrich_static",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.

@@ -841,3 +841,99 @@ def x_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: candidate precision/recall vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def _lsh_eval_oracle() -> str:
+    from blspark.ext.dedup import SHINGLE_V_SQL
+    from blspark.queries.extensions import CORPUS_SQL, SHINGLES_SQL, _MH, _band_sql
+
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {SHINGLES_SQL},
+    hv AS (
+      SELECT id, {SHINGLE_V_SQL} AS v
+      FROM (SELECT id, md5(shingle) AS h FROM sh) t
+    ),
+    sig AS (SELECT id, {_MH} FROM hv GROUP BY id),
+    bands AS (
+      SELECT id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM sig
+      UNION ALL
+      SELECT id, 1 AS band_idx, {_band_sql(1)} AS band_hash FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand c JOIN truth t
+              ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_tp,
+           (SELECT COUNT(*) FROM cand c JOIN truth t
+              ON c.id_a = t.id_a AND c.id_b = t.id_b)
+             / (SELECT COUNT(*) FROM cand) AS precision,
+           (SELECT COUNT(*) FROM cand c JOIN truth t
+              ON c.id_a = t.id_a AND c.id_b = t.id_b)
+             / (SELECT COUNT(*) FROM truth) AS recall
+    """
+
+
+@register(
+    "x_lsh_eval",
+    oracle=_lsh_eval_oracle(),
+    doc="LSH quality evaluation as a first-class query: MinHash band "
+    "candidates vs the exact-Jaccard>=0.5 ground truth (inverted-index "
+    "join) on the planted-duplicate corpus — candidate count, truth "
+    "count, true positives, precision, recall. The metric that tunes "
+    "bands/rows before a 100 TB run (the exact side is the expensive "
+    "baseline you run once at sample scale; the LSH side is what "
+    "ships).",
+)
+def x_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
+    sh = arrs.select("id", F.explode("shset").alias("shingle"))
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
+    truth = jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    tp = cand.join(truth, ["id_a", "id_b"])
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_tp = tp.count()
+    arrs.unpersist()
+    return spark.createDataFrame(
+        [(n_cand, n_truth, n_tp)],
+        "n_candidates long, n_truth long, n_tp long",
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        (F.col("n_tp") / F.col("n_candidates")).alias("precision"),
+        (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+    )
