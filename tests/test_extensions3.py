@@ -141,3 +141,34 @@ def test_priority_list_names_all_registered():
     assert no_oracle == [], (
         f"first-50 slots without oracle (wasted hash budget): {no_oracle}"
     )
+
+
+def test_lsh_eval_metrics_are_consistent(spark):
+    r = REG["x_lsh_eval"].spark_fn(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.n_tp <= min(r.n_candidates, r.n_truth)
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    # verified LSH candidates (full-band matches) should recall most of
+    # the planted near-dups at 8 hashes x 2 bands
+    assert r.recall >= 0.9
+
+
+def test_padding_efficiency_bounds(spark):
+    for r in REG["x_padding_efficiency"].spark_fn(spark, SF_SMOKE).collect():
+        assert r.max_tokens <= r.bucket
+        assert r.padding_waste == r.n_docs * r.max_tokens - r.sum_tokens
+        assert 0.0 < r.efficiency <= 1.0
+
+
+def test_scd2_version_accounting(spark):
+    from pyspark.sql import functions as F
+
+    out = REG["q_scd2_merge"].spark_fn(spark, SF_SMOKE)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    n = cust.count()
+    n_changed = cust.filter(F.col("c_custkey") % 10 == 0).count()
+    n_new = cust.filter(F.col("c_custkey") % 97 == 0).count()
+    assert out.count() == n + n_changed + n_new
+    # every changed key has a closed v1 and an open v2
+    v1_closed = out.filter((F.col("version") == 1) & ~F.col("is_current")).count()
+    assert v1_closed == n_changed
+    assert out.filter((F.col("version") == 2) & ~F.col("is_current")).count() == 0
