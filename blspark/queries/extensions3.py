@@ -937,3 +937,31 @@ def x_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tp") / F.col("n_candidates")).alias("precision"),
         (F.col("n_tp") / F.col("n_truth")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-phase exact distinct count (the skew-proof COUNT DISTINCT shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_distinct_twophase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_types
+    FROM pairs GROUP BY user_id
+    """,
+    doc="Exact per-key distinct count as two partial-aggregatable "
+    "phases: dedupe (key, value) pairs, then count per key. Equivalent "
+    "to COUNT(DISTINCT value) but every phase map-side combines, so a "
+    "hot key's duplicates collapse before the shuffle — the skew-proof "
+    "form of exact distinct (the lever noted in SCALE.md skew "
+    "findings; Spark's expand-based COUNT DISTINCT buffers a hot key "
+    "on one reducer instead).",
+)
+def x_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_types"))
