@@ -172,3 +172,26 @@ def test_scd2_version_accounting(spark):
     v1_closed = out.filter((F.col("version") == 1) & ~F.col("is_current")).count()
     assert v1_closed == n_changed
     assert out.filter((F.col("version") == 2) & ~F.col("is_current")).count() == 0
+
+
+def test_observation_metrics_on_pipeline(spark):
+    """df.observe() collects pipeline metrics (row counts, sums) as a
+    side effect of the normal action — the zero-cost monitoring hook a
+    production ingest attaches to every stage (no second pass over the
+    data, unlike separate .count() calls)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from blspark.catalog import load_table
+
+    obs = Observation("ingest_stats")
+    docs = load_table(spark, SF_SMOKE, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_if(F.length("text") < 10).alias("n_tiny"),
+    )
+    n = docs.filter(F.col("doc_id") >= 0).count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["total_chars"] > 0 and got["n_tiny"] >= 0
