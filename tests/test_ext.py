@@ -182,3 +182,22 @@ def test_resize_byte_contract_and_partition_invariance(spark):
         for r in resize_images(media.repartition(7), 4, 5).collect()
     }
     assert repart == {i: bytes(out[i]["content"]) for i in out}
+
+
+def test_multimodal_arrow_path_matches_pandas_path(spark):
+    """mapInArrow decode (zero-copy batches) produces exactly the
+    mapInPandas result."""
+    from blspark.catalog import load_table
+    from blspark.ext.multimodal import (
+        attach_binary,
+        decode_features_arrow,
+        decode_features_checked,
+    )
+    from tests.conftest import SF_SMOKE
+
+    media = attach_binary(
+        load_table(spark, SF_SMOKE, "documents").limit(100), "text"
+    )
+    a = sorted(map(tuple, decode_features_arrow(media).collect()))
+    b = sorted(map(tuple, decode_features_checked(media).collect()))
+    assert len(a) == 100 and a == b
