@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_padding_efficiency",
     "x_lsh_eval",
     "x_distinct_twophase",
+    "x_sequence_pattern",
     "s_stream_enrich_static",
     # round-1/2 greens, unchanged since their last check, ordered
     # prior-never-checked first should the budget grow.

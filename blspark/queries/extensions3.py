@@ -965,3 +965,52 @@ def x_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select("user_id", "event_type").distinct()
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_types"))
+
+
+# ---------------------------------------------------------------------------
+# ordered-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sequence_pattern",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY CAST(ts AS TIMESTAMP),
+                        event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN regexp_matches(seq, 'click click click')
+                THEN TRUE ELSE FALSE END AS matched,
+           CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_events
+    FROM ordered
+    """,
+    doc="Behavioral sequence-pattern match (MATCH_RECOGNIZE-lite): each "
+    "user's event types concatenated in (ts, event_id) order, then a "
+    "consecutive-run regex (three back-to-back clicks). One "
+    "grouped sort per user — state is one string per user, the "
+    "distributed form of per-entity pattern mining; for unbounded "
+    "per-user histories window the sequence by session first.",
+)
+def x_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("seq").rlike("click click click").alias("matched"),
+            "n_events",
+        )
+    )
