@@ -35,17 +35,25 @@ from blspark.catalog import (
            {o_dstd('o_totalprice')} AS stddev_value,
            COUNT(o_totalprice) AS n_rows
     FROM orders
-    WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1995 AND 1997
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
       AND o_totalprice IS NOT NULL
     """,
     doc="Q1: mean + sample stddev (ddof=1) over a year-range slice. "
-    "Ref report_processor.py:99-116 (A1/A2/A3/P6/P8).",
+    "Ref report_processor.py:99-116 (A1/A2/A3/P6/P8). The year range "
+    "is written as sargable timestamp bounds, NOT year(col) BETWEEN: "
+    "a function over the column defeats parquet predicate pushdown "
+    "(only IsNotNull reached the scan), while the range form pushes "
+    "down and prunes row groups by min/max — the difference between "
+    "scanning 3 years and scanning everything at 100 TB.",
     bench=True,
 )
 def q1_population_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     filtered = orders.filter(
-        F.year("o_orderdate").between(1995, 1997) & F.col("o_totalprice").isNotNull()
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("o_totalprice").isNotNull()
     )
     return filtered.agg(
         davg("o_totalprice").alias("mean_value"),

@@ -115,3 +115,10 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     for line, sub in _subtrees(plan, "Exchange hashpartitioning"):
         assert "digest" in line, line
         assert "text" not in line, "document bodies in the shuffle key!"
+
+
+def test_q1_date_range_pushes_down(spark):
+    plan = _formatted(spark, "q1_population_stats")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(o_orderdate" in m.group(1)
+    assert "LessThan(o_orderdate" in m.group(1)
