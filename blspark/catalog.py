@@ -78,36 +78,76 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- slots 1-7: NEW round-3 operators (BM25 retrieval, PII scrub,
-    # per-source caps, VariantType access, Python UDTF, TF-IDF keywords,
-    # table profiling) — need their first hard driver signal.
-    "x_bm25_topk",
-    "x_text_redact_pii",
-    "x_source_cap_topk",
-    "x_variant_json",
-    "x_udtf_bigrams",
-    "x_tfidf_keywords",
-    "x_table_profile",
-    # -- slots 8-12: oracles changed this round (nanosecond-timestamp
-    # truncation portability) — fresh green rows required.
-    "q_events_sessionize",
-    "q_events_interval_join",
-    "q_window_rank_lag",
-    "q_window_moving_avg",
-    "q_window_first_last",
-    # -- slots 13-20: physical plans changed this round (shuffle-merge
-    # pin / fan_out removal) — results must be re-proven.
-    "q_shipping_priority",
+    # -- slots 1-20: the 20 queries that have NEVER had a driver
+    # CORRECTNESS row (r1 checked registration order, r2/r3 the priority
+    # blocks; these fell outside every 50-slot budget — verified green
+    # locally each round, but the driver's hash is the hard signal).
+    "q_scd2_merge",
+    "q_zscore_anomalies",
+    "x_concat_blocks",
+    "x_mix_epochs",
+    "x_resample_ffill",
+    "x_padding_efficiency",
+    "x_lsh_eval",
+    "x_distinct_twophase",
+    "x_sequence_pattern",
+    "s_stream_user_profile_tws",
+    "s_stream_dedup_within_watermark",
+    "s_stream_enrich_static",
+    "s_stream_dedup_exact",
+    "s_stream_quality_ingest",
+    "s_stream_interval_join",
+    "x_similarity_ivf",
+    "x_multimodal_decode",
+    "x_kmeans_clusters",
+    "x_approx_sketches",
+    "x_multimodal_resize",
+    # -- next: NEW round-4 operators — first hard driver signal.
+    "x_dedup_simhash64",
+    "x_dedup_simhash_hamming",
+    "x_dedup_components_star",
+    "x_similarity_ann_multiprobe",
+    "q_sync_merge",
+    "x_source_cap_topk",  # plan changed r4 (skew pre-filter) — re-prove
+    "x_udtf_bigrams",  # code changed r4 (null guard) — re-prove
+    # -- heavy join shapes newly added to the bench set — fresh rows
+    # alongside their first BENCH appearance.
+    "q_market_share",
+    "q_product_profit",
+    # -- capability-table anchors (extension cores, BLS IO parity,
+    # streaming oracle twins) re-checked each round.
+    "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
     "x_dedup_simhash",
-    "x_dedup_embedding_cosine",
     "x_dedup_components",
-    "x_decontaminate",
     "x_similarity_cosine_topk",
-    # -- slots 21-42: oracle-checked queries never inside any round's
-    # driver budget (r01 checked registration order, r02 the priority
-    # block; these fell outside both).
+    "x_similarity_ann_lsh",
+    "x_similarity_ivf_checked",
+    "x_kmeans_checked",
+    "x_multimodal_decode_checked",
+    "x_multimodal_resize_checked",
+    "q_bls_pipeline_parity",
+    "s_stream_events_hourly",
+    "s_stream_sessionize_stateful",
+    "x_decontaminate",
+    "x_dedup_embedding_cosine",
+    # -- remaining budget: bench-set TPC-H shapes and high-traffic
+    # round-3 greens, freshest-signal-last.
+    "q_shipping_priority",
+    "q_regional_revenue",
+    "q_events_sessionize",
+    "q_events_interval_join",
+    "x_bm25_topk",
+    "x_tfidf_keywords",
+    "x_text_redact_pii",
+    "x_variant_json",
+    "x_table_profile",
+    # -- slot 51+ — prior greens unchanged since their last check,
+    # never-checked-longest-ago first should the budget grow.
+    "q_window_rank_lag",
+    "q_window_moving_avg",
+    "q_window_first_last",
     "q_min_cost_supplier",
     "q_order_priority_check",
     "q_linestatus_priority_counts",
@@ -117,8 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_disjunctive_filter_revenue",
     "q_idle_rich_customers",
     "q_forecast_revenue",
-    "q_market_share",
-    "q_product_profit",
     "q_important_parts",
     "q_top_supplier",
     "q_supplier_part_counts",
@@ -129,37 +167,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_array_functions",
     "x_map_from_json",
     "x_text_bpe_tokens",
-    "x_multimodal_resize_checked",
-    # -- slots 43-50: capability-table anchors (extension cores, BLS IO
-    # parity, streaming rows-only twins) re-checked each round.
-    "x_dedup_exact",
-    "x_similarity_ann_lsh",
-    "x_similarity_ivf_checked",
-    "x_kmeans_checked",
-    "x_multimodal_decode_checked",
-    "q_bls_pipeline_parity",
-    # streaming twins gained full oracles in round 3 (availableNow
-    # drains are deterministic) — first-ever hash rows
-    "s_stream_events_hourly",
-    "s_stream_sessionize_stateful",
-    # -- slot 51+ — r02 greens unchanged since their check, then the
-    # newer streaming ops (also now oracle-checked)
     "x_sketch_accuracy_checked",
     "x_embed_label_centroids",
-    "s_stream_user_profile_tws",
-    "s_stream_dedup_within_watermark",
-    "x_concat_blocks",
-    "x_mix_epochs",
-    "q_scd2_merge",
-    "q_zscore_anomalies",
-    "x_resample_ffill",
-    "x_padding_efficiency",
-    "x_lsh_eval",
-    "x_distinct_twophase",
-    "x_sequence_pattern",
-    "s_stream_enrich_static",
-    # round-1/2 greens, unchanged since their last check, ordered
-    # prior-never-checked first should the budget grow.
     "q_sync_classify",
     "q_conditional_agg",
     "q_funnel_conversion",
@@ -188,18 +197,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_fingerprint",
     "x_text_ngram_freq",
     "x_text_chunk_windows",
-    "q_regional_revenue",
     "q_returned_items",
     "q_large_orders",
     "q_nation_pairs_volume",
-    "s_stream_dedup_exact",
-    "s_stream_quality_ingest",
-    "s_stream_interval_join",
-    "x_similarity_ivf",
-    "x_multimodal_decode",
-    "x_kmeans_clusters",
-    "x_approx_sketches",
-    "x_multimodal_resize",
     "x_dedup_apply",
 )
 

@@ -255,6 +255,116 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bit_sums.select("id", simhash.cast("long").alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens, as two 32-bit
+    halves ``(id, sh_hi, sh_lo)`` — packing all 64 bits into one BIGINT
+    would need bit 63, which overflows signed 64-bit arithmetic under
+    ANSI mode (the driver session runs ANSI on). Token hash = first 16
+    hex nibbles of md5 split 8/8 into hi/lo 32-bit values via positional
+    arithmetic (portable to any SQL engine); bit b of each half is the
+    sign of the per-bit ±1 sum over tokens.
+
+    The 16-bit ``simhash16`` saturates at ~thousands of documents
+    (birthday bound on 65536 values); 64 bits is the corpus-scale width.
+    One tokenize + one 64-aggregate pass; no pairwise work."""
+    # the nibble must widen to BIGINT before the multiply: at 16^7 the
+    # product exceeds INT32 and errors under ANSI mode
+    nib = "CAST(instr('0123456789abcdef', substr(h,{p},1)) - 1 AS BIGINT)"
+    hi_expr = " + ".join(
+        f"{nib.format(p=j + 1)} * {16 ** (7 - j)}" for j in range(8)
+    )
+    lo_expr = " + ".join(
+        f"{nib.format(p=j + 9)} * {16 ** (7 - j)}" for j in range(8)
+    )
+    tokens = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn("v_hi", F.expr(f"CAST({hi_expr} AS BIGINT)"))
+        .withColumn("v_lo", F.expr(f"CAST({lo_expr} AS BIGINT)"))
+    )
+    aggs = []
+    for half in ("hi", "lo"):
+        for b in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(F.expr(f"(v_{half} div {2 ** b}) % 2 = 1"), 1).otherwise(-1)
+                ).alias(f"s_{half}{b}")
+            )
+    bit_sums = tokens.groupBy("id").agg(*aggs)
+    packed = {}
+    for half in ("hi", "lo"):
+        acc = None
+        for b in range(32):
+            term = F.when(F.col(f"s_{half}{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            acc = term if acc is None else acc + term
+        packed[half] = acc.cast("long")
+    return bit_sums.select(
+        "id", packed["hi"].alias("sh_hi"), packed["lo"].alias("sh_lo")
+    )
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate candidate pairs from 64-bit SimHash fingerprints
+    ``(id, sh_hi, sh_lo)`` with Hamming distance <= ``max_hamming``
+    (default 3), WITHOUT an all-pairs join: split the 64 bits into 4
+    16-bit blocks — by pigeonhole, any pair within Hamming 3 agrees
+    exactly on at least one block — and self-join per (block_idx,
+    block_value) bucket, then verify the exact distance with
+    xor + bit_count on the two halves. Returns (id_a, id_b, hamming),
+    id_a < id_b.
+
+    Scale: the bucket join shuffles (id, 2 bigints) per block, never
+    text; random 16-bit blocks collide at ~n²/2^16 per block, so the
+    candidate set stays near-linear until n ~ 10^5 per partition-able
+    bucket domain — and AQE skew-join splits any pathological bucket.
+    For max_hamming > 3, widen to (max_hamming + 1) narrower blocks."""
+    fp = fingerprints
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"), expr.alias("block_val")
+            )
+            for i, expr in enumerate(
+                [
+                    F.expr("sh_hi div 65536"),
+                    F.expr("sh_hi % 65536"),
+                    F.expr("sh_lo div 65536"),
+                    F.expr("sh_lo % 65536"),
+                ]
+            )
+        ]
+    )
+    banded = fp.select(
+        "id", "sh_hi", "sh_lo", F.explode(blocks).alias("blk")
+    ).select("id", "sh_hi", "sh_lo", "blk.block_idx", "blk.block_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi"))
+    ) + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -286,19 +396,22 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
+    # localCheckpoint per round, not just persist: persist caches the
+    # data but keeps the full logical plan, which references the prior
+    # round's labels on BOTH sides of the join — the plan tree doubles
+    # every round and planning (not execution) dies past ~15 rounds.
+    # Checkpointing truncates the lineage to the materialized result.
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lab")
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
-        prev = labels
-        labels = (
-            prev.join(nbr, prev.node == nbr.node2, "left")
+        stepped = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
             .select(
                 "node",
                 F.least(
@@ -306,13 +419,100 @@ def connected_components(
                 ).alias("lab"),
                 F.col("lab").alias("old_lab"),
             )
-        ).persist()
-        changed = labels.filter(F.col("lab") != F.col("old_lab")).count()
-        labels = labels.drop("old_lab")
-        prev.unpersist(blocking=False)
+        ).localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = stepped.drop("old_lab")
         if changed == 0:
             break
-    out = labels.select("node", F.col("lab").alias("component"))
-    result = out.localCheckpoint(eager=True)
-    labels.unpersist(blocking=False)
-    return result
+    return labels.select("node", F.col("lab").alias("component"))
+
+
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star (``large=True``) or small-star round over a
+    directed edge frame ``(u, v)`` viewed as an undirected graph.
+
+    For each node u with neighborhood G(u) and m = min(G(u) + {u}):
+    large-star emits (v, m) for v in G(u), v > u (strictly larger
+    neighbors hook onto the local minimum); small-star emits (v, m) for
+    v in G(u), v < u plus (u, m) (the node and its smaller neighbors
+    collapse onto it). Self-loops are dropped, edges deduped."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    j = sym.join(m, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        hooked = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = j.select("u", F.col("m").alias("v")).distinct()
+        out = hooked.unionByName(self_edge)
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "id",
+    max_rounds: int | None = None,
+    converge_check: bool = True,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log n)-round variant that survives adversarially
+    long chains (spam template families), where min-label propagation
+    (``connected_components``) needs diameter rounds with a driver
+    round-trip each.
+
+    Each round halves-or-better the depth of every tree: large-star
+    hooks strictly larger neighbors onto the local minimum, small-star
+    collapses the rest. At the fixpoint the edge set is a star per
+    component centered at the component's minimum id, so labels read off
+    directly. Round count is FIXED up front at ceil(log2(n)) + 2 (one
+    count of ``nodes``, no per-round driver decision — the convergence
+    count in the min-label variant serializes the whole cluster on the
+    driver once per round at 100x scale). With ``converge_check`` a
+    single edge-set-stability check runs after the budget and adds
+    rounds in the (theoretically possible, never observed) case the
+    bound was short, keeping the result unconditionally exact.
+
+    Returns (node, component) for every node in ``nodes`` (singletons
+    label themselves)."""
+    import math
+
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if max_rounds is None:
+        n = max(nodes.count(), 2)
+        max_rounds = max(2, int(math.ceil(math.log2(n))) + 2)
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # localCheckpoint per round: iterative self-joins otherwise double
+        # the logical plan every iteration (planning alone goes quadratic)
+        e = _star_round(_star_round(e, large=True), large=False)
+        e = e.localCheckpoint(eager=True)
+    if converge_check:
+        for _ in range(max_rounds):
+            nxt = _star_round(_star_round(e, large=True), large=False)
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.exceptAll(e).unionByName(e.exceptAll(nxt)).isEmpty():
+                break
+            e = nxt
+    centers = e.groupBy("u").agg(F.min("v").alias("center"))
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(centers, F.col("node") == F.col("u"), "left")
+        .select(
+            "node", F.coalesce(F.col("center"), F.col("node")).alias("component")
+        )
+    )
+    return out

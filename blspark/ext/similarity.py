@@ -213,6 +213,20 @@ def label_centroids(
     )
 
 
+def probe_sequence(bucket: Column, n_planes: int, probes: int) -> Column:
+    """Multi-probe bucket list for a query: its own bucket first, then
+    the buckets at Hamming distance 1 in sign-bit order (flip bit 0, bit
+    1, ...), truncated to ``probes`` entries. A near-miss neighbor sits
+    just across ONE hyperplane with high probability, so probing the
+    1-bit-flip buckets recovers most of the recall a single-bucket probe
+    loses — for the cost of ``probes`` lookups per query instead of one,
+    and with NO extra corpus-side work (the corpus is never exploded)."""
+    cands = [bucket] + [
+        bucket.bitwiseXOR(F.lit(2**i)) for i in range(n_planes)
+    ]
+    return F.array(*cands[:probes])
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,11 +234,17 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (``probes`` = 1) or its bucket plus the nearest 1-bit-flip buckets
+    (multi-probe, ``probes`` > 1 — the recall lever that costs probe
+    fan-out on the tiny query side only).
     Returns (query_id, neighbor_id, cosine, rank). At scale the bucketed
     equi-join shuffles each side once on the bucket id instead of a full
-    cross product; recall is tuned by hyperplane count / multi-probe."""
+    cross product; each corpus vector lives in exactly one bucket and a
+    query's probe buckets are distinct, so (query, neighbor) pairs stay
+    unique without a distinct."""
     # Norms hoisted out of the bucketed join (see cosine_topk).
     c = hyperplane_buckets(
         with_double_vec(corpus, vec_col), hyperplanes
@@ -240,7 +260,9 @@ def hyperplane_lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         _norm(F.col("vec")).alias("qnorm"),
-        "bucket",
+        F.explode(
+            probe_sequence(F.col("bucket"), len(hyperplanes), probes)
+        ).alias("bucket"),
     )
     ca = c.alias("c")
     qa = q.alias("q")

@@ -262,6 +262,101 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_corpus(spark, sf_dir), "doc_id", "text")
 
 
+def _simhash64_fp_sql() -> str:
+    """DuckDB CTE body computing (id, sh_hi, sh_lo) 64-bit SimHash
+    fingerprints — the oracle twin of blspark.ext.dedup.simhash64."""
+    nib = "CAST(instr('0123456789abcdef', substr(h,{p},1)) - 1 AS BIGINT)"
+    hi_expr = " + ".join(f"{nib.format(p=j + 1)} * {16 ** (7 - j)}" for j in range(8))
+    lo_expr = " + ".join(f"{nib.format(p=j + 9)} * {16 ** (7 - j)}" for j in range(8))
+    s_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (v_{half} // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS s_{half}{b}"
+        for half in ("hi", "lo")
+        for b in range(32)
+    )
+    packs = {
+        half: " + ".join(
+            f"(CASE WHEN s_{half}{b} > 0 THEN {2 ** b} ELSE 0 END)"
+            for b in range(32)
+        )
+        for half in ("hi", "lo")
+    }
+    return f"""
+    toks64 AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM corpus
+      ) raw
+    ),
+    tv64 AS (
+      SELECT id, CAST({hi_expr} AS BIGINT) AS v_hi,
+                 CAST({lo_expr} AS BIGINT) AS v_lo
+      FROM (SELECT id, md5(tok) AS h FROM toks64) t
+    ),
+    sums64 AS (
+      SELECT id,
+         {s_cols}
+      FROM tv64 GROUP BY id
+    ),
+    fp64 AS (
+      SELECT id, CAST({packs['hi']} AS BIGINT) AS sh_hi,
+                 CAST({packs['lo']} AS BIGINT) AS sh_lo
+      FROM sums64
+    )
+    """
+
+
+@register(
+    "x_dedup_simhash64",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {_simhash64_fp_sql()}
+    SELECT id, sh_hi, sh_lo FROM fp64
+    """,
+    doc="64-bit SimHash fingerprints as two 32-bit halves (bit 63 in one "
+    "BIGINT would overflow signed arithmetic under ANSI mode). The "
+    "16-bit variant saturates at ~thousands of docs (birthday bound); "
+    "64 bits is the corpus-scale width. One tokenize + one aggregation "
+    "pass, no pairwise work. blspark/ext/dedup.py:simhash64.",
+)
+def x_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import simhash64
+
+    return simhash64(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+_HAM64 = (
+    "CAST(bit_count(xor(a.sh_hi, b.sh_hi))"
+    " + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT)"
+)
+
+
+@register(
+    "x_dedup_simhash_hamming",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {_simhash64_fp_sql()}
+    SELECT a.id AS id_a, b.id AS id_b, {_HAM64} AS hamming
+    FROM fp64 a JOIN fp64 b ON a.id < b.id
+    WHERE {_HAM64} <= 3
+    """,
+    doc="SimHash near-dup candidates: pairs within Hamming distance 3 of "
+    "their 64-bit fingerprints — WITHOUT an all-pairs join. The 64 bits "
+    "split into 4 x 16-bit blocks; pigeonhole says any pair within "
+    "Hamming 3 matches at least one block exactly, so a per-(block_idx, "
+    "block_value) bucket self-join generates candidates and xor + "
+    "bit_count verifies the exact distance. Oracle does the provably "
+    "equivalent all-pairs filter (fine at oracle scale; the banded form "
+    "is the 100 TB path). blspark/ext/dedup.py:simhash_hamming_pairs.",
+)
+def x_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import simhash64, simhash_hamming_pairs
+
+    fp = simhash64(_corpus(spark, sf_dir), "doc_id", "text")
+    return simhash_hamming_pairs(fp, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -364,6 +459,74 @@ def x_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
     out = hyperplane_lsh_topk(
         emb, queries, hyperplanes, id_col="vec_id", vec_col="embedding", k=3
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+MULTIPROBE_ORACLE = f"""
+WITH hp AS (
+  SELECT vec_id AS hid, embedding::DOUBLE[] AS h FROM embeddings WHERE vec_id < 4
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+dots AS (
+  SELECT v.vec_id, hp.hid, {_DOT.format(a='v.vec', b='hp.h')} AS d
+  FROM vecs v, hp
+),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d >= 0 THEN CAST(2 AS BIGINT) ** hid ELSE 0 END) AS INT)
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+c AS (
+  SELECT v.vec_id AS neighbor_id, v.vec, b.bucket
+  FROM vecs v JOIN buck b ON b.vec_id = v.vec_id
+),
+q AS (
+  SELECT v.vec_id AS query_id, v.vec AS qvec, u.pb AS bucket
+  FROM vecs v
+  JOIN buck b ON b.vec_id = v.vec_id,
+  UNNEST([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2)]) u(pb)
+  WHERE v.vec_id >= 5 AND v.vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DOT.format(a='c.vec', b='q.qvec')}
+           / ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')}) AS cos_raw
+  FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@register(
+    "x_similarity_ann_multiprobe",
+    oracle=MULTIPROBE_ORACLE,
+    doc="Multi-probe hyperplane-LSH top-3: each query probes its own "
+    "sign bucket plus the two nearest 1-bit-flip buckets (probes=3). "
+    "Single-bucket probing is the recall ceiling x_lsh_eval measures; a "
+    "near-miss neighbor sits just across one hyperplane, so flipping "
+    "one sign bit recovers it — probe fan-out lands on the tiny query "
+    "side only, the corpus is never exploded. "
+    "blspark/ext/similarity.py:probe_sequence.",
+)
+def x_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("h"))
+        .collect()
+    )
+    hyperplanes = [list(r["h"]) for r in hp_rows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = hyperplane_lsh_topk(
+        emb, queries, hyperplanes, id_col="vec_id", vec_col="embedding",
+        k=3, probes=3,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -747,6 +910,28 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
     nodes = corpus.select("doc_id")
     return connected_components(pairs, nodes, id_col="doc_id")
+
+
+@register(
+    "x_dedup_components_star",
+    oracle=COMPONENTS_ORACLE,
+    doc="Duplicate clusters via alternating large-star/small-star "
+    "contraction (blspark.ext.dedup.connected_components_star) — the "
+    "O(log n)-round components variant for adversarially long chains "
+    "(spam template families), where min-label propagation needs "
+    "diameter rounds. Round budget is FIXED at ceil(log2(n)) + 2 (no "
+    "per-round driver convergence decision); a single post-budget "
+    "stability check keeps the result unconditionally exact. Same "
+    "near-dup graph and recursive-CTE oracle as x_dedup_components.",
+)
+def x_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components_star, jaccard_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
+    nodes = corpus.select("doc_id")
+    return connected_components_star(pairs, nodes, id_col="doc_id")
 
 
 # md5-derived 24-bit hash of the doc id (reuses the shingle hex-nibble

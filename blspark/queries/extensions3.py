@@ -234,9 +234,10 @@ def x_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-source corpus cap: keep the top-20 docs per source by the "
     "composite quality score (domain balancing, the CommonCrawl-style "
-    "per-domain cap). One window keyed by source; for skewed "
-    "mega-sources pre-filter on an approx_percentile quality threshold "
-    "before the exact window.",
+    "per-domain cap). A histogram-based skew pre-filter "
+    "(source_cap_prefilter) shrinks each source to ~slack*cap rows "
+    "before the exact window, so a mega-source never pushes its full "
+    "row count through one window sort.",
 )
 def x_source_cap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -246,11 +247,74 @@ def x_source_cap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(n / F.lit(100.0), F.lit(1.0))
         + F.size(F.array_distinct(toks)) / n
     ) / F.lit(2.0)
+    scored = docs.select("source", "doc_id", quality.alias("quality"))
+    pruned = source_cap_prefilter(scored, cap=20)
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
-        docs.select("source", "doc_id", quality.alias("quality"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
+        .select("source", "doc_id", "quality", "rank")
+    )
+
+
+def source_cap_prefilter(
+    scored: DataFrame,
+    cap: int,
+    slack: int = 4,
+    n_bins: int = 10000,
+    key_col: str = "source",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Skew pre-filter for per-key top-``cap`` windows: GUARANTEED to
+    keep a superset of every key's exact top-``cap`` rows while cutting
+    a mega-key's window input from its full row count to roughly
+    ``slack * cap`` (+ boundary-bin ties).
+
+    Mechanism (exact, no approx_percentile — a per-key percentile
+    fraction cannot even be a constant argument): quantize the score
+    into ``n_bins`` histogram bins, count rows per (key, bin) — a tiny,
+    fully partial-aggregatable aggregate — take the running count from
+    the top bin down, and find each key's highest bin where the running
+    count reaches ``slack * cap``. Keeping every row at-or-above that
+    bin keeps >= slack*cap rows per key, which necessarily includes the
+    exact top-cap (the kept set is upward-closed in score, and ties at
+    the boundary share a bin so tie-breaking never loses a row). Keys
+    with fewer than slack*cap rows get no threshold and pass through
+    whole. Scores are assumed in [0, ~2]; bins clamp via floor().
+
+    The downstream window then sorts ~slack*cap rows per key instead of
+    the key's full population — the difference between a mega-source
+    serializing 10^9 rows through one partition's sort and a constant-
+    size sort, at the cost of one extra small shuffle (keys x bins)."""
+    bin_col = F.floor(F.col(score_col) * n_bins).cast("long")
+    hist = (
+        scored.select(F.col(key_col).alias("_k"), bin_col.alias("_bin"))
+        .groupBy("_k", "_bin")
+        .agg(F.count("*").alias("_n"))
+    )
+    wcum = (
+        Window.partitionBy("_k")
+        .orderBy(F.desc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        hist.withColumn("_cum", F.sum("_n").over(wcum))
+        .filter(F.col("_cum") >= slack * cap)
+        .groupBy("_k")
+        .agg(F.max("_bin").alias("_thr_bin"))
+    )
+    # no broadcast hint: thr has one row per key and the key domain
+    # (e.g. web domains) grows with the corpus — AQE sizes the join
+    return (
+        scored.join(
+            thr,
+            scored[key_col] == thr["_k"],
+            "left",
+        )
+        .filter(
+            F.col("_thr_bin").isNull() | (bin_col >= F.col("_thr_bin"))
+        )
+        .drop("_k", "_thr_bin")
     )
 
 
@@ -319,6 +383,8 @@ def x_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, bigram string")
     class Bigrams:
         def eval(self, text: str):
+            if text is None:
+                return
             toks = text.split(" ")
             for i in range(len(toks) - 1):
                 yield i, toks[i] + " " + toks[i + 1]
@@ -672,8 +738,9 @@ def _anomaly_oracle() -> str:
     SELECT e.event_id, e.event_type, e.value,
            (e.value - s.mean_v) / s.std_v AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE (e.value - s.mean_v) / s.std_v > 3.0
-       OR (e.value - s.mean_v) / s.std_v < -3.0
+    WHERE s.std_v <> 0
+      AND ((e.value - s.mean_v) / s.std_v > 3.0
+        OR (e.value - s.mean_v) / s.std_v < -3.0)
     """
 
 
@@ -695,6 +762,10 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         davg("value").alias("mean_v"), dstd("value").alias("std_v")
     )
+    # Drop degenerate constant-value groups (std = 0) identically to the
+    # oracle: engines disagree on double x/0 (NULL vs ±Infinity), so the
+    # guard must live on both sides, not rely on divide semantics.
+    stats = stats.filter(F.col("std_v") != 0)
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -917,25 +988,30 @@ def x_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
+    arrs = shingle_sets(corpus, "doc_id", "text", n=3)
     sh = arrs.select("id", F.explode("shset").alias("shingle"))
     sig = minhash_signatures(sh, n_hashes=8)
     cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
     truth = jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
     tp = cand.join(truth, ["id_a", "id_b"])
-    n_cand = cand.count()
-    n_truth = truth.count()
-    n_tp = tp.count()
-    arrs.unpersist()
-    return spark.createDataFrame(
-        [(n_cand, n_truth, n_tp)],
-        "n_candidates long, n_truth long, n_tp long",
-    ).select(
-        "n_candidates",
-        "n_truth",
-        "n_tp",
-        (F.col("n_tp") / F.col("n_candidates")).alias("precision"),
-        (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+    # Stay a single lazy plan (registry convention: spark_fn builds a
+    # plan, never executes): three 1-row count aggregates cross-joined
+    # (broadcast NLJ over single rows). Identical shingle subtrees are
+    # deduplicated by Catalyst's ReusedExchange at execution time, so
+    # no persist/collect is needed.
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").alias("n_tp"))
+    return (
+        n_cand.crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_tp",
+            (F.col("n_tp") / F.col("n_candidates")).alias("precision"),
+            (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+        )
     )
 
 

@@ -265,9 +265,15 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from pyspark.sql.types import LongType, StructField, StructType
 
-        # transformWithState requires the RocksDB state store provider
+        # transformWithState requires the RocksDB state store provider.
+        # Save the previous provider so it can be restored after the run —
+        # leaving it set would silently switch every later stateful query
+        # (dedup-within-watermark, sessionize, interval join) to RocksDB
+        # depending on execution order.
+        _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        _prev_provider = spark.conf.get(_PROVIDER_KEY, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            _PROVIDER_KEY,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
@@ -332,7 +338,14 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    name = run_available_now(out, output_mode="update")
+    try:
+        name = run_available_now(out, output_mode="update")
+    finally:
+        if _HAS_TWS:
+            if _prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, _prev_provider)
     return spark.table(name)
 
 

@@ -58,3 +58,39 @@ def q_sync_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("md5"),
     )
     return classify_mirror(remote, mirror)
+
+
+@register(
+    "q_sync_merge",
+    oracle="""
+    SELECT 'f' || CAST(doc_id AS VARCHAR) AS key, md5(text) AS md5
+    FROM documents WHERE doc_id % 7 <> 0
+    """,
+    doc="MERGE INTO-shaped plan application (blspark.sync.merge_manifest): "
+    "the classification plan from q_sync_classify applied to the mirror "
+    "manifest in one full-outer join — WHEN MATCHED delete/update, WHEN "
+    "NOT MATCHED insert. The oracle is the CONVERGENCE INVARIANT itself: "
+    "the post-merge manifest must equal the remote manifest exactly "
+    "(same key set, same checksums), which is what makes the mirror a "
+    "mirror. Ref sync_and_fetch.py:135-196.",
+)
+def q_sync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.sync import merge_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("key")
+    remote = docs.filter(F.col("doc_id") % 7 != 0).select(
+        key, F.md5(F.col("text").cast("binary")).alias("md5")
+    )
+    mirror = docs.filter(F.col("doc_id") % 5 != 0).select(
+        key,
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("drift"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("md5"),
+    )
+    plan = classify_mirror(remote, mirror)
+    return merge_manifest(mirror, plan)

@@ -78,6 +78,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orderkey), every dimension chain is broadcast (nation/region "
     "constant-sized; part/supplier/customer AQE-sized). Share = ratio of "
     "two exact decimal sums, one deterministic double division.",
+    bench=True,  # the widest join plan in the registry — benched r4+
 )
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -153,6 +154,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profit-expression shape). The profit expression is evaluated in "
     "IEEE doubles identically on both engines (mul-before-sub, "
     "left-assoc), then decimal-summed for order independence.",
+    bench=True,  # heaviest 5-join profit plan — benched r4+
 )
 def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -49,6 +49,39 @@ def classify_mirror(remote: DataFrame, mirror: DataFrame) -> DataFrame:
     return joined.withColumn("action", action)
 
 
+def merge_manifest(mirror: DataFrame, plan: DataFrame) -> DataFrame:
+    """Apply a classification plan to the mirror MANIFEST as one
+    MERGE INTO-shaped expression — the declarative twin of the
+    file-copying ``apply_mirror_local``:
+
+        MERGE INTO mirror m USING plan p ON m.key = p.key
+          WHEN MATCHED AND p.action = 'delete' THEN DELETE
+          WHEN MATCHED AND p.action = 'update' THEN UPDATE SET md5 = p.remote_md5
+          WHEN NOT MATCHED AND p.action = 'insert' THEN INSERT (key, md5)
+
+    Spark's MERGE INTO statement needs a v2/lakehouse table provider
+    (Delta/Iceberg); over plain manifests the same semantics are ONE
+    full-outer join — this form, not the SQL statement, is the
+    canonical engine-native MERGE here. Returns the post-merge manifest
+    (key, md5). Convergence invariant (tested): merging the plan
+    produced by ``classify_mirror(remote, mirror)`` yields exactly
+    ``remote``."""
+    p = plan.select("key", "remote_md5", "action")
+    m = mirror.select("key", F.col("md5").alias("mirror_md5"))
+    j = m.join(p, on="key", how="full_outer")
+    return (
+        j.filter(F.col("action").isNull() | (F.col("action") != "delete"))
+        .select(
+            "key",
+            F.when(
+                F.col("action").isin("insert", "update"), F.col("remote_md5")
+            )
+            .otherwise(F.col("mirror_md5"))
+            .alias("md5"),
+        )
+    )
+
+
 def apply_mirror_local(plan: DataFrame, src_dir: str, dst_dir: str) -> dict[str, int]:
     """Apply a classification plan between two local directories (the
     testable stand-in for the reference's HTTP→S3 copy). Copies happen

@@ -62,6 +62,42 @@ def test_simhash_identical_texts_equal_fingerprints(docs):
     assert fps[1] != fps[3]
 
 
+def test_simhash64_halves_and_exact_dups(docs):
+    from blspark.ext.dedup import simhash64
+
+    fps = {
+        r["id"]: (r["sh_hi"], r["sh_lo"])
+        for r in simhash64(docs, "doc_id", "text").collect()
+    }
+    assert fps[1] == fps[4]  # identical texts -> identical fingerprints
+    assert all(0 <= h < 2**32 and 0 <= lo < 2**32 for h, lo in fps.values())
+    assert fps[1] != fps[3]
+
+
+def test_simhash_hamming_banded_equals_all_pairs(docs):
+    """The 4x16-bit banded candidate join must produce exactly the
+    all-pairs Hamming<=3 set (pigeonhole guarantee)."""
+    from blspark.ext.dedup import simhash64, simhash_hamming_pairs
+
+    fp = simhash64(docs, "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(fp, max_hamming=3).collect()
+    }
+    rows = {r["id"]: (r["sh_hi"], r["sh_lo"]) for r in fp.collect()}
+    want = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(rows[a][0] ^ rows[b][0]).count("1") + bin(
+                rows[a][1] ^ rows[b][1]
+            ).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert got[(1, 4)] == 0  # exact dup pair at distance zero
+
+
 def test_cosine_topk_self_similarity(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
@@ -154,6 +190,68 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_components_star_chain_and_singletons(spark):
+    from blspark.ext.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_components_star_long_chain_logn_rounds(spark):
+    """A 256-node chain (diameter 255 — min-label propagation would need
+    255 rounds) must fully converge inside the FIXED ceil(log2(n)) + 2
+    round budget with the post-budget convergence check disabled."""
+    import math
+
+    from blspark.ext.dedup import connected_components_star
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(8)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    budget = int(math.ceil(math.log2(n))) + 2
+    out = connected_components_star(
+        edges, nodes, max_rounds=budget, converge_check=False
+    )
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}  # every node labeled with the chain minimum
+
+
+def test_components_star_matches_minlabel_on_random_graph(spark):
+    """Star contraction and min-label propagation must agree on an
+    arbitrary (seeded) random graph, components and singletons alike."""
+    import random
+
+    from blspark.ext.dedup import connected_components, connected_components_star
+
+    rng = random.Random(42)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    a = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edf, ndf).collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components(edf, ndf).collect()
+    }
+    assert a == b
 
 
 def test_resize_byte_contract_and_partition_invariance(spark):

@@ -78,3 +78,31 @@ def test_ivf_recall_at_k_bounds_and_monotone_in_nprobe(spark):
     for lo, hi in zip(probes, probes[1:]):
         assert recalls[hi] >= recalls[lo] - 1e-9  # monotone in nprobe
     assert recalls[n_cells] == 1.0  # full probe == exact (recall view)
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Multi-probe hyperplane LSH: probing 1-bit-flip neighbor buckets
+    must never lose recall vs single-bucket probing (candidate superset
+    by construction), and the probe-1 result must be a subset of every
+    wider probe's candidate pool."""
+    from blspark.ext.similarity import hyperplane_lsh_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    hp_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("h"))
+        .collect()
+    )
+    hyperplanes = [list(r["h"]) for r in hp_rows]
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    exact = cosine_topk(emb, queries, k=3).collect()
+    recalls = {}
+    for probes in (1, 3, 5):
+        approx = hyperplane_lsh_topk(
+            emb, queries, hyperplanes, k=3, probes=probes
+        ).collect()
+        recalls[probes] = _recall_at_k(exact, approx, k=3)
+    assert recalls[1] > 0  # single-probe floor on test data
+    for lo, hi in ((1, 3), (3, 5)):
+        assert recalls[hi] >= recalls[lo] - 1e-9  # monotone in probes

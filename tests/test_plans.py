@@ -89,10 +89,7 @@ def test_regional_revenue_dims_broadcast(spark):
 
 def test_concat_blocks_single_partition_windows_are_post_aggregate(spark):
     plan = _plan(spark, "x_concat_blocks")
-    for line, sub in _subtrees(plan, "Window"):
-        if "SinglePartition" in line or "SinglePartition" in sub.split("\n")[0:1]:
-            pass
-    # stronger check: any single-partition exchange feeds from an
+    # any single-partition exchange feeds from an
     # aggregate (the tiny shard-totals frame), never the raw scan
     for line, sub in _subtrees(plan, "Exchange SinglePartition"):
         assert "HashAggregate" in sub, "full-data single-partition exchange!"

@@ -256,7 +256,12 @@ def test_stream_user_profile_tws_equals_batch(spark):
     from blspark.catalog import load_table, registry
     from tests.conftest import SF_SMOKE
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    provider_before = spark.conf.get(provider_key, None)
     got = registry()["s_stream_user_profile_tws"].spark_fn(spark, SF_SMOKE)
+    # the RocksDB provider the TWS path needs must not leak into the
+    # shared session (order-dependent side effect on later stateful runs)
+    assert spark.conf.get(provider_key, None) == provider_before
     want = (
         load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")

@@ -53,6 +53,40 @@ def test_mirror_end_to_end_local(spark, tmp_path):
     assert counts2 == {"insert": 0, "update": 0, "skip": 2, "delete": 0}
 
 
+def test_merge_manifest_converges_and_matches_apply_path(spark, tmp_path):
+    """The declarative MERGE (merge_manifest over manifests) and the
+    file-copying apply path (apply_mirror_local over directories) must
+    land on the SAME mirror state — and that state is exactly the
+    remote manifest (convergence invariant)."""
+    from blspark.sync import merge_manifest
+
+    src = tmp_path / "remote"
+    dst = tmp_path / "mirror"
+    src.mkdir()
+    dst.mkdir()
+    (src / "a.txt").write_text("alpha")
+    (src / "b.txt").write_text("beta")
+    (dst / "b.txt").write_text("BETA-OLD")
+    (dst / "c.txt").write_text("gamma")
+
+    remote = file_manifest(spark, str(src))
+    mirror = file_manifest(spark, str(dst))
+    plan = classify_mirror(remote, mirror)
+
+    merged = {
+        (r["key"], r["md5"]) for r in merge_manifest(mirror, plan).collect()
+    }
+    want = {(r["key"], r["md5"]) for r in remote.collect()}
+    assert merged == want  # convergence: post-merge manifest == remote
+
+    # and the file-level apply path re-scans to the identical manifest
+    apply_mirror_local(plan, str(src), str(dst))
+    rescanned = {
+        (r["key"], r["md5"]) for r in file_manifest(spark, str(dst)).collect()
+    }
+    assert rescanned == merged
+
+
 def test_newest_key_lexicographic(spark):
     df = listing_manifest(
         spark,
