@@ -104,14 +104,71 @@ def remote_manifest(
     fetch: Callable[[str], bytes] | None = None,
 ) -> DataFrame:
     """Manifest (key, md5, size) of an HTML-indexed remote directory:
-    scrape the index, fetch each file with streamed MD5. The per-file
-    fetch parallelizes over executors at real scale via an RDD of URLs;
-    driver-side here since manifests are small and the fetcher is
-    injectable."""
+    scrape the index (one small page, driver-side), then fetch each
+    file with streamed MD5 ON EXECUTORS — a DataFrame of URLs through
+    ``mapInPandas``, so a million-file listing fans out across the
+    cluster instead of serializing through a driver loop. The
+    injectable ``fetch`` closure ships to the Python workers (it must
+    be picklable, as test fetchers are)."""
+    return _fetch_over_executors(spark, base_url, fetch=fetch, staging_dir=None)
+
+
+def stage_remote_distributed(
+    spark: SparkSession,
+    base_url: str,
+    staging_dir: str,
+    fetch: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """Fetch every file of an HTML-indexed remote directory into
+    ``staging_dir`` executor-side and return the manifest
+    (key, md5, size). ``staging_dir`` must be a path every executor can
+    write (shared FS / object store mount; trivially true in local
+    mode) — the body bytes never pass through the driver."""
+    return _fetch_over_executors(
+        spark, base_url, fetch=fetch, staging_dir=staging_dir
+    )
+
+
+def _fetch_over_executors(
+    spark: SparkSession,
+    base_url: str,
+    fetch: Callable[[str], bytes] | None,
+    staging_dir: str | None,
+) -> DataFrame:
+    import os
+
     listing_html = fetch_url_with_md5(base_url, fetch=fetch)[0].decode("utf-8")
     names = parse_directory_listing(listing_html)
-    rows = []
-    for name in names:
-        body, digest = fetch_url_with_md5(base_url.rstrip("/") + "/" + name, fetch=fetch)
-        rows.append((name, digest, len(body)))
-    return spark.createDataFrame(rows, "key string, md5 string, size long")
+    base = base_url.rstrip("/")
+    urls = spark.createDataFrame(
+        [(n, f"{base}/{n}") for n in names], "key string, url string"
+    )
+    # spread the IO: one file list row is seconds of network work, so
+    # partition by file count, not by input bytes
+    n_parts = max(1, min(len(names), spark.sparkContext.defaultParallelism))
+    urls = urls.repartition(n_parts)
+
+    def fetch_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, md5s, sizes = [], [], []
+            for key, url in zip(pdf["key"], pdf["url"]):
+                body, digest = fetch_url_with_md5(url, fetch=fetch)
+                if staging_dir is not None:
+                    path = os.path.join(staging_dir, key)
+                    os.makedirs(os.path.dirname(path) or staging_dir, exist_ok=True)
+                    with open(path, "wb") as f:
+                        f.write(body)
+                keys.append(key)
+                md5s.append(digest)
+                sizes.append(len(body))
+            yield pd.DataFrame({"key": keys, "md5": md5s, "size": sizes})
+
+    out = urls.mapInPandas(fetch_batches, "key string, md5 string, size long")
+    if staging_dir is not None:
+        os.makedirs(staging_dir, exist_ok=True)
+        # materialize now: staging must be complete before a downstream
+        # apply step reads it, and re-execution would re-download
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -25,7 +25,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 
 from blspark.clean import coerce_numeric, resolve_column, trim_string_columns
-from blspark.io.ingest import fetch_url_with_md5, remote_manifest
+from blspark.io.ingest import fetch_url_with_md5, stage_remote_distributed
 from blspark.io.manifest import file_manifest, local_listing, newest_key
 from blspark.io.readers import read_json_records, read_padded_tsv
 from blspark.io.sinks import timestamped_name
@@ -47,16 +47,12 @@ def sync_job(
         remote = file_manifest(spark, source)
         src_dir = source
     else:
-        remote = remote_manifest(spark, source, fetch=fetch)
-        # materialize remote files into a staging dir so apply can copy
+        # stage remote files EXECUTOR-SIDE (mapInPandas over the URL
+        # frame — the bodies never pass through the driver) so apply
+        # can copy them; one download serves both manifest and staging
         src_dir = os.path.join(mirror_dir, "..", "_staging")
         os.makedirs(src_dir, exist_ok=True)
-        for r in remote.collect():
-            body, _ = fetch_url_with_md5(
-                source.rstrip("/") + "/" + r["key"], fetch=fetch
-            )
-            with open(os.path.join(src_dir, r["key"]), "wb") as f:
-                f.write(body)
+        remote = stage_remote_distributed(spark, source, src_dir, fetch=fetch)
     mirror = file_manifest(spark, mirror_dir) if os.listdir(mirror_dir) else None
     if mirror is None:
         from blspark.io.manifest import listing_manifest

@@ -75,6 +75,49 @@ def test_remote_manifest_and_sync_classification(spark):
     assert set(rows) == {"a.txt", "b.txt"}
 
 
+def test_remote_fetch_runs_on_executors_not_driver(spark, tmp_path):
+    """The per-file fetch must execute in executor Python workers, not a
+    driver loop: the injected fetcher drops a PID marker per call, and
+    every per-FILE fetch PID must differ from the driver's (Python
+    workers are separate processes even in local mode). Only the single
+    index-page fetch is allowed driver-side."""
+    import hashlib
+    import os
+
+    from blspark.io.ingest import stage_remote_distributed
+
+    files = {"a.txt": b"alpha", "b.txt": b"beta", "c.txt": b"gamma"}
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    inner = _fake_site(files)
+
+    def tracking_fetch(url: str) -> bytes:
+        name = url.rstrip("/").rsplit("/", 1)[-1]
+        (marker_dir / f"{name}.{os.getpid()}").touch()
+        return inner(url)
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    mf = stage_remote_distributed(
+        spark, "http://site/pr", str(staging), fetch=tracking_fetch
+    )
+    rows = {r["key"]: (r["md5"], r["size"]) for r in mf.collect()}
+    assert rows["a.txt"] == (hashlib.md5(b"alpha").hexdigest(), 5)
+    assert set(rows) == set(files)
+    # staged bodies written by executors, readable for the apply step
+    for name, body in files.items():
+        assert (staging / name).read_bytes() == body
+
+    driver_pid = os.getpid()
+    pids = {}
+    for m in os.listdir(marker_dir):
+        name, pid = m.rsplit(".", 1)
+        pids.setdefault(name, set()).add(int(pid))
+    assert pids["pr"] == {driver_pid}  # index page: driver-side, once
+    for name in files:
+        assert driver_pid not in pids[name], f"{name} fetched on the driver"
+
+
 def test_fetch_json_records(spark):
     payload = {"data": [{"Year": 2013, "Population": 1.0}], "source": []}
     df = fetch_json_records(
