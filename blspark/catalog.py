@@ -105,6 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- next: NEW round-4 operators — first hard driver signal.
     "x_dedup_simhash64",
     "x_dedup_simhash_hamming",
+    "x_dedup_span_fraction",
+    "x_dedup_incremental",
     "x_dedup_components_star",
     "x_similarity_ann_multiprobe",
     "q_sync_merge",

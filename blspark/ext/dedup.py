@@ -92,6 +92,59 @@ def word_shingles(
     )
 
 
+def positional_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """ALL n-word grams per document (positional, duplicates kept — the
+    multiset the span-level duplication metrics need, unlike the
+    set-semantics ``shingle_sets``), exploded: (id, gram). Documents
+    with fewer than ``n`` tokens are dropped. Same slice/zip_with
+    construction as ``shingle_sets`` (tokenize once, stream n shifted
+    slices), minus the array_distinct."""
+    toks = F.col("_toks")
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    gram = F.slice(toks, 1, n_grams)
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, n_grams)
+        gram = F.zip_with(gram, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .filter(F.size(toks) >= n)
+        .select("id", F.explode(gram).alias("gram"))
+    )
+
+
+def duplicated_span_fraction(
+    grams: DataFrame, min_doc_freq: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span fraction over positional n-grams
+    (id, gram): the fraction of a document's gram POSITIONS whose gram
+    occurs in at least ``min_doc_freq`` documents — the corpus-level
+    duplicate-text metric behind exact-substring dedup (span-level,
+    where Jaccard is set-level). Returns (id, n_grams, dup_fraction).
+
+    Scale: two partial-aggregatable aggregations (per-(id, gram)
+    counts, then per-gram doc frequency) and one join keyed by gram —
+    no pairwise work at all, so it runs where the pair-producing dedup
+    ops would blow up; integer-ratio division keeps the fraction
+    engine-deterministic."""
+    per = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    dfreq = per.groupBy("gram").agg(F.count("*").alias("df_"))
+    return (
+        per.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            (
+                F.sum(F.when(F.col("df_") >= min_doc_freq, F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # Affine-permutation minhash constants: minhash_s = (A[s]*v + B[s]) mod P
 # over a 24-bit shingle hash v. One MD5 per shingle (not one per seed) —
 # the permutations are integer arithmetic, portable to any SQL engine.

@@ -262,6 +262,78 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_corpus(spark, sf_dir), "doc_id", "text")
 
 
+@register(
+    "x_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    base AS (SELECT md5(text) AS digest FROM corpus WHERE doc_id % 3 = 0),
+    newb AS (
+      SELECT doc_id, md5(text) AS digest FROM corpus WHERE doc_id % 3 <> 0
+    ),
+    fresh AS (
+      SELECT n.doc_id, n.digest FROM newb n
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = n.digest)
+    )
+    SELECT digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM fresh GROUP BY digest
+    """,
+    doc="Incremental corpus dedup — the daily-crawl-increment shape: a "
+    "NEW batch deduped against the already-ingested BASE (digest "
+    "anti-join; no base re-processing) and then within itself (digest "
+    "group-by, min-id winner). Only 16-byte digests ever shuffle; the "
+    "anti-join is digest-keyed so the base side is its digest manifest, "
+    "not its bodies — at 100 TB the base manifest is what you keep hot "
+    "between increments. Base = doc_id%3==0, new = the rest, over the "
+    "planted-dup corpus.",
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    digest = F.md5(F.col("text").cast("binary")).alias("digest")
+    base = corpus.filter(F.col("doc_id") % 3 == 0).select(digest)
+    new = corpus.filter(F.col("doc_id") % 3 != 0).select("doc_id", digest)
+    fresh = new.join(base, "digest", "left_anti")
+    return fresh.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _gram8_sql() -> str:
+    concat = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(8))
+    return f"""
+    g8 AS (
+      SELECT id, unnest(list_transform(range(len(t) - 7), i -> {concat})) AS gram
+      FROM (SELECT doc_id AS id, string_split(text, ' ') AS t FROM corpus) tok
+      WHERE len(t) >= 8
+    )
+    """
+
+
+@register(
+    "x_dedup_span_fraction",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {_gram8_sql()},
+    per AS (SELECT id, gram, COUNT(*) AS c FROM g8 GROUP BY id, gram),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM per GROUP BY gram)
+    SELECT id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) / SUM(c) AS dup_fraction
+    FROM per JOIN dfreq USING (gram) GROUP BY id
+    """,
+    doc="Per-document duplicated-span fraction: share of a document's "
+    "positional 8-gram slots whose gram appears in >= 2 documents — the "
+    "span-level corpus-duplication metric behind exact-substring dedup "
+    "(Jaccard is set-level; this weights by how MUCH of the document is "
+    "duplicated text). Two partial-aggregatable aggregations + one "
+    "gram-keyed join, no pairwise work. "
+    "blspark/ext/dedup.py:duplicated_span_fraction.",
+)
+def x_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import duplicated_span_fraction, positional_ngrams
+
+    grams = positional_ngrams(_corpus(spark, sf_dir), "doc_id", "text", n=8)
+    return duplicated_span_fraction(grams)
+
+
 def _simhash64_fp_sql() -> str:
     """DuckDB CTE body computing (id, sh_hi, sh_lo) 64-bit SimHash
     fingerprints — the oracle twin of blspark.ext.dedup.simhash64."""

@@ -143,11 +143,71 @@ def bench_cosine(spark, factor: int) -> float:
     return dt
 
 
+def bench_simhash_hamming(spark, factor: int) -> float:
+    from blspark.ext.dedup import simhash64, simhash_hamming_pairs
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    fp = simhash64(docs, "doc_id", "text")
+    n = simhash_hamming_pairs(fp, max_hamming=3).count()
+    dt = time.perf_counter() - t0
+    print(f"  simhash_hamming x{factor}: {dt:.2f}s ({n} pairs)", flush=True)
+    return dt
+
+
+def bench_span_fraction(spark, factor: int) -> float:
+    from blspark.ext.dedup import duplicated_span_fraction, positional_ngrams
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    grams = positional_ngrams(docs, "doc_id", "text", n=8)
+    n = duplicated_span_fraction(grams).count()
+    dt = time.perf_counter() - t0
+    print(f"  span_fraction x{factor}: {dt:.2f}s ({n} docs)", flush=True)
+    return dt
+
+
+def bench_components_star(spark, factor: int) -> float:
+    """Chain graph growing with factor — the adversarial-diameter case
+    the star variant exists for (min-label would scale rounds with n)."""
+    from blspark.ext.dedup import connected_components_star
+
+    n_nodes = 4096 * factor
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    edges = spark.range(n_nodes - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).repartition(32)
+    t0 = time.perf_counter()
+    comps = (
+        connected_components_star(edges, nodes)
+        .agg(F.countDistinct("component").alias("n"))
+        .collect()[0]["n"]
+    )
+    dt = time.perf_counter() - t0
+    print(f"  components_star x{factor}: {dt:.2f}s ({comps} comps)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,
+    "simhash_hamming": bench_simhash_hamming,
+    "span_fraction": bench_span_fraction,
+    "components_star": bench_components_star,
 }
 
 

@@ -62,6 +62,24 @@ def test_simhash_identical_texts_equal_fingerprints(docs):
     assert fps[1] != fps[3]
 
 
+def test_duplicated_span_fraction(docs):
+    """Exact dups -> fraction 1.0; the near-dup (one appended token)
+    shares all but its final 8-gram; unique docs -> 0.0; docs under 8
+    tokens are dropped."""
+    from blspark.ext.dedup import duplicated_span_fraction, positional_ngrams
+
+    grams = positional_ngrams(docs, "doc_id", "text", n=8)
+    out = {
+        r["id"]: (r["n_grams"], r["dup_fraction"])
+        for r in duplicated_span_fraction(grams).collect()
+    }
+    assert out[1] == (6, 1.0)  # 13 tokens -> 6 grams, all shared with doc 4
+    assert out[4] == (6, 1.0)
+    assert out[2] == (7, 6 / 7)  # near-dup: only the appended-token gram unique
+    assert out[3] == (3, 0.0)  # unique text (10 tokens -> 3 grams)
+    assert 5 not in out  # "short text" has < 8 tokens
+
+
 def test_simhash64_halves_and_exact_dups(docs):
     from blspark.ext.dedup import simhash64
 
