@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_incremental",
     "x_dedup_components_star",
     "x_similarity_ann_multiprobe",
+    "x_retrieval_hybrid",
     "q_sync_merge",
     "x_source_cap_topk",  # plan changed r4 (skew pre-filter) — re-prove
     "x_udtf_bigrams",  # code changed r4 (null guard) — re-prove

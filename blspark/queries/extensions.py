@@ -603,6 +603,126 @@ def x_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+HYBRID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(len(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM tok WHERE len(t) >= 3
+  ) raw
+),
+rare AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+  ) t WHERE df <= 20
+),
+rt AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cands AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM rt q JOIN rt c ON q.shingle = c.shingle AND q.id <> c.id
+  WHERE q.id < 5
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+scored AS (
+  SELECT cands.query_id, cands.neighbor_id,
+         {_DOT.format(a='ce.vec', b='qe.vec')}
+           / ({_NORM.format(a='ce.vec')} * {_NORM.format(a='qe.vec')}) AS cos_raw
+  FROM cands
+  JOIN emb qe ON qe.vec_id = cands.query_id
+  JOIN emb ce ON ce.vec_id = cands.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+@register(
+    "x_retrieval_hybrid",
+    oracle=HYBRID_ORACLE,
+    doc="Two-stage hybrid retrieval (query-by-example, 5 query docs): "
+    "stage 1 recalls candidates LEXICALLY — docs sharing a selective "
+    "3-word shingle (df <= 20) with the query, an inverted-index join "
+    "that never touches embeddings — and stage 2 reranks only those "
+    "candidates by exact embedding cosine. The standard "
+    "recall-then-rerank shape: dense scoring cost scales with "
+    "|candidates|, not |corpus| (vs the brute-force "
+    "x_similarity_cosine_topk cross product); the df cap is the same "
+    "stopword-fanout lever as n-gram Jaccard's max_doc_freq.",
+)
+def x_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= 20)
+        .select("shingle")
+    )
+    rt = sh.join(rare, "shingle")
+    q = rt.filter(F.col("id") < 5).alias("q")
+    c = rt.alias("c")
+    cands = (
+        q.join(
+            c,
+            (F.col("q.shingle") == F.col("c.shingle"))
+            & (F.col("q.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+
+    emb = with_double_vec(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).select("vec_id", "vec", _norm(F.col("vec")).alias("nrm"))
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnorm"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnorm"),
+    )
+    scored = (
+        cands.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm"))
+            ).alias("cos_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 @register(
     "x_embed_label_centroids",
     oracle="""

@@ -117,3 +117,32 @@ def test_csv_malformed_rows_permissive_and_dropmalformed(spark, tmp_path):
         .csv(str(f))
     )
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """DPP: a partitioned fact joined on its partition column with a
+    FILTERED dim must get a runtime `dynamicpruningexpression` on the
+    scan — the join's build side prunes fact partitions before they are
+    read. At 100 TB this is the difference between scanning one
+    partition and scanning the table when the filter lives on the dim,
+    not the fact."""
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(p)
+    fact = spark.read.parquet(p)
+    years = (
+        orders.select("o_year")
+        .distinct()
+        .withColumn("pick", F.col("o_year") % 7)
+    )
+    dim = years.filter(F.col("pick") == 3).select("o_year")
+    joined = fact.join(dim, "o_year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    want = {r["o_year"] for r in dim.collect()}
+    got = {r["o_year"] for r in joined.select("o_year").distinct().collect()}
+    assert got == want and got  # pruned result is exactly the picked years
