@@ -45,6 +45,45 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_layout_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scan-optimized parquet layout — the three levers that matter when
+    the OUTPUT of a pipeline stage is the INPUT of the next 100 TB scan:
+
+    - ``partition_by``: directory-level pruning for low-cardinality keys
+    - ``sort_by``: clustering within each output task/file, so parquet
+      row-group min/max stats become selective and point/range filters
+      skip row groups (a random layout makes every min/max span the
+      whole domain — stats exist but prune nothing)
+    - ``max_records_per_file``: bounds file size from above; with the
+      repartition below sizing tasks, it also bounds the small-file
+      explosion from below (both tails hurt: huge files serialize one
+      task, tiny files melt the listing/footer path)
+
+    Rows are first repartitioned on the partition columns so each
+    (partition value) is written by few tasks (not |tasks| x |values|
+    files), then sorted within tasks on partition + sort keys."""
+    out = df
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    if partition_by or sort_by:
+        out = out.sortWithinPartitions(*(list(partition_by) + list(sort_by)))
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def format_numbers(df: DataFrame, columns: list[str], decimals: int = 2) -> DataFrame:
     """Display formatting `f"{x:,.2f}"` parity (reference
     report_processor.py:128-129,259) via F.format_number — presentation

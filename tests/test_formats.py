@@ -146,3 +146,36 @@ def test_dynamic_partition_pruning_on_join(spark, tmp_path):
     want = {r["o_year"] for r in dim.collect()}
     got = {r["o_year"] for r in joined.select("o_year").distinct().collect()}
     assert got == want and got  # pruned result is exactly the picked years
+
+
+def test_write_layout_parquet_sorted_bounded_files(spark, tmp_path):
+    """Layout sink contract: maxRecordsPerFile bounds every data file,
+    files are internally sorted on the sort key (what makes parquet
+    row-group min/max stats selective), and partition dirs exist."""
+    import glob as _glob
+
+    from blspark.io.sinks import write_layout_parquet
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    p = str(tmp_path / "layout")
+    write_layout_parquet(
+        li,
+        p,
+        partition_by=("l_returnflag",),
+        sort_by=("l_shipdate",),
+        max_records_per_file=500,
+    )
+    files = _glob.glob(f"{p}/l_returnflag=*/**/*.parquet", recursive=True)
+    assert len(files) > 1  # size bound split the output
+    total = 0
+    for f in files:
+        part = spark.read.parquet(f)
+        n = part.count()
+        total += n
+        assert n <= 500  # per-file record cap holds
+        dates = [r["l_shipdate"] for r in part.select("l_shipdate").collect()]
+        assert dates == sorted(dates)  # file-internal clustering
+    assert total == li.count()  # nothing lost or duplicated
