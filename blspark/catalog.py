@@ -135,10 +135,13 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "x_decontaminate",
     "x_dedup_embedding_cosine",
-    # -- remaining budget: bench-set TPC-H shapes and high-traffic
-    # round-3 greens, freshest-signal-last.
+    # -- remaining budget (the 50-slot boundary falls inside this
+    # block — with the round-4 additions, q_regional_revenue is slot
+    # 50): bench-set TPC-H shapes re-proven, then high-traffic round-3
+    # greens just past the boundary should the budget grow.
     "q_shipping_priority",
     "q_regional_revenue",
+    # -- slot 51+ — prior greens unchanged since their last check.
     "q_events_sessionize",
     "q_events_interval_join",
     "x_bm25_topk",
@@ -146,8 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_variant_json",
     "x_table_profile",
-    # -- slot 51+ — prior greens unchanged since their last check,
-    # never-checked-longest-ago first should the budget grow.
     "q_window_rank_lag",
     "q_window_moving_avg",
     "q_window_first_last",

@@ -376,7 +376,15 @@ def simhash_hamming_pairs(
     text; random 16-bit blocks collide at ~n²/2^16 per block, so the
     candidate set stays near-linear until n ~ 10^5 per partition-able
     bucket domain — and AQE skew-join splits any pathological bucket.
-    For max_hamming > 3, widen to (max_hamming + 1) narrower blocks."""
+    For max_hamming > 3, widen to (max_hamming + 1) narrower blocks —
+    enforced below, because with 4 blocks a pair differing in 4+ bits
+    can straddle every block and would be SILENTLY dropped."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit block "
+            "scheme's pigeonhole guarantee (<= 3); use more, narrower "
+            "blocks for larger radii"
+        )
     fp = fingerprints
     blocks = F.array(
         *[
@@ -554,12 +562,23 @@ def connected_components_star(
         e = _star_round(_star_round(e, large=True), large=False)
         e = e.localCheckpoint(eager=True)
     if converge_check:
-        for _ in range(max_rounds):
+        # run until the edge set is STABLE — this is what makes the
+        # result unconditionally exact even if the fixed budget was
+        # short (the proven worst case for alternating stars is
+        # O(log^2 n) rounds; log n + 2 is the observed-practice bound).
+        # The safety cap only guards against a logic bug looping
+        # forever; hitting it raises rather than returning wrong labels.
+        for attempt in range(16 * max_rounds + 16):
             nxt = _star_round(_star_round(e, large=True), large=False)
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.exceptAll(e).unionByName(e.exceptAll(nxt)).isEmpty():
                 break
             e = nxt
+        else:
+            raise RuntimeError(
+                "connected_components_star failed to reach an edge-set "
+                f"fixpoint within {16 * max_rounds + 16} extra rounds"
+            )
     centers = e.groupBy("u").agg(F.min("v").alias("center"))
     out = (
         nodes.select(F.col(id_col).alias("node"))

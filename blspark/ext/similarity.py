@@ -221,6 +221,12 @@ def probe_sequence(bucket: Column, n_planes: int, probes: int) -> Column:
     1-bit-flip buckets recovers most of the recall a single-bucket probe
     loses — for the cost of ``probes`` lookups per query instead of one,
     and with NO extra corpus-side work (the corpus is never exploded)."""
+    if probes > n_planes + 1:
+        raise ValueError(
+            f"probes={probes} exceeds the {n_planes + 1} distinct "
+            "1-bit-flip buckets available with "
+            f"{n_planes} hyperplanes (own bucket + one flip per plane)"
+        )
     cands = [bucket] + [
         bucket.bitwiseXOR(F.lit(2**i)) for i in range(n_planes)
     ]

@@ -165,10 +165,13 @@ def _fetch_over_executors(
                 sizes.append(len(body))
             yield pd.DataFrame({"key": keys, "md5": md5s, "size": sizes})
 
-    out = urls.mapInPandas(fetch_batches, "key string, md5 string, size long")
     if staging_dir is not None:
         os.makedirs(staging_dir, exist_ok=True)
-        # materialize now: staging must be complete before a downstream
-        # apply step reads it, and re-execution would re-download
-        out = out.localCheckpoint(eager=True)
-    return out
+    out = urls.mapInPandas(fetch_batches, "key string, md5 string, size long")
+    # ALWAYS materialize: the fetch plan is lazy, so without a
+    # checkpoint every downstream action (count + collect, both join
+    # sides, ...) would re-download the whole remote directory — and a
+    # remote changing between actions would make two executions observe
+    # different manifests. Staging additionally must be complete before
+    # an apply step reads the files.
+    return out.localCheckpoint(eager=True)

@@ -996,9 +996,13 @@ def x_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = cand.join(truth, ["id_a", "id_b"])
     # Stay a single lazy plan (registry convention: spark_fn builds a
     # plan, never executes): three 1-row count aggregates cross-joined
-    # (broadcast NLJ over single rows). Identical shingle subtrees are
-    # deduplicated by Catalyst's ReusedExchange at execution time, so
-    # no persist/collect is needed.
+    # (broadcast NLJ over single rows). The shared shingle subtree IS
+    # re-evaluated per branch (~3x the tokenize+shingle cost — the
+    # branches' first exchanges differ, so ReuseExchange cannot dedupe
+    # them); accepted deliberately, same recompute-over-persist stance
+    # as jaccard_pairs — this is an offline tuning query run once at
+    # sample scale, and a persist inside a lazy-plan builder would leak
+    # past the function's lifetime.
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_tp = tp.agg(F.count("*").alias("n_tp"))

@@ -277,41 +277,53 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        state_schema = StructType(
-            [
-                StructField("n_events", LongType(), True),
-                StructField("n_purchases", LongType(), True),
-            ]
-        )
+        # everything from here through the drain runs under try/finally:
+        # a failure during plan CONSTRUCTION (e.g. a Spark build where
+        # transformWithStateInPandas raises at analysis time) must also
+        # restore the provider, not just a failure during execution
+        try:
+            state_schema = StructType(
+                [
+                    StructField("n_events", LongType(), True),
+                    StructField("n_purchases", LongType(), True),
+                ]
+            )
 
-        class UserProfile(StatefulProcessor):
-            def init(self, handle: StatefulProcessorHandle) -> None:
-                self._state = handle.getValueState("profile", state_schema)
+            class UserProfile(StatefulProcessor):
+                def init(self, handle: StatefulProcessorHandle) -> None:
+                    self._state = handle.getValueState("profile", state_schema)
 
-            def handleInputRows(self, key, rows, timerValues):
-                n_events, n_purchases = _accumulate(rows)
-                if self._state.exists():
-                    prev_events, prev_purchases = self._state.get()
-                    n_events += prev_events
-                    n_purchases += prev_purchases
-                self._state.update((n_events, n_purchases))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [n_events],
-                        "n_purchases": [n_purchases],
-                    }
-                )
+                def handleInputRows(self, key, rows, timerValues):
+                    n_events, n_purchases = _accumulate(rows)
+                    if self._state.exists():
+                        prev_events, prev_purchases = self._state.get()
+                        n_events += prev_events
+                        n_purchases += prev_purchases
+                    self._state.update((n_events, n_purchases))
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [n_events],
+                            "n_purchases": [n_purchases],
+                        }
+                    )
 
-            def close(self) -> None:
-                pass
+                def close(self) -> None:
+                    pass
 
-        out = stream.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=UserProfile(),
-            outputStructType=out_type,
-            outputMode="Update",
-            timeMode="None",
-        )
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=UserProfile(),
+                outputStructType=out_type,
+                outputMode="Update",
+                timeMode="None",
+            )
+            name = run_available_now(out, output_mode="update")
+        finally:
+            if _prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, _prev_provider)
+        return spark.table(name)
     else:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -338,14 +350,7 @@ def s_stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    try:
-        name = run_available_now(out, output_mode="update")
-    finally:
-        if _HAS_TWS:
-            if _prev_provider is None:
-                spark.conf.unset(_PROVIDER_KEY)
-            else:
-                spark.conf.set(_PROVIDER_KEY, _prev_provider)
+    name = run_available_now(out, output_mode="update")
     return spark.table(name)
 
 
