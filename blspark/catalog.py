@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_components_star",
     "x_similarity_ann_multiprobe",
     "x_retrieval_hybrid",
+    "x_dedup_semantic",
     "q_sync_merge",
     "x_source_cap_topk",  # plan changed r4 (skew pre-filter) — re-prove
     "x_udtf_bigrams",  # code changed r4 (null guard) — re-prove
@@ -136,12 +137,12 @@ _PRIORITY: tuple[str, ...] = (
     "x_decontaminate",
     "x_dedup_embedding_cosine",
     # -- remaining budget (the 50-slot boundary falls inside this
-    # block — with the round-4 additions, q_regional_revenue is slot
+    # block — with the round-4 additions, q_shipping_priority is slot
     # 50): bench-set TPC-H shapes re-proven, then high-traffic round-3
     # greens just past the boundary should the budget grow.
     "q_shipping_priority",
-    "q_regional_revenue",
     # -- slot 51+ — prior greens unchanged since their last check.
+    "q_regional_revenue",
     "q_events_sessionize",
     "q_events_interval_join",
     "x_bm25_topk",

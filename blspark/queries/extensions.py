@@ -723,6 +723,100 @@ def x_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted semantic near-dups: every 5th vector gets a copy (id+10000,
+# same label) with coordinate 0 shifted by +0.01 — cosine with its
+# original lands near 1.0 while random within-label pairs top out ~0.48
+# on this data, so a 0.9 threshold separates cleanly with no
+# boundary-ulp risk. (A scaled copy would be useless: scaling leaves
+# cosine exactly 1 but also tests nothing about near-duplicates.)
+SEMDEDUP_CORPUS_SQL = """
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label,
+         list_concat([embedding[1]::DOUBLE + CAST(0.01 AS DOUBLE)],
+                     (embedding::DOUBLE[])[2:]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE corpus AS ({SEMDEDUP_CORPUS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.v', b='b.v')}
+          / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')})
+        >= CAST(0.9 AS DOUBLE)
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM corpus
+  UNION
+  SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node, component, node = component AS survivor FROM comp
+"""
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=SEMDEDUP_ORACLE,
+    doc="Semantic dedup (SemDeDup shape): embedding near-duplicates "
+    "removed CLUSTER-LOCALLY — pairs are scored only within a cell "
+    "(here the label assignment; x_kmeans_clusters is the learned "
+    "path), so the quadratic term is bounded by cell size instead of "
+    "corpus size — the lever that makes embedding dedup feasible at "
+    "100 TB. cosine >= 0.9 pairs -> connected components (min-label; "
+    "dup clusters are shallow) -> min-id survivor per cluster. Returns "
+    "(node, component, survivor) for every corpus vector.",
+)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+
+    emb = with_double_vec(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).select("vec_id", "label", "vec")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at(F.col("vec"), 1) + F.lit(0.01)),
+            F.slice(F.col("vec"), 2, F.size(F.col("vec")) - 1),
+        ).alias("vec"),
+    )
+    corpus = emb.unionByName(planted)
+    sized = corpus.select(
+        "vec_id", "label", "vec", _norm(F.col("vec")).alias("nrm")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= F.lit(0.9)
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    comps = connected_components(
+        pairs, corpus.select("vec_id"), id_col="vec_id"
+    )
+    return comps.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("survivor"),
+    )
+
+
 @register(
     "x_embed_label_centroids",
     oracle="""
