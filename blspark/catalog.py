@@ -118,6 +118,13 @@ _PRIORITY: tuple[str, ...] = (
     # alongside their first BENCH appearance.
     "q_market_share",
     "q_product_profit",
+    # -- late-round-4 operators — first hard driver signal.
+    "x_lm_bigram_score",
+    "x_agg_state_merge",
+    "x_mad_outliers",
+    "x_bloom_prune_join",
+    "x_listagg_sorted",
+    "x_word_diversity",
     # -- capability-table anchors (extension cores, BLS IO parity,
     # streaming oracle twins) re-checked each round.
     "x_dedup_exact",

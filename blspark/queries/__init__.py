@@ -14,4 +14,5 @@ import blspark.queries.tpch_like2  # noqa: F401
 import blspark.queries.extensions  # noqa: F401
 import blspark.queries.extensions2  # noqa: F401
 import blspark.queries.extensions3  # noqa: F401
+import blspark.queries.extensions4  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401
