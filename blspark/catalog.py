@@ -125,6 +125,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_bloom_prune_join",
     "x_listagg_sorted",
     "x_word_diversity",
+    "x_dedup_keep_best",
+    "x_zorder_key",
+    "s_stream_upsert_cdc",
     # -- capability-table anchors (extension cores, BLS IO parity,
     # streaming oracle twins) re-checked each round.
     "x_dedup_exact",

@@ -68,6 +68,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 @register(
     "x_lm_bigram_score",
+    bench=True,  # two shuffle passes keyed by |bigram vocab| — a heavy shape worth tracking
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -333,4 +334,125 @@ def x_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*").cast("double") / n).alias("ttr"),
         (F.lit(1.0) - F.sum(F.col("c") * F.col("c")).cast("double") / (n * n))
         .alias("simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection (keep best, not min-id)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from blspark.queries.extensions import COMPONENTS_ORACLE, CORPUS_SQL
+    from blspark.queries.extensions2 import _Q_SQL
+
+    return f"""
+    WITH comp AS ({COMPONENTS_ORACLE}),
+    corpus2 AS ({CORPUS_SQL}),
+    q AS (SELECT doc_id, {_Q_SQL} AS quality FROM corpus2),
+    j AS (
+      SELECT comp.node AS doc_id, comp.component, q.quality
+      FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT component, doc_id AS survivor_id, quality AS best_quality,
+           CAST(n AS BIGINT) AS n_members
+    FROM (
+      SELECT component, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n
+      FROM j
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "x_dedup_keep_best",
+    bench=True,  # shingle self-join + iterative components + argmax — the full dedup pipeline cost
+    oracle=_keep_best_oracle(),
+    doc="Quality-aware dedup survivor selection: each near-dup cluster "
+    "(connected components over exact-Jaccard >= 0.6, same graph as "
+    "x_dedup_components) keeps its HIGHEST-QUALITY member (composite "
+    "length/diversity score, min-doc_id tie-break) instead of the "
+    "arbitrary min-id representative — what production corpus dedup "
+    "actually ships, since the canonical copy should be the cleanest "
+    "one. argmax is max(struct(quality, -doc_id)): partial-aggregatable "
+    "double hash-agg, no window over the full corpus.",
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import (
+        connected_components,
+        jaccard_pairs,
+        word_shingles,
+    )
+    from blspark.ext.text import quality_score
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, corpus.select("doc_id"), id_col="doc_id"
+    )
+    q = quality_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("node"), "quality"
+    )
+    best = (
+        comp.join(q, "node")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("node")).alias("neg_id")
+                )
+            ).alias("s"),
+            F.count("*").alias("n_members"),
+        )
+    )
+    return best.select(
+        "component",
+        (-F.col("s.neg_id")).alias("survivor_id"),
+        F.col("s.quality").alias("best_quality"),
+        "n_members",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from blspark.ext.layout import zorder_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({zorder_sql('l_partkey', 'l_suppkey', 'duck')} AS BIGINT)
+               AS zkey
+    FROM lineitem WHERE l_orderkey < 4000
+    """
+
+
+@register(
+    "x_zorder_key",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) clustering key: bit-interleave of "
+    "(l_partkey, l_suppkey) via ext.layout.zorder_key — sort output "
+    "files by this ONE key and parquet row-group min/max stats prune "
+    "range predicates on EITHER column (a plain sort clusters only its "
+    "leading column). Pure codegen shift/and arithmetic, no UDF/no "
+    "shuffle; the file-level skipping effect is measured in "
+    "tests/test_extensions4.py over write_layout_parquet.",
+)
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.layout import zorder_key
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+        )
     )

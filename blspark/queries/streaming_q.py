@@ -434,3 +434,109 @@ def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(enriched, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "s_stream_upsert_cdc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM e
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value, CAST(n_events AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+    doc="Streaming CDC upsert (last-write-wins mirror maintenance): "
+    "events staged into three files, streamed one file per micro-batch "
+    "(maxFilesPerTrigger=1), and a foreachBatch MERGE folds each batch "
+    "into the accumulated per-user state — per batch: argmax by "
+    "(ts, event_id) within the batch, then a full-outer join with the "
+    "running state taking greatest(struct) and summing counts. The "
+    "fold is commutative+associative, so the final mirror is identical "
+    "for ANY file arrival order — which is what makes the oracle (the "
+    "batch last-value-per-key query) deterministic. localCheckpoint per "
+    "batch truncates the growing state lineage (same hazard as "
+    "iterative components). At scale the running state lives in a "
+    "keyed table format and the full-outer join becomes MERGE INTO; "
+    "the join/fold shape is identical.",
+)
+def s_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from blspark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="blspark_cdc_")
+    try:
+        files_dir = os.path.join(stage, "files")
+        os.makedirs(files_dir)
+        for k in range(3):
+            part_dir = os.path.join(stage, f"w{k}")
+            ev.filter(F.pmod("event_id", F.lit(3)) == k).coalesce(
+                1
+            ).write.mode("overwrite").parquet(part_dir)
+            src = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(part_dir, src),
+                os.path.join(files_dir, f"b{k}.parquet"),
+            )
+
+        schema = spark.read.parquet(files_dir).schema
+        stream = file_arrival_stream(
+            spark, files_dir, schema=schema, max_files_per_trigger=1
+        )
+        state: dict[str, DataFrame | None] = {"df": None}
+
+        def merge(batch: DataFrame, _bid: int) -> None:
+            upd = batch.groupBy("user_id").agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("s"),
+                F.count("*").alias("n_events"),
+            )
+            cur = state["df"]
+            if cur is None:
+                state["df"] = upd.localCheckpoint(eager=True)
+                return
+            merged = (
+                cur.alias("c")
+                .join(upd.alias("u"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.greatest(F.col("c.s"), F.col("u.s")).alias("s"),
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0))
+                        + F.coalesce(F.col("u.n_events"), F.lit(0))
+                    ).cast("bigint").alias("n_events"),
+                )
+            )
+            state["df"] = merged.localCheckpoint(eager=True)
+
+        run_available_now(
+            stream,
+            batch_fn=merge,
+            checkpoint_dir=os.path.join(stage, "ck"),
+        )
+        out = state["df"]
+        assert out is not None, "stream drained zero batches"
+        return out.select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.value").alias("last_value"),
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

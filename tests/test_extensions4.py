@@ -151,3 +151,105 @@ def test_word_diversity_extremes(spark, tmp_path):
     assert out[1].n_types == 10 and abs(out[1].ttr - 1.0) < 1e-12
     assert abs(out[1].simpson - 0.9) < 1e-12
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_keep_best_survivor_is_member_with_max_quality(spark):
+    """Every survivor belongs to its component, and no component member
+    outranks it on (quality, -doc_id)."""
+    from blspark.ext.dedup import (
+        connected_components,
+        jaccard_pairs,
+        word_shingles,
+    )
+    from blspark.ext.text import quality_score
+    from blspark.queries.extensions import _corpus
+
+    out = {r.component: r for r in REG["x_dedup_keep_best"].spark_fn(spark, SF_SMOKE).collect()}
+    corpus = _corpus(spark, SF_SMOKE)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, min_jaccard=0.6).select("id_a", "id_b")
+    comp = connected_components(pairs, corpus.select("doc_id"), id_col="doc_id")
+    q = quality_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("node"), "quality"
+    )
+    members = comp.join(q, "node").collect()
+    by_comp: dict[int, list] = {}
+    for m in members:
+        by_comp.setdefault(m.component, []).append(m)
+    assert set(out) == set(by_comp)
+    for cid, ms in by_comp.items():
+        best = max(ms, key=lambda m: (m.quality, -m.node))
+        assert out[cid].survivor_id == best.node, cid
+        assert out[cid].n_members == len(ms), cid
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Sorting files by the Morton key bounds row-group min/max spans in
+    BOTH dimensions; a plain single-column sort leaves the other
+    dimension's span at ~full domain. This is the stat-pruning effect
+    the operator exists for."""
+    import pyarrow.parquet as pq
+
+    from blspark.ext.layout import zorder_key
+    from blspark.io.sinks import write_layout_parquet
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(128))).alias("y"),
+    )
+
+    def spans(path):
+        sx, sy = [], []
+        import glob as g
+
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                sx.append(cols["x"].max - cols["x"].min)
+                sy.append(cols["y"].max - cols["y"].min)
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    zdf = df.withColumn("z", zorder_key("x", "y"))
+    write_layout_parquet(
+        zdf.repartition(1), str(tmp_path / "zord"), sort_by=("z",),
+        max_records_per_file=1024,
+    )
+    write_layout_parquet(
+        df.repartition(1), str(tmp_path / "xsort"), sort_by=("x",),
+        max_records_per_file=1024,
+    )
+    zx, zy = spans(str(tmp_path / "zord"))
+    xx, xy = spans(str(tmp_path / "xsort"))
+    # plain x-sort: x tightly clustered but y spans ~everything
+    assert xx < 16 and xy > 100
+    # z-order: BOTH dimensions bounded well below the 127 domain span
+    assert zx < 48 and zy < 48
+
+
+def test_stream_upsert_cdc_matches_batch_last_value(spark):
+    """The cross-batch foreachBatch fold equals the batch argmax —
+    arrival-order independence of the commutative merge."""
+    from blspark.catalog import load_table
+
+    out = {r.user_id: r for r in REG["s_stream_upsert_cdc"].spark_fn(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    assert len(out) == len(batch)
+    for b in batch:
+        r = out[b.user_id]
+        assert (r.last_ts, r.last_event_id, r.last_value, r.n_events) == (
+            b.s.ts, b.s.event_id, b.s.value, b.n_events,
+        ), b.user_id
