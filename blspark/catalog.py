@@ -128,6 +128,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_keep_best",
     "x_zorder_key",
     "s_stream_upsert_cdc",
+    "x_tokenizer_bpe",
+    "x_graph_triangles",
+    "q_percent_rank_cume",
+    "x_dedup_pipeline_lsh",
     # -- capability-table anchors (extension cores, BLS IO parity,
     # streaming oracle twins) re-checked each round.
     "x_dedup_exact",

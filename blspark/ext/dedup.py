@@ -452,11 +452,15 @@ def connected_components(
     large-star/small-star variant (alternating pointer-jumping) — same
     join primitives, O(log n) rounds. The driver only ever sees one
     convergence COUNT per round, never data."""
+    # checkpoint the symmetrized edges ONCE: they are referenced by the
+    # per-round join, and without materialization the (often expensive)
+    # upstream pair computation — e.g. a shingle self-join — would
+    # re-execute on every round of the loop
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     # localCheckpoint per round, not just persist: persist caches the
     # data but keeps the full logical plan, which references the prior
     # round's labels on BOTH sides of the join — the plan tree doubles

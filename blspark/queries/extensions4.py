@@ -368,7 +368,6 @@ def _keep_best_oracle() -> str:
 
 @register(
     "x_dedup_keep_best",
-    bench=True,  # shingle self-join + iterative components + argmax — the full dedup pipeline cost
     oracle=_keep_best_oracle(),
     doc="Quality-aware dedup survivor selection: each near-dup cluster "
     "(connected components over exact-Jaccard >= 0.6, same graph as "

@@ -1,0 +1,410 @@
+"""Round-4 (third-batch) extension operators: BPE tokenizer-vocabulary
+induction, duplicate-graph triangle counting, and distribution-position
+window functions.
+
+Scale design notes (100 TB lens):
+- BPE induction is THE iterative-algorithm showpiece of a training-data
+  pipeline: the per-iteration work is (a) a pair-count aggregation over
+  the *distinct-word* table — vocabulary-sized, not corpus-sized, with
+  map-side combine — and (b) a one-row argmax collect (the chosen merge,
+  exactly like k-means collecting k centroids), then a map-side
+  re-encode. Corpus text is touched ONCE (word-frequency aggregation up
+  front); every merge round after that runs on the vocab table. A real
+  50k-merge training run batches compatible merges per round and/or
+  maintains incremental pair counts (deltas of the merged pair's
+  neighborhoods) instead of recounting — the round structure is
+  identical; this operator runs 3 full rounds to keep the oracle (an
+  unrolled 3-level CTE chain in DuckDB, same greedy left-to-right fold
+  via list_reduce) exact.
+- Triangle counting on the near-dup graph: the standard two-join
+  wedge-close scheme over the oriented (a < b) edge list — each
+  triangle counted exactly once, no explosion: wedges are generated
+  from the SMALLER-degree orientation in production (degree ordering);
+  here edges are already id-oriented, which is the same bound for our
+  graph. Joins are plain shuffle equi-joins on node keys.
+- percent_rank / cume_dist: rational-arithmetic window positions
+  ((rank-1)/(n-1), n_le/n) — deterministic across engines, unlike any
+  float-accumulating alternative; per-key partitions bound the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_fold(toks: Column, l: str, r: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent symbol
+    pair (l, r) over a '|'-encoded symbol sequence — fold with a string
+    accumulator: if the accumulator's last symbol is ``l`` and the next
+    symbol is ``r``, splice them into ``l+r``; else append. Identical
+    fold (list_reduce) on the DuckDB side. Symbols are [a-z]+ so the
+    regex needs no escaping."""
+    return F.aggregate(
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.element_at(toks, 1),
+        lambda acc, s: F.when(
+            ((acc == F.lit(l)) | acc.endswith(F.lit("|" + l)))
+            & (s == F.lit(r)),
+            F.regexp_replace(
+                acc, F.lit(f"(^|\\|){l}$"), F.lit(f"$1{l}{r}")
+            ),
+        ).otherwise(F.concat(acc, F.lit("|"), s)),
+    )
+
+
+def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+    sql = r"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+e0 AS (SELECT freq, rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
+       FROM w0)"""
+    for i in range(1, k + 1):
+        sql += f""",
+p{i} AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, t[pi + 1] AS l, t[pi + 2] AS r
+    FROM (SELECT freq, string_split(enc, '|') AS t FROM e{i - 1}) x,
+         unnest(range(len(t) - 1)) u(pi)
+  ) GROUP BY l, r
+),
+b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+e{i} AS (
+  SELECT freq, CASE WHEN b.l IS NULL THEN enc ELSE
+    list_reduce(string_split(enc, '|'), (acc, s) ->
+      CASE WHEN (acc = b.l OR ends_with(acc, '|' || b.l)) AND s = b.r
+           THEN regexp_replace(acc, '(^|\\|)' || b.l || '$',
+                               '\\1' || b.l || b.r)
+           ELSE acc || '|' || s END) END AS enc
+  FROM e{i - 1} LEFT JOIN b{i} b ON TRUE
+)"""
+    sql += f"""
+SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS freq,
+       CAST(length(tok) AS INT) AS n_chars
+FROM (SELECT freq, unnest(string_split(enc, '|')) AS tok FROM e{k})
+GROUP BY tok
+"""
+    return sql
+
+
+@register(
+    "x_tokenizer_bpe",
+    oracle=_bpe_oracle(),
+    doc=f"BPE tokenizer-vocabulary induction, {_BPE_MERGES} merge "
+    "rounds: corpus word frequencies once, then per round (1) adjacent-"
+    "symbol pair counts over the vocab table weighted by word freq, "
+    "(2) argmax pair (count desc, then lexicographic — one collected "
+    "row, like k-means centroids), (3) greedy left-to-right re-encode "
+    "of every word. Returns the resulting token vocabulary with "
+    "frequencies. Oracle is the identical computation as an unrolled "
+    "CTE chain (DuckDB list_reduce runs the same fold).",
+)
+def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc0 = F.expr("trim(TRAILING '|' FROM regexp_replace(w, '(.)', '$1|'))")
+    state = words.select("freq", enc0.alias("enc"))
+    for _ in range(_BPE_MERGES):
+        toks = F.split("enc", "[|]")
+        n_p = F.greatest(F.size(toks) - 1, F.lit(0))
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n_p),
+                    F.slice(toks, 2, n_p),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("freq").alias("cnt"))
+        # vocab-sized table; the 1-row argmax is the only driver sync
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # every word fully merged to one token — no pairs remain
+            # (oracle mirrors via LEFT JOIN: NULL best leaves enc as-is)
+            break
+        best = top[0]
+        state = state.select(
+            "freq",
+            _bpe_fold(F.split("enc", "[|]"), best["l"], best["r"]).alias(
+                "enc"
+            ),
+        )
+    return (
+        state.select(
+            "freq", F.explode(F.split("enc", "[|]")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+        .withColumn("n_chars", F.length("token").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangles_oracle() -> str:
+    from blspark.queries.extensions import CORPUS_SQL, SHINGLES_SQL
+
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {SHINGLES_SQL},
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT i.id_a AS a, i.id_b AS b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """
+
+
+@register(
+    "x_graph_triangles",
+    oracle=_triangles_oracle(),
+    doc="Triangle count on the near-dup graph (exact-Jaccard >= 0.6 "
+    "pairs, same graph as x_dedup_components): two shuffle equi-joins "
+    "over the id-oriented (a < b) edge list close each wedge exactly "
+    "once. Triangle density distinguishes true duplicate cliques from "
+    "chains of borderline matches — a cluster-quality diagnostic for "
+    "dedup thresholds. At scale, orient edges by degree (not id) to "
+    "bound wedge fan-out on hub nodes.",
+)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import jaccard_pairs, word_shingles
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    e = jaccard_pairs(sh, min_jaccard=0.6).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percent_rank_cume",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+               AS pct_rank,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+               AS cume
+    FROM events WHERE event_id < 5000
+    """,
+    doc="Distribution-position windows: percent_rank ((rank-1)/(n-1)) "
+    "and cume_dist (rows <= current / n) per event_type — the "
+    "percentile-position surface complementing q_ntile_deciles and "
+    "q_window_rank_lag. Rational integer-derived doubles: identical "
+    "in both engines. Partition-bounded sorts only.",
+)
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline (LSH candidates -> verify -> components ->
+# quality-aware survivors) — the production-scale composition
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle(thr: float = 0.6) -> str:
+    from blspark.ext.dedup import SHINGLE_V_SQL
+    from blspark.queries.extensions import (
+        CORPUS_SQL,
+        SHINGLES_SQL,
+        _MH,
+        _band_sql,
+    )
+    from blspark.queries.extensions2 import _Q_SQL
+
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+hv AS (
+  SELECT id, {SHINGLE_V_SQL} AS v
+  FROM (SELECT id, md5(shingle) AS h FROM sh) t
+),
+sig AS (SELECT id, {_MH} FROM hv GROUP BY id),
+bands AS (
+  SELECT id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM sig
+  UNION ALL
+  SELECT id, 1 AS band_idx, {_band_sql(1)} AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {thr}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+q AS (SELECT doc_id, {_Q_SQL} AS quality FROM corpus),
+j AS (SELECT comp.node AS doc_id, comp.component, q.quality
+      FROM comp JOIN q ON q.doc_id = comp.node)
+SELECT component, doc_id AS survivor_id, quality AS best_quality,
+       CAST(n AS BIGINT) AS n_members
+FROM (
+  SELECT component, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n
+  FROM j
+) WHERE rn = 1
+"""
+
+
+@register(
+    "x_dedup_pipeline_lsh",
+    oracle=_pipeline_oracle(),
+    bench=True,  # the full production dedup pipeline, LSH-bucketed end to end
+    doc="END-TO-END near-dup pipeline, production shape: MinHash "
+    "signatures -> banded LSH candidate buckets (the ONLY pairwise "
+    "stage, bucket-bounded — never all-pairs) -> exact-Jaccard "
+    "verification >= 0.6 on candidates only -> connected components -> "
+    "quality-aware survivor per cluster. This is the scale path that "
+    "replaces x_dedup_keep_best's exact-pairs graph (whose inverted-"
+    "index self-join is the documented quadratic fallback); LSH may "
+    "miss a pair a full self-join finds, and the oracle mirrors the "
+    "banding exactly so the differential stays bitwise. Bench-tracked "
+    "as the representative heavy composition.",
+)
+def x_dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from blspark.ext.text import quality_score
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
+    try:
+        sh = arrs.select("id", F.explode("shset").alias("shingle"))
+        sig = minhash_signatures(sh, n_hashes=8)
+        cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
+        a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+        b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+        n_common = F.size(F.array_intersect("sa", "sb"))
+        jac = n_common / (F.size("sa") + F.size("sb") - n_common)
+        pairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(jac >= 0.6)
+            .select("id_a", "id_b")
+        )
+        # components materializes eagerly (per-round localCheckpoint),
+        # so the persisted shingle sets are consumed here and can be
+        # released before the (arrs-free) final plan returns
+        comp = connected_components(
+            pairs, corpus.select("doc_id"), id_col="doc_id"
+        )
+    finally:
+        arrs.unpersist()
+    q = quality_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("node"), "quality"
+    )
+    best = (
+        comp.join(q, "node")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("node")).alias("neg_id"))
+            ).alias("s"),
+            F.count("*").alias("n_members"),
+        )
+    )
+    return best.select(
+        "component",
+        (-F.col("s.neg_id")).alias("survivor_id"),
+        F.col("s.quality").alias("best_quality"),
+        "n_members",
+    )
