@@ -97,11 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_dedup_exact",
     "s_stream_quality_ingest",
     "s_stream_interval_join",
-    "x_similarity_ivf",
-    "x_multimodal_decode",
-    "x_kmeans_clusters",
-    "x_approx_sketches",
-    "x_multimodal_resize",
     # -- next: NEW round-4 operators — first hard driver signal.
     "x_dedup_simhash64",
     "x_dedup_simhash_hamming",
@@ -132,6 +127,23 @@ _PRIORITY: tuple[str, ...] = (
     "x_graph_triangles",
     "q_percent_rank_cume",
     "x_dedup_pipeline_lsh",
+    "x_python_datasource",
+    "x_cooccurrence_lift",
+    "q_sql_params",
+    "x_dedup_incremental_lsh",
+    "q_recursive_closure",
+    "q_gaps_and_islands",
+    "x_topk_merge",
+    "x_hll_partial_merge",
+    # -- the 5 deliberate rows-only ops: weaker (rows-only) driver
+    # signal by design, so they rank after every first-time ORACLE
+    # check above; their oracle-checked deterministic twins
+    # (x_*_checked) are anchored below.
+    "x_similarity_ivf",
+    "x_multimodal_decode",
+    "x_kmeans_clusters",
+    "x_approx_sketches",
+    "x_multimodal_resize",
     # -- capability-table anchors (extension cores, BLS IO parity,
     # streaming oracle twins) re-checked each round.
     "x_dedup_exact",
