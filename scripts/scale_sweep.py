@@ -200,6 +200,71 @@ def bench_components_star(spark, factor: int) -> float:
     return dt
 
 
+
+def bench_lm_bigram(spark, factor: int) -> float:
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    base = docs.select(F.col("doc_id"), F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    n_sh = F.greatest(F.size("w") - 1, F.lit(0))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n_sh),
+                F.slice("w", 2, n_sh),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
+    n = (
+        bg.join(cnt, "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  lm_bigram x{factor}: {dt:.2f}s ({n} docs)", flush=True)
+    return dt
+
+
+def bench_cooccurrence(spark, factor: int) -> float:
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    d = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    n = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok"), F.col("b.tok"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 10)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  cooccurrence x{factor}: {dt:.2f}s ({n} pairs)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "minhash": bench_minhash,
@@ -208,6 +273,8 @@ BENCHES = {
     "simhash_hamming": bench_simhash_hamming,
     "span_fraction": bench_span_fraction,
     "components_star": bench_components_star,
+    "lm_bigram": bench_lm_bigram,
+    "cooccurrence": bench_cooccurrence,
 }
 
 

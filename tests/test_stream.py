@@ -321,3 +321,67 @@ def test_stream_enrich_static_equals_batch(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert len(a) > 0 and a == b
+
+
+def test_watermark_drops_late_rows_for_closed_windows(spark, tmp_path):
+    """A row older than the watermark whose window already closed is
+    DROPPED: the closed window is never re-emitted and the late row
+    never appears in any append-mode output."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inbox = tmp_path / "inbox"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+    out_rows: list[tuple] = []
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def write_events(name, ts_list):
+        with open(inbox / name, "w") as f:
+            for ts, v in ts_list:
+                f.write(json.dumps({"ts": ts, "v": v}) + "\n")
+
+    def run_once():
+        stream = spark.readStream.format("json").schema(schema).load(str(inbox))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(
+                lambda df, eid: out_rows.extend(
+                    (r["ws"].isoformat(), r["n"]) for r in df.collect()
+                )
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_events("a.json", [("2024-01-01T10:05:00", 1.0)])
+    run_once()
+    write_events("b.json", [("2024-01-01T12:00:00", 2.0)])
+    run_once()  # closes + emits the 10:00 window with n=1
+    assert out_rows == [("2024-01-01T10:00:00", 1)]
+
+    # a LATE row for the closed 10:00 window (watermark is 11:50)
+    write_events("c.json", [("2024-01-01T10:30:00", 9.0)])
+    run_once()
+    # no re-emission, no correction — the late row is silently dropped
+    assert out_rows == [("2024-01-01T10:00:00", 1)]
+
+    # and the 12:00 window still closes with n=1 (the late row did not
+    # leak into any other window either)
+    write_events("d.json", [("2024-01-01T14:00:00", 4.0)])
+    run_once()
+    assert ("2024-01-01T12:00:00", 1) in out_rows
+    assert len(out_rows) == 2
