@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_gaps_and_islands",
     "x_topk_merge",
     "x_hll_partial_merge",
+    "x_minhash_est_accuracy",
     # -- the 5 deliberate rows-only ops: weaker (rows-only) driver
     # signal by design, so they rank after every first-time ORACLE
     # check above; their oracle-checked deterministic twins

@@ -154,11 +154,21 @@ MINHASH_B = [12345, 54321, 192837, 918273, 555557, 777781, 101111, 131313]
 
 _HEXDIGITS = "0123456789abcdef"
 
+
+def hex_int_sql(col: str, n_digits: int) -> str:
+    """Engine-portable SQL turning the first ``n_digits`` hex nibbles of
+    ``col`` into an integer via positional arithmetic — the shared idiom
+    behind every md5-derived deterministic value in this repo (shingle
+    hashes, split buckets, pseudo-sizes)."""
+    return " + ".join(
+        f"(instr('{_HEXDIGITS}', substring({col}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (n_digits - 1 - j)}"
+        for j in range(n_digits)
+    )
+
+
 # first 6 hex nibbles of md5 -> 24-bit integer, in portable SQL arithmetic
-SHINGLE_V_SQL = " + ".join(
-    f"(instr('{_HEXDIGITS}', substring(h, {j + 1}, 1)) - 1) * {16 ** (5 - j)}"
-    for j in range(6)
-)
+SHINGLE_V_SQL = hex_int_sql("h", 6)
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
@@ -592,3 +602,65 @@ def connected_components_star(
         )
     )
     return out
+
+
+def lsh_verified_candidates(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared LSH candidate pipeline used by every minhash-family
+    operator: shingle sets (PERSISTED — they feed signatures and both
+    verification sides), minhash signatures, banded candidate pairs,
+    and the exact-Jaccard-verified candidate frame.
+
+    Returns ``(arrs, sig, verified)`` where ``verified`` has
+    (id_a, id_b, jaccard) for every candidate pair, unthresholded.
+    ``arrs`` stays persisted: callers that materialize eagerly (e.g.
+    components loops) should unpersist it afterwards; callers
+    returning a lazy plan over ``verified`` must leave it cached."""
+    arrs = shingle_sets(corpus, id_col, text_col, n=n).persist()
+    sh = arrs.select("id", F.explode("shset").alias("shingle"))
+    sig = minhash_signatures(sh, n_hashes=n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes=n_hashes, bands=bands)
+    a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    jac = n_common / (F.size("sa") + F.size("sb") - n_common)
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+    return arrs, sig, verified
+
+
+def survivor_best(
+    comp: DataFrame, quality: DataFrame, node_col: str = "node"
+) -> DataFrame:
+    """Quality-aware dedup survivor per component: argmax by
+    (quality, -node) — max(struct(...)) double hash-agg, partial-
+    aggregatable, no window over the corpus. ``comp`` is
+    (node, component); ``quality`` is (node, quality). Returns
+    (component, survivor_id, best_quality, n_members)."""
+    best = (
+        comp.join(quality, node_col)
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col(node_col)).alias("neg_id")
+                )
+            ).alias("s"),
+            F.count("*").alias("n_members"),
+        )
+    )
+    return best.select(
+        "component",
+        (-F.col("s.neg_id")).alias("survivor_id"),
+        F.col("s.quality").alias("best_quality"),
+        "n_members",
+    )

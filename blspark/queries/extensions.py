@@ -113,10 +113,15 @@ def _band_sql(b: int, rows: int = 4) -> str:
     return f"md5({parts})"
 
 
-MINHASH_ORACLE = f"""
-WITH corpus AS ({CORPUS_SQL}),
-{SHINGLES_SQL},
-hv AS (
+def lsh_cte_block(cand_where: str = "a.id < b.id") -> str:
+    """The shared MinHash/banding/candidate/exact-verify oracle CTE
+    chain (hv -> sig -> bands -> cand -> sizes -> inter -> ex), used by
+    every minhash-family oracle so the banding scheme lives in ONE
+    place. Assumes ``corpus`` and ``sh`` CTEs are already in scope
+    (CORPUS_SQL + SHINGLES_SQL). ``ex`` exposes (id_a, id_b, jaccard),
+    unthresholded; ``cand_where`` restricts the candidate orientation
+    (default: ordered pairs)."""
+    return f"""hv AS (
   SELECT id, {SHINGLE_V_SQL} AS v
   FROM (SELECT id, md5(shingle) AS h FROM sh) t
 ),
@@ -133,7 +138,8 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND ({cand_where})
 ),
 sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
 inter AS (
@@ -142,13 +148,21 @@ inter AS (
   JOIN sh a ON a.id = c.id_a
   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT i.id_a, i.id_b,
-       i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.id = i.id_a
-JOIN sizes sb ON sb.id = i.id_b
-WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+),
+ex AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+)"""
+
+
+MINHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+{lsh_cte_block()}
+SELECT id_a, id_b, jaccard FROM ex WHERE jaccard >= 0.5
 """
 
 
@@ -165,26 +179,13 @@ WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
     bench=True,
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.dedup import shingle_sets
+    from blspark.ext.dedup import lsh_verified_candidates
 
     corpus = _corpus(spark, sf_dir)
-    # the shingle-set frame feeds two consumers (signatures and both sides
-    # of the verification join) — persist it once instead of recomputing
-    # the scan+shingling per branch (no automatic common-subtree reuse)
-    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
-    sh = arrs.select("id", F.explode("shset").alias("shingle"))
-    sig = minhash_signatures(sh, n_hashes=8)
-    cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
-    a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
-    b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
-    n_common = F.size(F.array_intersect("sa", "sb"))
-    jac = n_common / (F.size("sa") + F.size("sb") - n_common)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-    )
+    # the returned plan is lazy over the verified-candidate frame, so
+    # the persisted shingle sets inside the helper stay cached
+    _arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
+    return verified.filter(F.col("jaccard") >= 0.5)
 
 
 NGRAM_ORACLE = f"""

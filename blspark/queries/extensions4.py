@@ -284,9 +284,7 @@ def x_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
-        F.size(F.array_sort(F.collect_set("lang"))).cast("bigint").alias(
-            "n_langs"
-        ),
+        F.size(F.collect_set("lang")).cast("bigint").alias("n_langs"),
         F.count("*").alias("n_docs"),
     )
 
@@ -342,6 +340,22 @@ def x_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# the survivor-selection tail shared by every quality-aware dedup
+# oracle (keep_best, the LSH pipeline): expects a CTE `j` in scope
+# with (doc_id, component, quality)
+SURVIVOR_TAIL_SQL = """
+SELECT component, doc_id AS survivor_id, quality AS best_quality,
+       CAST(n AS BIGINT) AS n_members
+FROM (
+  SELECT component, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n
+  FROM j
+) WHERE rn = 1
+"""
+
+
 def _keep_best_oracle() -> str:
     from blspark.queries.extensions import COMPONENTS_ORACLE, CORPUS_SQL
     from blspark.queries.extensions2 import _Q_SQL
@@ -354,15 +368,7 @@ def _keep_best_oracle() -> str:
       SELECT comp.node AS doc_id, comp.component, q.quality
       FROM comp JOIN q ON q.doc_id = comp.node
     )
-    SELECT component, doc_id AS survivor_id, quality AS best_quality,
-           CAST(n AS BIGINT) AS n_members
-    FROM (
-      SELECT component, doc_id, quality,
-             ROW_NUMBER() OVER (PARTITION BY component
-                                ORDER BY quality DESC, doc_id ASC) AS rn,
-             COUNT(*) OVER (PARTITION BY component) AS n
-      FROM j
-    ) WHERE rn = 1
+    {SURVIVOR_TAIL_SQL}
     """
 
 
@@ -382,6 +388,7 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import (
         connected_components,
         jaccard_pairs,
+        survivor_best,
         word_shingles,
     )
     from blspark.ext.text import quality_score
@@ -396,24 +403,7 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(corpus, "doc_id", "text").select(
         F.col("id").alias("node"), "quality"
     )
-    best = (
-        comp.join(q, "node")
-        .groupBy("component")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("quality"), (-F.col("node")).alias("neg_id")
-                )
-            ).alias("s"),
-            F.count("*").alias("n_members"),
-        )
-    )
-    return best.select(
-        "component",
-        (-F.col("s.neg_id")).alias("survivor_id"),
-        F.col("s.quality").alias("best_quality"),
-        "n_members",
-    )
+    return survivor_best(comp, q)
 
 
 # ---------------------------------------------------------------------------

@@ -274,49 +274,19 @@ def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_oracle(thr: float = 0.6) -> str:
-    from blspark.ext.dedup import SHINGLE_V_SQL
     from blspark.queries.extensions import (
         CORPUS_SQL,
         SHINGLES_SQL,
-        _MH,
-        _band_sql,
+        lsh_cte_block,
     )
     from blspark.queries.extensions2 import _Q_SQL
+    from blspark.queries.extensions4 import SURVIVOR_TAIL_SQL
 
     return f"""
 WITH RECURSIVE corpus AS ({CORPUS_SQL}),
 {SHINGLES_SQL},
-hv AS (
-  SELECT id, {SHINGLE_V_SQL} AS v
-  FROM (SELECT id, md5(shingle) AS h FROM sh) t
-),
-sig AS (SELECT id, {_MH} FROM hv GROUP BY id),
-bands AS (
-  SELECT id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM sig
-  UNION ALL
-  SELECT id, 1 AS band_idx, {_band_sql(1)} AS band_hash FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.id < b.id
-),
-sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-  FROM cand c
-  JOIN sh a ON a.id = c.id_a
-  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-  GROUP BY c.id_a, c.id_b
-),
-pairs AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN sizes sa ON sa.id = i.id_a
-  JOIN sizes sb ON sb.id = i.id_b
-  WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {thr}
-),
+{lsh_cte_block()},
+pairs AS (SELECT id_a, id_b FROM ex WHERE jaccard >= {thr}),
 sym AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
 reach(node, r) AS (
@@ -328,15 +298,7 @@ comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
 q AS (SELECT doc_id, {_Q_SQL} AS quality FROM corpus),
 j AS (SELECT comp.node AS doc_id, comp.component, q.quality
       FROM comp JOIN q ON q.doc_id = comp.node)
-SELECT component, doc_id AS survivor_id, quality AS best_quality,
-       CAST(n AS BIGINT) AS n_members
-FROM (
-  SELECT component, doc_id, quality,
-         ROW_NUMBER() OVER (PARTITION BY component
-                            ORDER BY quality DESC, doc_id ASC) AS rn,
-         COUNT(*) OVER (PARTITION BY component) AS n
-  FROM j
-) WHERE rn = 1
+{SURVIVOR_TAIL_SQL}
 """
 
 
@@ -358,28 +320,17 @@ FROM (
 def x_dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import (
         connected_components,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_sets,
+        lsh_verified_candidates,
+        survivor_best,
     )
     from blspark.ext.text import quality_score
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    arrs = shingle_sets(corpus, "doc_id", "text", n=3).persist()
+    arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
     try:
-        sh = arrs.select("id", F.explode("shset").alias("shingle"))
-        sig = minhash_signatures(sh, n_hashes=8)
-        cand = lsh_candidate_pairs(sig, n_hashes=8, bands=2)
-        a = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
-        b = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
-        n_common = F.size(F.array_intersect("sa", "sb"))
-        jac = n_common / (F.size("sa") + F.size("sb") - n_common)
-        pairs = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .filter(jac >= 0.6)
-            .select("id_a", "id_b")
+        pairs = verified.filter(F.col("jaccard") >= 0.6).select(
+            "id_a", "id_b"
         )
         # components materializes eagerly (per-round localCheckpoint),
         # so the persisted shingle sets are consumed here and can be
@@ -392,19 +343,5 @@ def x_dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(corpus, "doc_id", "text").select(
         F.col("id").alias("node"), "quality"
     )
-    best = (
-        comp.join(q, "node")
-        .groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("quality"), (-F.col("node")).alias("neg_id"))
-            ).alias("s"),
-            F.count("*").alias("n_members"),
-        )
-    )
-    return best.select(
-        "component",
-        (-F.col("s.neg_id")).alias("survivor_id"),
-        F.col("s.quality").alias("best_quality"),
-        "n_members",
-    )
+    return survivor_best(comp, q)
+

@@ -36,10 +36,9 @@ from blspark.catalog import load_table, o_dsum, register
 # Custom Python DataSource (Spark 4)
 # ---------------------------------------------------------------------------
 
-_NIB = "(instr('0123456789abcdef', substr(digest, {p}, 1)) - 1)"
-_SIZE_SQL = " + ".join(
-    f"{_NIB.format(p=j + 1)} * {16 ** (3 - j)}" for j in range(4)
-)
+from blspark.ext.dedup import hex_int_sql
+
+_SIZE_SQL = hex_int_sql("digest", 4)
 
 
 @register(
@@ -199,47 +198,18 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_lsh_oracle(thr: float = 0.6) -> str:
-    from blspark.ext.dedup import SHINGLE_V_SQL
     from blspark.queries.extensions import (
         CORPUS_SQL,
         SHINGLES_SQL,
-        _MH,
-        _band_sql,
+        lsh_cte_block,
     )
 
     return f"""
     WITH corpus AS ({CORPUS_SQL}),
     {SHINGLES_SQL},
-    hv AS (
-      SELECT id, {SHINGLE_V_SQL} AS v
-      FROM (SELECT id, md5(shingle) AS h FROM sh) t
-    ),
-    sig AS (SELECT id, {_MH} FROM hv GROUP BY id),
-    bands AS (
-      SELECT id, 0 AS band_idx, {_band_sql(0)} AS band_hash FROM sig
-      UNION ALL
-      SELECT id, 1 AS band_idx, {_band_sql(1)} AS band_hash FROM sig
-    ),
-    cand AS (
-      SELECT DISTINCT n.id AS new_id, b.id AS base_id
-      FROM bands n JOIN bands b
-        ON n.band_idx = b.band_idx AND n.band_hash = b.band_hash
-      WHERE n.id % 3 <> 0 AND b.id % 3 = 0
-    ),
-    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-    inter AS (
-      SELECT c.new_id, c.base_id, COUNT(*) AS n_common
-      FROM cand c
-      JOIN sh a ON a.id = c.new_id
-      JOIN sh b ON b.id = c.base_id AND b.shingle = a.shingle
-      GROUP BY c.new_id, c.base_id
-    )
-    SELECT i.new_id, i.base_id,
-           i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.id = i.new_id
-    JOIN sizes sb ON sb.id = i.base_id
-    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {thr}
+    {lsh_cte_block(cand_where="a.id % 3 <> 0 AND b.id % 3 = 0")}
+    SELECT id_a AS new_id, id_b AS base_id, jaccard
+    FROM ex WHERE jaccard >= {thr}
     """
 
 
@@ -257,20 +227,16 @@ def _incremental_lsh_oracle(thr: float = 0.6) -> str:
     "as x_dedup_incremental).",
 )
 def x_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_sets,
-    )
+    from blspark.ext.dedup import lsh_verified_candidates
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    arrs = shingle_sets(corpus, "doc_id", "text", n=3)
-    sh = arrs.select("id", F.explode("shset").alias("shingle"))
-    sig = minhash_signatures(sh, n_hashes=8)
-    # lsh_candidate_pairs emits id_a < id_b; re-orient to (new, base)
-    cand = (
-        lsh_candidate_pairs(sig, n_hashes=8, bands=2)
+    # lazy plan over the verified frame: helper's shingle cache stays
+    _arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
+    # candidates come id_a < id_b in both orientations; keep only pairs
+    # crossing the base/new boundary, re-oriented to (new, base)
+    return (
+        verified.filter(F.col("jaccard") >= 0.6)
         .select(
             F.when(F.col("id_a") % 3 != 0, F.col("id_a"))
             .otherwise(F.col("id_b"))
@@ -278,19 +244,11 @@ def x_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("id_a") % 3 != 0, F.col("id_b"))
             .otherwise(F.col("id_a"))
             .alias("base_id"),
+            "jaccard",
         )
         .filter((F.col("new_id") % 3 != 0) & (F.col("base_id") % 3 == 0))
     )
-    a = arrs.select(F.col("id").alias("new_id"), F.col("shset").alias("sa"))
-    b = arrs.select(F.col("id").alias("base_id"), F.col("shset").alias("sb"))
-    n_common = F.size(F.array_intersect("sa", "sb"))
-    jac = n_common / (F.size("sa") + F.size("sb") - n_common)
-    return (
-        cand.join(a, "new_id")
-        .join(b, "base_id")
-        .filter(jac >= 0.6)
-        .select("new_id", "base_id", jac.alias("jaccard"))
-    )
+
 
 
 # ---------------------------------------------------------------------------
@@ -513,5 +471,78 @@ def x_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("est_direct") - F.col("n_exact")) <= tol).alias(
                 "direct_within_5pct"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimator accuracy (est vs exact, per candidate pair)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_oracle() -> str:
+    from blspark.queries.extensions import (
+        CORPUS_SQL,
+        SHINGLES_SQL,
+        lsh_cte_block,
+    )
+
+    est = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {SHINGLES_SQL},
+    {lsh_cte_block()}
+    SELECT ex.id_a, ex.id_b,
+           CAST(({est}) AS DOUBLE) / 8.0 AS est,
+           ex.jaccard,
+           ABS(CAST(({est}) AS DOUBLE) / 8.0 - ex.jaccard) AS abs_err
+    FROM ex
+    JOIN sig a ON a.id = ex.id_a
+    JOIN sig b ON b.id = ex.id_b
+    """
+
+
+@register(
+    "x_minhash_est_accuracy",
+    oracle=_minhash_est_oracle(),
+    doc="MinHash estimator accuracy, per candidate pair: the signature-"
+    "agreement estimate (matching slots / 8 — the unbiased Jaccard "
+    "estimator MinHash is built on) next to the exact Jaccard and the "
+    "absolute error. The evaluation-methodology twin of x_lsh_eval "
+    "(which scores the CANDIDATE SET; this scores the ESTIMATOR): at "
+    "scale you monitor this error distribution on a sampled pair "
+    "stream to size n_hashes before trusting signature-only dedup. "
+    "All rational arithmetic — k/8 and shingle-count ratios are exact "
+    "doubles in both engines.",
+)
+def x_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import lsh_verified_candidates
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    # lazy plan over the verified frame: helper's shingle cache stays
+    _arrs, sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
+    sa_sig = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(8)],
+    )
+    sb_sig = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(8)
+    )
+    est = (agree.cast("double") / F.lit(8.0)).alias("est")
+    return (
+        verified.join(sa_sig, "id_a")
+        .join(sb_sig, "id_b")
+        .select("id_a", "id_b", est, "jaccard")
+        .select(
+            "id_a", "id_b", "est", "jaccard",
+            F.abs(F.col("est") - F.col("jaccard")).alias("abs_err"),
         )
     )

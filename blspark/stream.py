@@ -59,5 +59,13 @@ def run_available_now(
     else:
         writer = writer.format("memory").queryName(name)
     q = writer.start()
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # a partial drain must never masquerade as a completed one:
+        # callers fold per-batch results into final answers (e.g. the
+        # CDC upsert mirror) and would silently return wrong data
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s"
+        )
     return name

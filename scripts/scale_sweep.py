@@ -209,21 +209,10 @@ def bench_lm_bigram(spark, factor: int) -> float:
         1_000_000,
         text_col="text",
     )
+    from blspark.queries.extensions4 import _bigrams
+
     t0 = time.perf_counter()
-    base = docs.select(F.col("doc_id"), F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 2
-    )
-    n_sh = F.greatest(F.size("w") - 1, F.lit(0))
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("w", 1, n_sh),
-                F.slice("w", 2, n_sh),
-                lambda x, y: F.concat(x, F.lit(" "), y),
-            )
-        ).alias("b"),
-    )
+    bg = _bigrams(docs)
     cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
     n = (
         bg.join(cnt, "b")

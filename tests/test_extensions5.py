@@ -64,10 +64,8 @@ def test_bpe_vocab_conserves_total_chars(spark):
     assert vocab_chars == corpus_chars
 
 
-def test_graph_triangles_planted(spark, monkeypatch):
+def test_graph_triangles_planted(spark):
     """A hand-built edge set with one triangle and one open wedge."""
-    from blspark.queries import extensions5 as m
-
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
     )

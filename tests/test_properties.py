@@ -215,3 +215,114 @@ def test_asof_window_carries_all_columns_from_same_row_with_nulls(
         for r in asof_join_window(left, right, **kw).collect()
     )
     assert a == b
+
+
+# --- round-4 second-session helpers ---------------------------------------
+
+
+def _py_bpe_fold(toks: list[str], l: str, r: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping merge."""
+    out: list[str] = []
+    for s in toks:
+        if out and out[-1] == l and s == r:
+            out[-1] = l + r
+        else:
+            out.append(s)
+    return out
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+    ),
+    pair=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        st.text(alphabet="ab", min_size=1, max_size=2),
+    ),
+)
+def test_bpe_fold_matches_python_reference(spark, words, pair):
+    from blspark.queries.extensions5 import _bpe_fold
+
+    l, r = pair
+    df = spark.createDataFrame([("|".join(w),) for w in words], "enc string")
+    got = [
+        r_.m
+        for r_ in df.select(
+            _bpe_fold(F.split("enc", "[|]"), l, r).alias("m")
+        ).collect()
+    ]
+    want = ["|".join(_py_bpe_fold(list(w), l, r)) for w in words]
+    assert got == want
+
+
+@SLOW
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_zorder_key_interleave_roundtrip(spark, xy):
+    """De-interleaving the Morton key recovers (x, y) exactly, and the
+    key is unique per (x, y) — the property that makes a z-sort a true
+    2-D clustering."""
+    from blspark.ext.layout import zorder_key
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    rows = df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    for row in rows:
+        x = y = 0
+        for i in range(16):
+            x |= ((row.z >> (2 * i)) & 1) << i
+            y |= ((row.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (row.x, row.y)
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=12,
+    ),
+    quality=st.lists(
+        st.floats(min_value=0, max_value=1, allow_nan=False).map(
+            lambda x: round(x, 3)
+        ),
+        min_size=10,
+        max_size=10,
+    ),
+)
+def test_survivor_best_matches_bruteforce(spark, edges, quality):
+    """survivor_best picks exactly the (quality, -id)-argmax member of
+    each component, for arbitrary small graphs."""
+    from blspark.ext.dedup import connected_components, survivor_best
+
+    e = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edf = spark.createDataFrame(e or [(0, 0)], "id_a long, id_b long").filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    comp = connected_components(edf, nodes, id_col="id")
+    q = spark.createDataFrame(
+        [(i, quality[i]) for i in range(10)], "node long, quality double"
+    )
+    got = {
+        r.component: (r.survivor_id, r.best_quality, r.n_members)
+        for r in survivor_best(comp, q).collect()
+    }
+    # brute force
+    comp_map = {r.node: r.component for r in comp.collect()}
+    want: dict[int, list[int]] = {}
+    for n, c in comp_map.items():
+        want.setdefault(c, []).append(n)
+    for c, members in want.items():
+        best = max(members, key=lambda n: (quality[n], -n))
+        assert got[c] == (best, quality[best], len(members)), c
