@@ -118,24 +118,31 @@ _PRIORITY: tuple[str, ...] = (
     "x_agg_state_merge",
     "x_mad_outliers",
     "x_bloom_prune_join",
-    "x_listagg_sorted",
-    "x_word_diversity",
     "x_dedup_keep_best",
     "x_zorder_key",
     "s_stream_upsert_cdc",
     "x_tokenizer_bpe",
     "x_graph_triangles",
-    "q_percent_rank_cume",
     "x_dedup_pipeline_lsh",
     "x_python_datasource",
     "x_cooccurrence_lift",
     "q_sql_params",
     "x_dedup_incremental_lsh",
     "q_recursive_closure",
-    "q_gaps_and_islands",
-    "x_topk_merge",
     "x_hll_partial_merge",
     "x_minhash_est_accuracy",
+    "x_tokenizer_bpe_apply",
+    "q_scd2_temporal_join",
+    "x_event_transitions",
+    "x_feature_hashing",
+    "x_class_weights",
+    # -- simpler surfaces (still first-time checks) — ranked after the
+    # distinctive ops so the 50-slot budget lands on the latter.
+    "x_listagg_sorted",
+    "x_word_diversity",
+    "q_percent_rank_cume",
+    "q_gaps_and_islands",
+    "x_topk_merge",
     # -- the 5 deliberate rows-only ops: weaker (rows-only) driver
     # signal by design, so they rank after every first-time ORACLE
     # check above; their oracle-checked deterministic twins
@@ -163,12 +170,12 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "x_decontaminate",
     "x_dedup_embedding_cosine",
-    # -- remaining budget (the 50-slot boundary falls inside this
-    # block — with the round-4 additions, q_shipping_priority is slot
-    # 50): bench-set TPC-H shapes re-proven, then high-traffic round-3
-    # greens just past the boundary should the budget grow.
+    # -- past the 50-slot boundary (x_class_weights is slot 50): the
+    # simpler first-time ops above, then the rows-only five, then
+    # anchors and prior greens — all verified green locally this round
+    # (diffcheck at sf0.01 + sf0.1, full vanilla sweeps); the budget
+    # reaching them just re-signs what the suite already proves.
     "q_shipping_priority",
-    # -- slot 51+ — prior greens unchanged since their last check.
     "q_regional_revenue",
     "q_events_sessionize",
     "q_events_interval_join",

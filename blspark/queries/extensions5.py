@@ -69,7 +69,7 @@ WITH w0 AS (
   WHERE regexp_matches(w, '^[a-z]+$')
   GROUP BY w
 ),
-e0 AS (SELECT freq, rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
+e0 AS (SELECT w, freq, rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
        FROM w0)"""
     for i in range(1, k + 1):
         sql += f""",
@@ -82,7 +82,7 @@ p{i} AS (
 ),
 b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 e{i} AS (
-  SELECT freq, CASE WHEN b.l IS NULL THEN enc ELSE
+  SELECT w, freq, CASE WHEN b.l IS NULL THEN enc ELSE
     list_reduce(string_split(enc, '|'), (acc, s) ->
       CASE WHEN (acc = b.l OR ends_with(acc, '|' || b.l)) AND s = b.r
            THEN regexp_replace(acc, '(^|\\|)' || b.l || '$',
@@ -99,19 +99,9 @@ GROUP BY tok
     return sql
 
 
-@register(
-    "x_tokenizer_bpe",
-    oracle=_bpe_oracle(),
-    doc=f"BPE tokenizer-vocabulary induction, {_BPE_MERGES} merge "
-    "rounds: corpus word frequencies once, then per round (1) adjacent-"
-    "symbol pair counts over the vocab table weighted by word freq, "
-    "(2) argmax pair (count desc, then lexicographic — one collected "
-    "row, like k-means centroids), (3) greedy left-to-right re-encode "
-    "of every word. Returns the resulting token vocabulary with "
-    "frequencies. Oracle is the identical computation as an unrolled "
-    "CTE chain (DuckDB list_reduce runs the same fold).",
-)
-def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the merge rounds; returns the learned word encodings
+    (w, freq, enc) after _BPE_MERGES greedy merges."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -120,7 +110,7 @@ def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     enc0 = F.expr("trim(TRAILING '|' FROM regexp_replace(w, '(.)', '$1|'))")
-    state = words.select("freq", enc0.alias("enc"))
+    state = words.select("w", "freq", enc0.alias("enc"))
     for _ in range(_BPE_MERGES):
         toks = F.split("enc", "[|]")
         n_p = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -149,11 +139,29 @@ def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         best = top[0]
         state = state.select(
+            "w",
             "freq",
             _bpe_fold(F.split("enc", "[|]"), best["l"], best["r"]).alias(
                 "enc"
             ),
         )
+    return state
+
+
+@register(
+    "x_tokenizer_bpe",
+    oracle=_bpe_oracle(),
+    doc=f"BPE tokenizer-vocabulary induction, {_BPE_MERGES} merge "
+    "rounds: corpus word frequencies once, then per round (1) adjacent-"
+    "symbol pair counts over the vocab table weighted by word freq, "
+    "(2) argmax pair (count desc, then lexicographic — one collected "
+    "row, like k-means centroids), (3) greedy left-to-right re-encode "
+    "of every word. Returns the resulting token vocabulary with "
+    "frequencies. Oracle is the identical computation as an unrolled "
+    "CTE chain (DuckDB list_reduce runs the same fold).",
+)
+def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _bpe_learn(spark, sf_dir)
     return (
         state.select(
             "freq", F.explode(F.split("enc", "[|]")).alias("token")
@@ -161,6 +169,50 @@ def x_tokenizer_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
         .withColumn("n_chars", F.length("token").cast("int"))
+    )
+
+
+def _bpe_apply_oracle(k: int = _BPE_MERGES) -> str:
+    head = _bpe_oracle(k)
+    # same CTE chain, different final select: tokenize every document
+    # with the learned word encodings
+    cut = head.rfind("SELECT tok AS token")
+    return head[:cut] + f"""SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(string_split(e.enc, '|'))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents) t
+JOIN e{k} e ON e.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "x_tokenizer_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc="BPE tokenizer APPLIED: every document tokenized with the "
+    "learned merge table (join words to their final encodings, count "
+    "resulting tokens) — the doc-level token-length accounting a "
+    "packing/budgeting stage consumes after vocabulary induction. The "
+    "vocab-to-corpus join carries no broadcast hint (vocabulary grows "
+    "with the corpus); per-word encoding work happened once at learn "
+    "time, not per document occurrence. Oracle = the same unrolled "
+    "merge chain with a document-join final select.",
+)
+def x_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    enc_len = F.size(F.split("enc", "[|]"))
+    return (
+        d.join(state.select("w", "enc"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(enc_len).cast("bigint").alias("n_tokens"),
+        )
     )
 
 

@@ -1,0 +1,241 @@
+"""Round-4 (fifth-batch) extension operators: temporal dimension
+lookup (SCD2 as-of join), event-transition matrices, hashing-trick
+featurization, and class-balance weights.
+
+Scale design notes (100 TB lens):
+- Temporal dimension join: the fact-to-versioned-dimension lookup that
+  follows SCD2 maintenance (q_scd2_merge) — equi-join on the key with
+  a validity-range residual predicate. The join stays a plain keyed
+  shuffle/broadcast join (range residual evaluated post-match); at
+  most one version matches per fact row by construction (versions
+  partition time), so no fan-out.
+- Event transitions: one window (lag) per user partition + one global
+  count aggregate keyed by |event_type|² — the Markov-chain summary of
+  behavioral streams. Transition probabilities are per-row rationals
+  over integer counts: engine-deterministic.
+- Feature hashing: the hashing trick (token -> md5-derived bucket mod
+  D) — fixed-width feature space independent of vocabulary size, pure
+  map-side expression + one (doc, bucket) aggregate; collisions are
+  part of the contract. The exploded (doc_id, bucket, cnt) form IS the
+  sparse vector, shuffled only by its nonzeros.
+- Class weights: inverse-frequency balancing (N / (K * n_k)) — one
+  tiny aggregate, exact integer inputs, the standard loss-weighting
+  table shipped to trainers alongside a stratified corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, o_dsum, register, dsum
+
+# ---------------------------------------------------------------------------
+# Temporal dimension lookup (SCD2 as-of join)
+# ---------------------------------------------------------------------------
+
+_V2_FROM = "1995-07-01"
+
+
+@register(
+    "q_scd2_temporal_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey AS key, c_mktsegment AS segment,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 5 = 0 THEN DATE '{_V2_FROM}' - 1
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED', DATE '{_V2_FROM}', DATE '9999-12-31'
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT d.segment AS segment_at_order,
+           COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS total_price
+    FROM orders o
+    JOIN dim d ON d.key = o.o_custkey
+              AND o.o_orderdate BETWEEN d.valid_from AND d.valid_to
+    GROUP BY d.segment
+    """,
+    doc="Temporal dimension lookup — the fact-to-SCD2 as-of join that "
+    "consumes the history q_scd2_merge maintains: each order joins the "
+    "dimension VERSION valid at its order date (equi-join on the key "
+    "plus a validity-range residual; versions partition time, so "
+    "exactly one matches — no fan-out). The point-in-time-correct "
+    "attribution every warehouse rollup needs once dimensions change "
+    "under it.",
+)
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    v2_from = F.to_date(F.lit(_V2_FROM))
+    v1 = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.date_sub(v2_from, 1)
+        )
+        .otherwise(F.to_date(F.lit("9999-12-31")))
+        .alias("valid_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("UPGRADED").alias("segment"),
+        v2_from.alias("valid_from"),
+        F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("key"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") <= F.col("valid_to")),
+    )
+    return joined.groupBy(F.col("segment").alias("segment_at_order")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (behavioral Markov chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM cnt
+    """,
+    doc="Event-transition matrix: per-user event streams ordered by "
+    "(ts, event_id), lagged into (prev -> next) transitions, counted "
+    "globally with per-source-state probabilities — the first-order "
+    "Markov summary behind funnel diagnostics and anomalous-flow "
+    "detection. One per-user window + one |event_type|^2-keyed "
+    "aggregate; probabilities are integer-ratio doubles.",
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization
+# ---------------------------------------------------------------------------
+
+_HASH_DIM = 64
+
+
+def _feature_hash_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+
+    # digest computed ONCE into a column (hex_int_sql would otherwise
+    # inline one md5 call per nibble)
+    bucket = f"({hex_int_sql('h', 6)}) % {_HASH_DIM}"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST({bucket} AS INT) AS bucket, COUNT(*) AS cnt
+    FROM w GROUP BY doc_id, {bucket}
+    """
+
+
+@register(
+    "x_feature_hashing",
+    oracle=_feature_hash_oracle(),
+    doc=f"Hashing-trick featurization: tokens map to a fixed "
+    f"{_HASH_DIM}-bucket feature space via an md5-derived bucket "
+    "(engine-portable hex arithmetic, no vocabulary table at all — "
+    "the property that makes the trick work on unbounded streams). "
+    "Emitted as the exploded sparse form (doc_id, bucket, cnt): pure "
+    "map-side hashing + one aggregate keyed by nonzeros. Collisions "
+    "are part of the estimator's contract; dimension is the "
+    "accuracy/width lever.",
+)
+def x_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import hex_int_sql
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    bucket = (F.expr(hex_int_sql("h", 6)) % _HASH_DIM).cast("int")
+    return (
+        w.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_class_weights",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM c)
+    SELECT c.label, c.n,
+           CAST(s.total AS DOUBLE) / (s.k * c.n) AS weight
+    FROM c CROSS JOIN s
+    """,
+    doc="Class-balance weights: inverse-frequency loss weighting "
+    "w_k = N / (K * n_k) over the embeddings labels — the table a "
+    "trainer consumes next to a stratified corpus so rare classes "
+    "are not drowned. One tiny aggregate + broadcast of the (N, K) "
+    "scalars; exact integer inputs make the weights deterministic.",
+)
+def x_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    s = c.agg(
+        F.sum("n").cast("bigint").alias("total"), F.count("*").alias("k")
+    )
+    return c.crossJoin(F.broadcast(s)).select(
+        "label",
+        "n",
+        (F.col("total").cast("double") / (F.col("k") * F.col("n"))).alias(
+            "weight"
+        ),
+    )

@@ -128,3 +128,38 @@ def test_dedup_pipeline_lsh_partitions_corpus_and_refines_exact(spark):
     # survivors stand in for their cluster; min-id label is itself a member.
     for r in rows:
         assert exact[r.survivor_id] == exact[r.component]
+
+
+def test_bpe_apply_token_counts_bounded_by_words_and_chars(spark):
+    """Per doc: n_tokens is between n_words (fully merged) and the
+    total char count (no merges), and total tokens across docs equals
+    sum(freq * len(enc)) over the learned vocab state."""
+    from blspark.catalog import load_table
+    from blspark.queries.extensions5 import _bpe_learn
+
+    out = REG["x_tokenizer_bpe_apply"].spark_fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chars = {
+        r.doc_id: r.c
+        for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.filter(
+                    F.split("text", " "), lambda w: w.rlike("^[a-z]+$")
+                ),
+                F.lit(0),
+                lambda acc, w: acc + F.length(w),
+            ).alias("c"),
+        ).collect()
+    }
+    for r in out:
+        assert r.n_words <= r.n_tokens <= chars[r.doc_id], r.doc_id
+
+    state = {
+        r.w: r
+        for r in _bpe_learn(spark, SF_SMOKE)
+        .select("w", "freq", F.size(F.split("enc", "[|]")).alias("n"))
+        .collect()
+    }
+    total_from_state = sum(r.freq * r.n for r in state.values())
+    assert total_from_state == sum(r.n_tokens for r in out)

@@ -1,0 +1,58 @@
+"""Invariant tests for the fifth-batch round-4 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.catalog import registry
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+
+
+def test_scd2_temporal_join_partitions_orders(spark):
+    """Every order matches exactly one dimension version: the grouped
+    counts sum to the order count."""
+    from blspark.catalog import load_table
+
+    out = REG["q_scd2_temporal_join"].spark_fn(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    # upgraded segment only exists after the v2 cutover
+    assert any(r.segment_at_order == "UPGRADED" for r in out)
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    out = REG["x_event_transitions"].spark_fn(spark, SF_SMOKE).collect()
+    by_prev: dict[str, float] = {}
+    for r in out:
+        assert r.n > 0 and 0 < r.p <= 1
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, prev
+
+
+def test_feature_hashing_buckets_bounded_and_counts_conserved(spark):
+    from blspark.catalog import load_table
+
+    out = REG["x_feature_hashing"].spark_fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(0 <= r.bucket < 64 for r in rows)
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0].s
+    assert sum(r.cnt for r in rows) == n_tokens
+
+
+def test_class_weights_weighted_total_balances(spark):
+    """sum(n_k * w_k) == N: the defining property of inverse-frequency
+    weights (every class contributes equal total weight N/K)."""
+    out = REG["x_class_weights"].spark_fn(spark, SF_SMOKE).collect()
+    total = sum(r.n for r in out)
+    k = len(out)
+    for r in out:
+        assert abs(r.weight - total / (k * r.n)) < 1e-12
+    assert abs(sum(r.n * r.weight for r in out) - total) < 1e-6
