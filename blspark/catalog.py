@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_event_transitions",
     "x_feature_hashing",
     "x_class_weights",
+    "q_window_time_range",
+    "x_xml_roundtrip",
     # -- simpler surfaces (still first-time checks) — ranked after the
     # distinctive ops so the 50-slot budget lands on the latter.
     "x_listagg_sorted",

@@ -239,3 +239,114 @@ def x_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time RANGE window frame (value-based, not row-count-based)
+# ---------------------------------------------------------------------------
+
+
+def _time_range_oracle() -> str:
+    from blspark.catalog import o_d2d
+
+    s = "SUM(CAST(value AS DECIMAL(28,4))) OVER w"
+    return f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           {o_d2d(s)} AS sum_1h
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_id < 10000)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "q_window_time_range",
+    oracle=_time_range_oracle(),
+    doc="Event-time RANGE window frame: per user, the count and exact "
+    "decimal sum of events in the trailing ONE HOUR of event time "
+    "(RANGE over epoch microseconds — value-based framing, where "
+    "q_window_moving_avg's ROWS frame counts rows). RANGE frames are "
+    "what sliding time-window features actually need: two events a "
+    "week apart are NOT neighbors just because they're adjacent rows. "
+    "Partition-bounded sort; micros keep the frame boundary "
+    "integer-exact in both engines (a seconds cast would truncate).",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import DEC
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 10000)
+        .select(
+            "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+            "sum_1h"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink round trip (Spark 4 built-in XML)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_xml_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="XML source/sink round trip (Spark 4 built-in XML, absorbing "
+    "the former spark-xml package): a documents slice is written as "
+    "rowTag XML and read back, then summarized by count / exact char "
+    "total / distinct content digests — the oracle computes the same "
+    "over the original parquet rows, so any loss or mangling in the "
+    "XML writer/parser round trip breaks the hash. Completes the "
+    "format matrix next to CSV/JSON/ORC/zstd-parquet in "
+    "tests/test_formats.py.",
+)
+def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    d = tempfile.mkdtemp(prefix="blspark_xml_")
+    try:
+        docs.write.format("xml").option("rowTag", "doc").mode(
+            "overwrite"
+        ).save(f"{d}/docs")
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .load(f"{d}/docs")
+        )
+        out = back.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct(
+                F.md5(F.col("text").cast("binary"))
+            ).alias("n_distinct_texts"),
+        )
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -56,3 +56,34 @@ def test_class_weights_weighted_total_balances(spark):
     for r in out:
         assert abs(r.weight - total / (k * r.n)) < 1e-12
     assert abs(sum(r.n * r.weight for r in out) - total) < 1e-6
+
+
+def test_window_time_range_counts_match_bruteforce(spark):
+    """RANGE-frame counts equal a per-row brute-force recount on a
+    small slice."""
+    from blspark.catalog import load_table
+
+    out = {
+        r.event_id: r.n_1h
+        for r in REG["q_window_time_range"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_id") < 10000)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        for r in rows:
+            n = sum(1 for x in rows if r.us - 3_600_000_000 <= x.us <= r.us)
+            assert out[r.event_id] == n, r.event_id
+
+
+def test_xml_roundtrip_schema(spark):
+    out = REG["x_xml_roundtrip"].spark_fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs > 0 and r.total_chars > 0 and r.n_distinct_texts > 0
