@@ -86,3 +86,74 @@ def test_empty_corpus_text_ops(spark):
     empty = _docs(spark, [])
     for fn in (token_stats, quality_score, lang_id, fingerprint):
         assert fn(empty, "doc_id", "text").count() == 0
+
+
+# --- round-4 second-session operators --------------------------------------
+
+
+def test_bpe_empty_corpus_no_crash(spark, tmp_path):
+    """A corpus with no [a-z]+ words yields an empty vocabulary (the
+    empty-pair-table break path), not a crash."""
+    import shutil
+
+    from blspark.catalog import registry
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(0, "123 456 789", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    out = registry()["x_tokenizer_bpe"].spark_fn(spark, str(sf)).collect()
+    assert out == []
+    shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_zorder_key_masks_high_bits(spark):
+    """Inputs beyond 16 bits are masked (documented contract), so the
+    key of x and x + 65536 is identical."""
+    from pyspark.sql import functions as F
+
+    from blspark.ext.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(5, 9), (5 + 65536, 9), (5, 9 + 65536)], "x long, y long"
+    )
+    keys = [r.z for r in df.select(zorder_key("x", "y").alias("z")).collect()]
+    assert keys[0] == keys[1] == keys[2]
+
+
+def test_survivor_best_all_singletons(spark):
+    """No edges: every node is its own component and its own survivor."""
+    from blspark.ext.dedup import connected_components, survivor_best
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    comp = connected_components(edges, nodes, id_col="id")
+    q = spark.createDataFrame(
+        [(i, 0.5) for i in range(5)], "node long, quality double"
+    )
+    out = {r.component: r for r in survivor_best(comp, q).collect()}
+    assert set(out) == set(range(5))
+    for c, r in out.items():
+        assert r.survivor_id == c and r.n_members == 1
+
+
+def test_mad_outliers_constant_group_emits_nothing(spark, tmp_path):
+    """A constant-valued group has MAD 0; with strict >, nothing is
+    flagged (and no division is involved, unlike z-scores)."""
+    import shutil
+
+    from blspark.catalog import registry
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [(i, None, 1, "t", 7.0, "{}") for i in range(50)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = registry()["x_mad_outliers"].spark_fn(spark, str(sf)).collect()
+    assert out == []
+    shutil.rmtree(sf, ignore_errors=True)
