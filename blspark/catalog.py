@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_class_weights",
     "q_window_time_range",
     "x_xml_roundtrip",
+    "q_asof_nearest_click",
     # -- simpler surfaces (still first-time checks) — ranked after the
     # distinctive ops so the 50-slot budget lands on the latter.
     "x_listagg_sorted",

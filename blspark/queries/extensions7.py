@@ -350,3 +350,102 @@ def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional nearest-in-time join (as-of, either direction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_nearest_click",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    marked AS (
+      SELECT event_id, user_id, event_type, us,
+             last_value(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_us,
+             first_value(CASE WHEN event_type = 'click' THEN us END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_us
+      FROM ev
+    )
+    SELECT event_id, user_id,
+           CASE WHEN next_us IS NULL THEN us - prev_us
+                WHEN prev_us IS NULL THEN next_us - us
+                WHEN us - prev_us <= next_us - us THEN us - prev_us
+                ELSE next_us - us END AS delta_us,
+           CASE WHEN next_us IS NULL THEN 'before'
+                WHEN prev_us IS NULL THEN 'after'
+                WHEN us - prev_us <= next_us - us THEN 'before'
+                ELSE 'after' END AS dir
+    FROM marked
+    WHERE event_type = 'purchase'
+      AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+    """,
+    doc="Bidirectional nearest-in-time join: each purchase is matched "
+    "to its NEAREST click of the same user in EITHER time direction "
+    "(ties -> the earlier one) — the symmetric generalization of "
+    "q_asof_prev_order's backward-only as-of, done with two "
+    "IGNORE-NULLS window scans over the merged per-user stream "
+    "instead of any join at all (the merge-scan formulation that "
+    "makes as-of joins cheap at scale: one partition-bounded sort, "
+    "zero shuffle beyond it). Deltas are epoch-microsecond integers — "
+    "exact in both engines.",
+)
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    prev_us = F.last(click_us, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_us = F.first(click_us, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        prev_us.alias("prev_us"),
+        next_us.alias("next_us"),
+    )
+    d_prev = F.col("us") - F.col("prev_us")
+    d_next = F.col("next_us") - F.col("us")
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_us").isNotNull() | F.col("next_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("next_us").isNull(), d_prev)
+            .when(F.col("prev_us").isNull(), d_next)
+            .when(d_prev <= d_next, d_prev)
+            .otherwise(d_next)
+            .alias("delta_us"),
+            F.when(F.col("next_us").isNull(), F.lit("before"))
+            .when(F.col("prev_us").isNull(), F.lit("after"))
+            .when(d_prev <= d_next, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("dir"),
+        )
+    )

@@ -87,3 +87,43 @@ def test_xml_roundtrip_schema(spark):
     assert len(out) == 1
     r = out[0]
     assert r.n_docs > 0 and r.total_chars > 0 and r.n_distinct_texts > 0
+
+
+def test_asof_nearest_click_planted(spark, tmp_path):
+    """Hand-built stream: purchase at t=100 with clicks at 60 and 130
+    picks the nearer 'after' click (delta 30); purchase at t=200 with
+    equidistant clicks picks 'before' (tie-break earlier)."""
+    import shutil
+
+    from blspark.catalog import registry
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    us = lambda s: s * 1_000_000
+    rows = [
+        (1, us(60), 7, "click"),
+        (2, us(100), 7, "purchase"),
+        (3, us(130), 7, "click"),
+        (4, us(170), 7, "click"),
+        (5, us(200), 7, "purchase"),
+        (6, us(230), 7, "click"),
+        (7, us(500), 8, "purchase"),  # no clicks for user 8 -> excluded
+    ]
+    import datetime
+
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime.utcfromtimestamp(t / 1e6), u, ty, 1.0, "{}")
+            for (i, t, u, ty) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = {
+        r.event_id: (r.delta_us, r.dir)
+        for r in registry()["q_asof_nearest_click"].spark_fn(spark, str(sf)).collect()
+    }
+    assert out[2] == (us(30), "after")
+    assert out[5] == (us(30), "before")  # tie at 30s both ways
+    assert 7 not in out
+    shutil.rmtree(sf, ignore_errors=True)
