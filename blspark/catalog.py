@@ -78,85 +78,34 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- slots 1-20: the 20 queries that have NEVER had a driver
-    # CORRECTNESS row (r1 checked registration order, r2/r3 the priority
-    # blocks; these fell outside every 50-slot budget — verified green
-    # locally each round, but the driver's hash is the hard signal).
-    "q_scd2_merge",
-    "q_zscore_anomalies",
-    "x_concat_blocks",
-    "x_mix_epochs",
-    "x_resample_ffill",
+    # -- slots 1-2: the two r4 driver hash-FAILS, fixed this round
+    # (raw double SUM/COUNT ratios -> exact integer fixed-point per the
+    # numeric policy above) — their green rows close VERDICT item 1.
     "x_padding_efficiency",
-    "x_lsh_eval",
-    "x_distinct_twophase",
-    "x_sequence_pattern",
-    "s_stream_user_profile_tws",
-    "s_stream_dedup_within_watermark",
-    "s_stream_enrich_static",
-    "s_stream_dedup_exact",
-    "s_stream_quality_ingest",
-    "s_stream_interval_join",
-    # -- next: NEW round-4 operators — first hard driver signal.
-    "x_dedup_simhash64",
-    "x_dedup_simhash_hamming",
-    "x_dedup_span_fraction",
-    "x_dedup_incremental",
-    "x_dedup_components_star",
-    "x_similarity_ann_multiprobe",
-    "x_retrieval_hybrid",
-    "x_dedup_semantic",
-    "q_sync_merge",
-    "x_source_cap_topk",  # plan changed r4 (skew pre-filter) — re-prove
-    "x_udtf_bigrams",  # code changed r4 (null guard) — re-prove
-    # -- heavy join shapes newly added to the bench set — fresh rows
-    # alongside their first BENCH appearance.
-    "q_market_share",
-    "q_product_profit",
-    # -- late-round-4 operators — first hard driver signal.
-    "x_lm_bigram_score",
     "x_agg_state_merge",
-    "x_mad_outliers",
-    "x_bloom_prune_join",
-    "x_dedup_keep_best",
-    "x_zorder_key",
-    "s_stream_upsert_cdc",
-    "x_tokenizer_bpe",
-    "x_graph_triangles",
-    "x_dedup_pipeline_lsh",
-    "x_python_datasource",
-    "x_cooccurrence_lift",
-    "q_sql_params",
-    "x_dedup_incremental_lsh",
-    "q_recursive_closure",
-    "x_hll_partial_merge",
-    "x_minhash_est_accuracy",
-    "x_tokenizer_bpe_apply",
-    "q_scd2_temporal_join",
-    "x_event_transitions",
-    "x_feature_hashing",
-    "x_class_weights",
+    # -- slots 3-10: the 8 oracle-bearing queries that have NEVER had a
+    # driver CORRECTNESS row (r4 budget boundary) — the last step to a
+    # fully driver-signed registry (VERDICT item 2).
     "q_window_time_range",
     "x_xml_roundtrip",
     "q_asof_nearest_click",
-    # -- simpler surfaces (still first-time checks) — ranked after the
-    # distinctive ops so the 50-slot budget lands on the latter.
     "x_listagg_sorted",
     "x_word_diversity",
     "q_percent_rank_cume",
     "q_gaps_and_islands",
     "x_topk_merge",
-    # -- the 5 deliberate rows-only ops: weaker (rows-only) driver
-    # signal by design, so they rank after every first-time ORACLE
-    # check above; their oracle-checked deterministic twins
-    # (x_*_checked) are anchored below.
+    # -- slots 11-15: the former rows-only five, upgraded this round to
+    # hash deterministic CONTRACT rows (VERDICT item 3) — first-ever
+    # hard driver signal for each.
     "x_similarity_ivf",
-    "x_multimodal_decode",
     "x_kmeans_clusters",
-    "x_approx_sketches",
+    "x_multimodal_decode",
     "x_multimodal_resize",
-    # -- capability-table anchors (extension cores, BLS IO parity,
-    # streaming oracle twins) re-checked each round.
+    "x_approx_sketches",
+    # -- NEW round-5 operators — first hard driver signal.
+    # (inserted here as they are registered)
+    # -- remaining budget: capability-table anchors (extension cores,
+    # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
@@ -173,11 +122,56 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "x_decontaminate",
     "x_dedup_embedding_cosine",
-    # -- past the 50-slot boundary (x_class_weights is slot 50): the
-    # simpler first-time ops above, then the rows-only five, then
-    # anchors and prior greens — all verified green locally this round
-    # (diffcheck at sf0.01 + sf0.1, full vanilla sweeps); the budget
-    # reaching them just re-signs what the suite already proves.
+    "x_dedup_pipeline_lsh",  # perf-tuned r5 (persist across stages) — re-prove
+    # -- r1-r4 greens, most-distinctive first: streaming, dedup family,
+    # late-r4 ops — all re-signed whenever budget reaches them.
+    "s_stream_user_profile_tws",
+    "s_stream_dedup_within_watermark",
+    "s_stream_enrich_static",
+    "s_stream_dedup_exact",
+    "s_stream_quality_ingest",
+    "s_stream_interval_join",
+    "s_stream_upsert_cdc",
+    "x_dedup_simhash64",
+    "x_dedup_simhash_hamming",
+    "x_dedup_span_fraction",
+    "x_dedup_incremental",
+    "x_dedup_components_star",
+    "x_similarity_ann_multiprobe",
+    "x_retrieval_hybrid",
+    "x_dedup_semantic",
+    "q_sync_merge",
+    "x_source_cap_topk",
+    "x_udtf_bigrams",
+    "q_market_share",
+    "q_product_profit",
+    "x_lm_bigram_score",
+    "x_mad_outliers",
+    "x_bloom_prune_join",
+    "x_dedup_keep_best",
+    "x_zorder_key",
+    "x_tokenizer_bpe",
+    "x_graph_triangles",
+    "x_python_datasource",
+    "x_cooccurrence_lift",
+    "q_sql_params",
+    "x_dedup_incremental_lsh",
+    "q_recursive_closure",
+    "x_hll_partial_merge",
+    "x_minhash_est_accuracy",
+    "x_tokenizer_bpe_apply",
+    "q_scd2_temporal_join",
+    "x_event_transitions",
+    "x_feature_hashing",
+    "x_class_weights",
+    "q_scd2_merge",
+    "q_zscore_anomalies",
+    "x_concat_blocks",
+    "x_mix_epochs",
+    "x_resample_ffill",
+    "x_lsh_eval",
+    "x_distinct_twophase",
+    "x_sequence_pattern",
     "q_shipping_priority",
     "q_regional_revenue",
     "q_events_sessionize",

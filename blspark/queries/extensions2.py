@@ -938,16 +938,39 @@ def x_multimodal_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_multimodal_resize",
-    oracle=None,
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS bytes_exact,
+           TRUE AS budget_ok, TRUE AS dims_fixed
+    FROM documents
+    """,
     doc="Arrow-batched resize over binary media columns via mapInPandas: "
     "stub pixel resample (tile-or-truncate to width*height*channels "
     "bytes — swap in PIL/cv2 where available) with real Spark plumbing; "
-    "blobs stay in the scan stage and never shuffle. Rows-only driver "
-    "check; byte contract + partitioning invariance in tests/test_ext.py.",
+    "blobs stay in the scan stage and never shuffle. The sha1-derived "
+    "channel counts are not SQL-replayable, so the registered form "
+    "hashes a deterministic CONTRACT row: resize ran over every "
+    "document, every output blob is byte-for-byte exactly its declared "
+    "n_bytes == width*height*channels budget, at the fixed target dims. "
+    "Raw resized blobs: ext.multimodal.resize_images + the hash-checked "
+    "byte-budget twin x_multimodal_resize_checked; tile-or-truncate "
+    "byte contract pinned in tests/test_ext.py.",
 )
 def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.multimodal import attach_binary, resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary(docs, "text", modality="image")
-    return resize_images(media, RESIZE_W, RESIZE_H)
+    resized = resize_images(media, RESIZE_W, RESIZE_H)
+    return resized.agg(
+        F.count("*").alias("n_rows"),
+        F.bool_and(F.octet_length("content") == F.col("n_bytes")).alias(
+            "bytes_exact"
+        ),
+        F.bool_and(
+            F.col("n_bytes")
+            == F.col("width") * F.col("height") * F.col("n_channels")
+        ).alias("budget_ok"),
+        F.bool_and(
+            (F.col("width") == RESIZE_W) & (F.col("height") == RESIZE_H)
+        ).alias("dims_fixed"),
+    )

@@ -878,15 +878,17 @@ def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(n_toks) AS sum_tokens,
            MAX(n_toks) AS max_tokens,
            COUNT(*) * MAX(n_toks) - SUM(n_toks) AS padding_waste,
-           SUM(n_toks) / (COUNT(*) * MAX(n_toks)) AS efficiency
+           (SUM(n_toks) * 10000) // (COUNT(*) * MAX(n_toks)) AS efficiency_bp
     FROM b GROUP BY bucket
     """,
     doc="Training-batch padding-efficiency report: docs bucketed by "
     "token length (32/64/128/256 caps), per bucket the padding waste "
     "and efficiency if batched at the bucket's observed max — the "
     "analysis that decides length-bucketed batching vs packing. "
-    "Map-side bucketing + a 4-group aggregate; exact-int math, one "
-    "deterministic ratio.",
+    "Map-side bucketing + a 4-group aggregate; exact-int math only: "
+    "the efficiency ratio is fixed-point basis points via integer "
+    "floor-division (the catalog numeric policy forbids hashing a raw "
+    "double SUM/COUNT ratio — r4 driver hash-fail was exactly that).",
 )
 def x_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -907,9 +909,9 @@ def x_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") * F.max("n_toks") - F.sum("n_toks")).alias(
                 "padding_waste"
             ),
-            (F.sum("n_toks") / (F.count("*") * F.max("n_toks"))).alias(
-                "efficiency"
-            ),
+            F.expr(
+                "(sum(n_toks) * 10000L) div (count(*) * max(n_toks))"
+            ).alias("efficiency_bp"),
         )
     )
 

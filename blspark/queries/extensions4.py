@@ -128,7 +128,7 @@ def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(n_chars) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+           (SUM(n_chars) * 100) // COUNT(*) AS avg_chars_x100
     FROM documents GROUP BY source
     """,
     doc="Hierarchical partial-aggregate merge: shard-level states "
@@ -136,7 +136,9 @@ def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "finals without re-reading base rows — the algebraic-aggregate law "
     "that makes hour->day->month rollup maintenance possible at 100 TB. "
     "The oracle computes the DIRECT one-level aggregation, so the "
-    "differential check proves merge(partials) == direct.",
+    "differential check proves merge(partials) == direct. The mean is "
+    "fixed-point (x100, integer floor-div) per the catalog numeric "
+    "policy — the r4 driver hash-fail was a raw double SUM/COUNT here.",
 )
 def x_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -155,7 +157,7 @@ def x_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("total_chars"),
         F.min("mn").alias("min_chars"),
         F.max("mx").alias("max_chars"),
-        (F.sum("s").cast("double") / F.sum("cnt")).alias("avg_chars"),
+        F.expr("(sum(s) * 100L) div sum(cnt)").alias("avg_chars_x100"),
     )
 
 

@@ -59,16 +59,10 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_approx_sketches",
-    oracle=None,
-    doc="Approximate sketches: HyperLogLog++ distinct counts and "
-    "quantile summaries — the O(1)-memory scale path for cardinality/"
-    "percentile over 100 TB. Sketch internals are engine-specific, so "
-    "no value-level oracle; tests/test_sessions.py asserts accuracy "
-    "against exact answers.",
-)
-def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch outputs (engine-specific values): HLL++ distinct counts
+    + approximate percentiles. tests/test_sessions.py asserts accuracy
+    against exact DuckDB answers."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     approx = li.agg(
@@ -82,6 +76,59 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_pct")[1].alias("p95_price"),
     )
     return approx.crossJoin(pct)
+
+
+@register(
+    "x_approx_sketches",
+    oracle="""
+    SELECT (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_orders,
+           TRUE AS parts_err_ok, TRUE AS orders_err_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    """,
+    doc="Approximate sketches: HyperLogLog++ distinct counts and "
+    "quantile summaries — the O(1)-memory scale path for cardinality/"
+    "percentile over 100 TB. Sketch internals are engine-specific, so "
+    "the registered form hashes a deterministic CONTRACT row (the "
+    "x_hll_partial_merge device): the exact cardinalities (hard "
+    "values, oracle-checked) plus booleans pinning each sketch inside "
+    "its error envelope — HLL++ within 15% (3x the default 5% rsd) of "
+    "exact, approx percentiles inside the exact p40–p60 / p90–p99 "
+    "value bands (computed in-plan via exact percentile). Raw sketch "
+    "values: approx_sketches_raw; accuracy vs DuckDB exact answers in "
+    "tests/test_sessions.py.",
+)
+def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    card = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    pct = orders.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("apx"),
+        F.expr(
+            "percentile(o_totalprice, array(0.40D, 0.60D, 0.90D, 0.99D))"
+        ).alias("ex"),
+    )
+    return card.crossJoin(pct).select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("parts_err_ok"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.15
+        ).alias("orders_err_ok"),
+        F.col("apx")[0].between(F.col("ex")[0], F.col("ex")[1]).alias("p50_ok"),
+        F.col("apx")[1].between(F.col("ex")[2], F.col("ex")[3]).alias("p95_ok"),
+    )
 
 
 @register(

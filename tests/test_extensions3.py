@@ -179,19 +179,10 @@ def test_priority_list_names_all_registered():
     dupes = [n for n in _PRIORITY if _PRIORITY.count(n) > 1]
     assert dupes == [], f"duplicate priority entries: {dupes}"
     first50 = list(reg)[:50]
-    # the 5 deliberate rows-only operators are in the round-4 budget to
-    # collect their first (weaker, rows-only) driver row; every other
-    # slot must carry a full oracle
-    rows_only_allowed = {
-        "x_similarity_ivf",
-        "x_multimodal_decode",
-        "x_kmeans_clusters",
-        "x_approx_sketches",
-        "x_multimodal_resize",
-    }
-    no_oracle = [
-        n for n in first50 if not reg[n].oracle and n not in rows_only_allowed
-    ]
+    # since round 5 every registered query carries a full oracle (the
+    # former rows-only five now hash deterministic contract rows), so
+    # every budget slot must carry one
+    no_oracle = [n for n in first50 if not reg[n].oracle]
     assert no_oracle == [], (
         f"first-50 slots without oracle (wasted hash budget): {no_oracle}"
     )
@@ -210,7 +201,10 @@ def test_padding_efficiency_bounds(spark):
     for r in REG["x_padding_efficiency"].spark_fn(spark, SF_SMOKE).collect():
         assert r.max_tokens <= r.bucket
         assert r.padding_waste == r.n_docs * r.max_tokens - r.sum_tokens
-        assert 0.0 < r.efficiency <= 1.0
+        assert 0 < r.efficiency_bp <= 10000
+        assert r.efficiency_bp == (r.sum_tokens * 10000) // (
+            r.n_docs * r.max_tokens
+        )
 
 
 def test_scd2_version_accounting(spark):

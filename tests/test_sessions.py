@@ -36,8 +36,9 @@ def test_session_window_count_consistency(spark):
 
 
 def test_approx_sketches_accuracy(spark, duck):
-    reg = registry()
-    row = reg["x_approx_sketches"].spark_fn(spark, SF_ORACLE).first()
+    from blspark.queries.sessions import approx_sketches_raw
+
+    row = approx_sketches_raw(spark, SF_ORACLE).first()
     exact_parts, exact_orders = duck.execute(
         "SELECT COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey) FROM lineitem"
     ).fetchone()
