@@ -59,6 +59,25 @@ def main() -> None:
             print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Like-for-like subset totals, emitted directly so BASELINE.md
+    # change-log paragraphs can't drift from the JSON as the bench set
+    # grows: "r1_14" is the original round-1 set (the baseline
+    # comparison basis), "r4_18" adds the four round-4 entries.
+    R1_SET = (
+        "q1_population_stats", "q2_best_year", "q3_combined_report",
+        "q_asof_prev_order", "q_conditional_agg", "q_events_interval_join",
+        "q_events_sessionize", "q_events_tumbling_window",
+        "q_grouped_agg_pricing", "q_regional_revenue", "q_shipping_priority",
+        "x_dedup_exact", "x_dedup_minhash_lsh", "x_similarity_cosine_topk",
+    )
+    R4_SET = R1_SET + (
+        "q_market_share", "q_product_profit",
+        "x_dedup_pipeline_lsh", "x_lm_bigram_score",
+    )
+    subtotals = {
+        label: round(sum(timings[n] for n in names if n in timings), 3)
+        for label, names in (("r1_14", R1_SET), ("r4_18", R4_SET))
+    }
     print(
         json.dumps(
             {
@@ -66,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": subtotals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -182,8 +182,8 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import lsh_verified_candidates
 
     corpus = _corpus(spark, sf_dir)
-    # the returned plan is lazy over the verified-candidate frame, so
-    # the persisted shingle sets inside the helper stay cached
+    # verified comes back materialized (checkpointed) — the helper
+    # releases its shingle cache before returning
     _arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
     return verified.filter(F.col("jaccard") >= 0.5)
 

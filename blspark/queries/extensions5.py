@@ -379,19 +379,14 @@ def x_dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
-    try:
-        pairs = verified.filter(F.col("jaccard") >= 0.6).select(
-            "id_a", "id_b"
-        )
-        # components materializes eagerly (per-round localCheckpoint),
-        # so the persisted shingle sets are consumed here and can be
-        # released before the (arrs-free) final plan returns
-        comp = connected_components(
-            pairs, corpus.select("doc_id"), id_col="doc_id"
-        )
-    finally:
-        arrs.unpersist()
+    # verified comes back materialized (helper checkpoints it and
+    # releases its shingle cache), so the components loop below starts
+    # from a compact in-memory pair list
+    _arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
+    pairs = verified.filter(F.col("jaccard") >= 0.6).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, corpus.select("doc_id"), id_col="doc_id"
+    )
     q = quality_score(corpus, "doc_id", "text").select(
         F.col("id").alias("node"), "quality"
     )

@@ -231,7 +231,8 @@ def x_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    # lazy plan over the verified frame: helper's shingle cache stays
+    # verified comes back materialized (checkpointed) — the helper
+    # releases its shingle cache before returning
     _arrs, _sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
     # candidates come id_a < id_b in both orientations; keep only pairs
     # crossing the base/new boundary, re-oriented to (new, base)
@@ -309,28 +310,40 @@ def q_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import jaccard_pairs, word_shingles
     from blspark.queries.extensions import _corpus
 
+    import uuid
+
     corpus = _corpus(spark, sf_dir)
     sh = word_shingles(corpus, "doc_id", "text", n=3)
+    # uuid-suffixed view names: fixed names would collide under
+    # concurrent operator execution on a shared session and linger
+    # after the query returns. spark.sql analyzes eagerly, so the
+    # returned DataFrame keeps its resolved plan after the views drop.
+    tag = uuid.uuid4().hex[:12]
+    pairs_v, nodes_v = f"_rc_pairs_{tag}", f"_rc_nodes_{tag}"
     jaccard_pairs(sh, min_jaccard=0.6).select(
         "id_a", "id_b"
-    ).createOrReplaceTempView("_rc_pairs")
-    corpus.select("doc_id").createOrReplaceTempView("_rc_nodes")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE sym AS (
-          SELECT id_a AS a, id_b AS b FROM _rc_pairs
-          UNION ALL SELECT id_b, id_a FROM _rc_pairs
-        ),
-        reach(node, r, hops) AS (
-          SELECT doc_id, doc_id, 0 FROM _rc_nodes
-          UNION ALL
-          SELECT reach.node, s.b, hops + 1
-          FROM reach JOIN sym s ON s.a = reach.r
-          WHERE hops < {_MAX_HOPS}
+    ).createOrReplaceTempView(pairs_v)
+    corpus.select("doc_id").createOrReplaceTempView(nodes_v)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE sym AS (
+              SELECT id_a AS a, id_b AS b FROM {pairs_v}
+              UNION ALL SELECT id_b, id_a FROM {pairs_v}
+            ),
+            reach(node, r, hops) AS (
+              SELECT doc_id, doc_id, 0 FROM {nodes_v}
+              UNION ALL
+              SELECT reach.node, s.b, hops + 1
+              FROM reach JOIN sym s ON s.a = reach.r
+              WHERE hops < {_MAX_HOPS}
+            )
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+            """
         )
-        SELECT node, MIN(r) AS component FROM reach GROUP BY node
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(pairs_v)
+        spark.catalog.dropTempView(nodes_v)
 
 
 # ---------------------------------------------------------------------------
@@ -522,7 +535,8 @@ def x_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.queries.extensions import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    # lazy plan over the verified frame: helper's shingle cache stays
+    # sig and verified come back materialized (checkpointed) — the
+    # helper releases its shingle cache before returning
     _arrs, sig, verified = lsh_verified_candidates(corpus, "doc_id", "text")
     sa_sig = sig.select(
         F.col("id").alias("id_a"),

@@ -319,7 +319,12 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the original parquet rows, so any loss or mangling in the "
     "XML writer/parser round trip breaks the hash. Completes the "
     "format matrix next to CSV/JSON/ORC/zstd-parquet in "
-    "tests/test_formats.py.",
+    "tests/test_formats.py. The reader disables "
+    "ignoreSurroundingSpaces (the default true would silently trim "
+    "leading/trailing whitespace off text nodes — and collapse empty "
+    "strings to null — breaking the digest differential on "
+    "whitespace-padded corpora); both edge shapes are pinned in "
+    "tests/test_formats.py::test_xml_whitespace_and_empty_text.",
 )
 def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -336,6 +341,7 @@ def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = (
             spark.read.format("xml")
             .option("rowTag", "doc")
+            .option("ignoreSurroundingSpaces", "false")
             .load(f"{d}/docs")
         )
         out = back.agg(

@@ -179,3 +179,34 @@ def test_write_layout_parquet_sorted_bounded_files(spark, tmp_path):
         dates = [r["l_shipdate"] for r in part.select("l_shipdate").collect()]
         assert dates == sorted(dates)  # file-internal clustering
     assert total == li.count()  # nothing lost or duplicated
+
+
+def test_xml_whitespace_and_empty_text(spark, tmp_path):
+    """XML round-trip edge contract (ADVICE r4): with
+    ignoreSurroundingSpaces=false (what x_xml_roundtrip sets) leading/
+    trailing whitespace in text survives byte-exact, and empty-string
+    text reads back as '' (only with the default trimming would it
+    collapse to null). Pinned here so the behavior is a documented
+    contract, not a silent surprise."""
+    rows = [
+        (1, "  padded  "),
+        (2, "\tleading tab"),
+        (3, "trailing space "),
+        (4, ""),
+        (5, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    p = str(tmp_path / "xmlws")
+    df.write.format("xml").option("rowTag", "doc").mode("overwrite").save(p)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(p)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got[1] == "  padded  "
+    assert got[2] == "\tleading tab"
+    assert got[3] == "trailing space "
+    assert got[4] == ""  # empty survives (null only under default trim)
+    assert got[5] == "plain"
