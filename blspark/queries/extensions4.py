@@ -94,7 +94,13 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     "fraction of corpus-unique bigrams). Frequency-based rather than "
     "log-prob so every aggregate is exact-integer (deterministic across "
     "engines); a real deployment would swap the final projection for "
-    "smoothed log-probs against a held-out LM.",
+    "smoothed log-probs against a held-out LM. Zipf-head posture "
+    "(measured, tests/test_skew.py): AQE canNOT skew-split this "
+    "bg-joins-its-own-agg shape (the count side reuses its aggregation "
+    "shuffle, breaking OptimizeSkewedJoin's pattern) — at 100 TB, "
+    "materialize the vocab counts as a table first (re-enables "
+    "skew=true splitting) or use ext.skew.salted_join; see SCALE.md "
+    "round-5 skew finding.",
 )
 def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _bigrams(load_table(spark, sf_dir, "documents"))

@@ -123,3 +123,94 @@ def test_fan_out_widens_small_scan_and_preserves_results(spark):
 
     rng = spark.range(0, 1000)  # non-file source: gate passes through
     assert fan_out(rng) is rng
+
+
+def _skew_confs(spark):
+    """Test-scale AQE skew thresholds (defaults need 256MB partitions)."""
+    return {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+
+
+def _hot_bigram_docs(spark):
+    # 3000 docs that are 500x the word "h" -> ~1.5M rows of the single
+    # bigram "h h" (the Zipf head), plus 2000 distinct-bigram tail docs
+    hot = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.lit(" ".join(["h"] * 500)).alias("text")
+    )
+    tail = spark.range(3000, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), F.col("id")),
+            F.concat(F.lit("x"), F.col("id")),
+            F.concat(F.lit("y"), F.col("id")),
+        ).alias("text"),
+    )
+    return hot.unionByName(tail)
+
+
+def _bigram_join_rows(bg, cnt):
+    return (
+        bg.join(cnt, "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("c").alias("sum_freq"))
+    )
+
+
+def test_bigram_zipf_head_aqe_skew_split(spark):
+    """Planted-hot-bigram scale sweep for the x_lm_bigram_score join
+    (VERDICT r4 item 6). Two measured facts, both load-bearing at 100 TB:
+
+    1. The naive two-pass shape `bg JOIN bg.groupBy(b).count()` can NOT
+       be skew-split by AQE even with a massive Zipf head: the count
+       side reuses its own aggregation shuffle (SMJ child is
+       Sort(HashAgg(ShuffleStage)), and OptimizeSkewedJoin only matches
+       Sort(ShuffleStage) on both sides) — an alias barrier doesn't
+       help either, the optimizer folds it into the aggregate.
+    2. Materializing the vocab counts first (localCheckpoint here; a
+       written vocab table in production — standard practice for a
+       reusable artifact) gives the join two fresh ENSURE_REQUIREMENTS
+       exchanges and AQE's runtime skew-split ENGAGES (skew=true in the
+       final plan), with results identical to the naive shape.
+    """
+    from blspark.queries.extensions4 import _bigrams
+
+    docs = _hot_bigram_docs(spark)
+    confs = _skew_confs(spark)
+    old = {k: spark.conf.get(k, None) for k in confs}
+    want = None
+    try:
+        bg = _bigrams(docs)
+        want = sorted(
+            map(tuple, _bigram_join_rows(bg, bg.groupBy("b").agg(F.count("*").alias("c"))).collect())
+        )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        # 1: agg-partitioning-reuse shape — skew rule cannot fire
+        naive = _bigram_join_rows(bg, bg.groupBy("b").agg(F.count("*").alias("c")))
+        assert sorted(map(tuple, naive.collect())) == want
+        naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in naive_plan  # the documented blocker
+
+        # 2: materialized-vocab shape — skew split engages, same rows
+        cnt = (
+            bg.groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        split = _bigram_join_rows(bg, cnt)
+        assert sorted(map(tuple, split.collect())) == want
+        split_plan = split._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in split_plan
+        assert "skewed" in split_plan  # AQEShuffleRead ... and skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
