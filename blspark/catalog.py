@@ -103,7 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     "x_multimodal_resize",
     "x_approx_sketches",
     # -- NEW round-5 operators — first hard driver signal.
-    # (inserted here as they are registered)
+    "x_mmr_rerank",
+    "x_entity_resolution",
+    "x_kcore_prune",
+    "x_incremental_agg_refresh",
+    "x_compaction_plan",
+    "x_ewma_smooth",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

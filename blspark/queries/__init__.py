@@ -18,4 +18,5 @@ import blspark.queries.extensions4  # noqa: F401
 import blspark.queries.extensions5  # noqa: F401
 import blspark.queries.extensions6  # noqa: F401
 import blspark.queries.extensions7  # noqa: F401
+import blspark.queries.extensions8  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401

@@ -1,0 +1,582 @@
+"""Round-5 extension operators: retrieval diversification (MMR),
+materialized-view delta refresh, table-maintenance compaction planning,
+entity resolution (blocking + edit distance + components), k-core graph
+pruning, and EWMA time-series smoothing.
+
+Design notes shared by the module:
+
+- Every cosine/dot-product reuses the established deterministic device
+  (float->double exact, sequential left-to-right fold == DuckDB
+  ``list_sum`` order; see ``ext.similarity``).
+- Iterative operators (MMR steps, k-core rounds) are unrolled to a
+  FIXED budget on both sides so the differential compares a
+  well-defined object; tests assert the budget reaches a fixpoint.
+- Fractional constants in shared SQL are written as integer divisions
+  (``x / 2``) or explicit CASTs — bare ``0.5`` literals parse as
+  DECIMAL in DuckDB and round differently (see catalog policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+
+# ---------------------------------------------------------------------------
+# Maximal-marginal-relevance diversified rerank
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5  # results per query
+_MMR_CANDS = 20  # relevance top-N candidate pool per query
+_MMR_NQ = 3  # query vectors: vec_id < _MMR_NQ
+
+# DuckDB-side cosine between two DOUBLE[] columns — same fold order as
+# the Spark _dot/_norm aggregate device.
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _mmr_oracle() -> str:
+    cos_cq = _COS.format(a="c.v", b="q.qv")
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    steps = []
+    prev_sel = "sel1"
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+    rem{k} AS (
+      SELECT c.qid, c.id, c.rel, MAX(s.s) AS ms
+      FROM cands c
+      JOIN sims s ON s.qid = c.qid AND s.ia = c.id
+      JOIN {prev_sel} p ON p.qid = s.qid AND p.id = s.ib
+      WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} x
+                        WHERE x.qid = c.qid AND x.id = c.id)
+      GROUP BY c.qid, c.id, c.rel
+    ),
+    pick{k} AS (
+      SELECT qid, id, rel, rel / 2 - ms / 2 AS score, {k} AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY rel / 2 - ms / 2 DESC, id ASC) AS rn
+            FROM rem{k}) t
+      WHERE rn = 1
+    ),
+    sel{k} AS (SELECT qid, id FROM {prev_sel}
+               UNION ALL SELECT qid, id FROM pick{k})""")
+        prev_sel = f"sel{k}"
+    unions = "\n      UNION ALL ".join(
+        f"SELECT qid, id, rel, score, rank FROM pick{k}"
+        for k in range(2, _MMR_K + 1)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    q AS (SELECT id AS qid, v AS qv FROM vecs WHERE id < {_MMR_NQ}),
+    scored AS (
+      SELECT q.qid, c.id, {cos_cq} AS rel, c.v
+      FROM vecs c, q WHERE c.id <> q.qid
+    ),
+    cands AS (
+      SELECT qid, id, rel, v FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn
+        FROM scored) t
+      WHERE rn <= {_MMR_CANDS}
+    ),
+    sims AS (
+      SELECT a.qid, a.id AS ia, b.id AS ib, {cos_ab} AS s
+      FROM cands a JOIN cands b ON a.qid = b.qid AND a.id <> b.id
+    ),
+    pick1 AS (
+      SELECT qid, id, rel, rel AS score, 1 AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn
+        FROM cands) t
+      WHERE rn = 1
+    ),
+    sel1 AS (SELECT qid, id FROM pick1),{",".join(steps)}
+    SELECT qid AS query_id, CAST(rank AS INT) AS rank, id AS vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+    FROM (SELECT qid, id, rel, score, rank FROM pick1
+          UNION ALL {unions}) fin
+    """
+
+
+@register(
+    "x_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance diversified top-k (Carbonell & "
+    "Goldstein '98, the standard RAG/retrieval diversification pass): "
+    "per query, relevance top-20 candidates, then 5 greedy picks "
+    "maximizing rel/2 - max_sim_to_selected/2 (lambda = 0.5, id "
+    "tie-break). Spark shape: candidate scoring + the 20x19 per-query "
+    "sim matrix are JVM fold arithmetic (deterministic, bounded by "
+    "candidates^2 per query, NEVER corpus^2); the greedy selection "
+    "runs per-query inside one applyInPandas group — the shape that "
+    "scales to millions of queries, each group touching only its own "
+    "candidate pairs. Oracle: the same greedy unrolled as "
+    f"{_MMR_K}-step CTEs, ROW_NUMBER argmax per step.",
+)
+def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = with_double_vec(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "vec", _norm(F.col("vec")).alias("nrm")
+    )
+    q = vecs.filter(F.col("id") < _MMR_NQ).select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = vecs.join(F.broadcast(q), F.col("id") != F.col("qid")).select(
+        "qid",
+        "id",
+        "vec",
+        "nrm",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+            "rel"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .drop("rn")
+    )
+    a = cands.select("qid", F.col("id").alias("ia"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"), F.col("rel").alias("rel_a"))
+    b = cands.select("qid", F.col("id").alias("ib"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    pairs = a.join(b, ["qid"]).filter(F.col("ia") != F.col("ib")).select(
+        "qid",
+        "ia",
+        "ib",
+        "rel_a",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "s"
+        ),
+    )
+
+    out_schema = (
+        "query_id long, rank int, vec_id long, "
+        "relevance double, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.ia] = r.rel_a
+            sim[(r.ia, r.ib)] = r.s
+        # pick 1: pure relevance (score == rel), ties to lowest id
+        first = min(rel, key=lambda i: (-rel[i], i))
+        selected = [first]
+        rows = [(qid, 1, first, rel[first], rel[first])]
+        for k in range(2, _MMR_K + 1):
+            best = None
+            for i in sorted(rel):
+                if i in selected:
+                    continue
+                ms = max(sim[(i, j)] for j in selected)
+                score = rel[i] / 2 - ms / 2
+                if best is None or score > best[0]:
+                    best = (score, i)
+            score, i = best
+            selected.append(i)
+            rows.append((qid, k, i, rel[i], score))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "rank", "vec_id", "relevance", "mmr_score"],
+        )
+
+    out = pairs.groupBy("qid").applyInPandas(greedy, schema=out_schema)
+    return out.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh (materialized-view delta maintenance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_incremental_agg_refresh",
+    oracle="""
+    WITH delta AS (
+      SELECT source, COUNT(*) AS n_new
+      FROM documents WHERE doc_id % 5 = 0 GROUP BY source
+    ),
+    full_agg AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, f.n_docs, f.total_chars, f.min_chars, f.max_chars,
+           d.n_new
+    FROM delta d JOIN full_agg f USING (source)
+    """,
+    doc="Incremental materialized-view refresh: a per-source aggregate "
+    "state (count/sum/min/max) maintained over the base corpus is "
+    "delta-refreshed with a new batch (doc_id%5==0) by merging batch "
+    "partials into the stored state — only TOUCHED groups are emitted, "
+    "and base rows are never re-read. This is the operational form of "
+    "the algebraic-merge law x_agg_state_merge proves: at 100 TB the "
+    "delta batch is crawl-increment sized, the state is group-count "
+    "sized, and refresh cost is O(delta + touched groups), not "
+    "O(base). The oracle recomputes the refreshed groups DIRECTLY "
+    "from all rows, so the differential proves merge(state, delta) == "
+    "recompute. MIN/MAX note: algebraic merge works for inserts only — "
+    "deletes would need the full group (documented limit of "
+    "min/max-bearing incremental views).",
+)
+def x_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 5 == 0
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+
+    base_state = state(docs.filter(~is_delta))
+    delta_state = state(docs.filter(is_delta)).select(
+        "source",
+        F.col("n_docs").alias("d_docs"),
+        F.col("total_chars").alias("d_chars"),
+        F.col("min_chars").alias("d_min"),
+        F.col("max_chars").alias("d_max"),
+    )
+    # delta drives the join (touched groups only); base state is the
+    # stored view — left join from delta, groups new in the delta get a
+    # null base state and coalesce to the delta partials alone
+    return delta_state.join(base_state, "source", "left").select(
+        "source",
+        (F.coalesce("n_docs", F.lit(0)) + F.col("d_docs")).alias("n_docs"),
+        (F.coalesce("total_chars", F.lit(0)) + F.col("d_chars")).alias(
+            "total_chars"
+        ),
+        F.least(
+            F.coalesce("min_chars", F.col("d_min")), F.col("d_min")
+        ).alias("min_chars"),
+        F.greatest(
+            F.coalesce("max_chars", F.col("d_max")), F.col("d_max")
+        ).alias("max_chars"),
+        F.col("d_docs").alias("n_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (small-file bin packing per partition)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000  # bytes per output file
+
+
+@register(
+    "x_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id AS file_id, CAST(n_chars AS BIGINT) AS bytes,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, file_id, bytes,
+             CAST((cum - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT source, bin, COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM binned GROUP BY source, bin
+    """,
+    doc="Table-maintenance compaction planner: per partition (source), "
+    "files ordered by id are packed into output bins by start-offset "
+    "binning — a file goes to the bin its cumulative start offset "
+    f"falls in (target {_COMPACT_TARGET} bytes), so bins are "
+    "contiguous id ranges, deterministic, and computed by ONE window "
+    "cumsum + one aggregate with no driver loop. This is the planning "
+    "half of small-file compaction (OPTIMIZE/rewrite) that keeps "
+    "100 TB tables scan-efficient; the manifest is metadata-scale, so "
+    "the plan costs nothing next to the rewrite it schedules. "
+    "Exact-integer arithmetic throughout.",
+)
+def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    files = docs.select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("bigint").alias("bytes"),
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    # integer floor division on BOTH sides (// in DuckDB, div here):
+    # double '/' then CAST rounds in DuckDB but truncates in Spark
+    binned = files.withColumn(
+        "bin", F.expr(f"(cum - bytes) div {_COMPACT_TARGET}")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocking -> edit-distance verify -> components
+# ---------------------------------------------------------------------------
+
+_ER_MAXDIST = 3
+_ER_HOPS = 6
+
+
+def _er_oracle() -> str:
+    return f"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+    ),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAXDIST}
+    ),
+    sym AS (SELECT na AS a, nb AS b FROM pairs
+            UNION ALL SELECT nb, na FROM pairs),
+    reach(node, r, hops) AS (
+      SELECT p_name, p_name, 0 FROM names
+      UNION ALL
+      SELECT reach.node, s.b, hops + 1
+      FROM reach JOIN sym s ON s.a = reach.r
+      WHERE hops < {_ER_HOPS}
+    ),
+    canon AS (SELECT node AS p_name, MIN(r) AS entity
+              FROM reach GROUP BY node)
+    SELECT p.p_partkey, p.p_name, c.entity
+    FROM part p JOIN canon c USING (p_name)
+    """
+
+
+@register(
+    "x_entity_resolution",
+    oracle=_er_oracle(),
+    doc="Entity resolution, the classic three-stage shape: (1) BLOCK "
+    "candidate pairs by a cheap key (first name token) so the pairwise "
+    "stage is block-bounded, never all-pairs; (2) VERIFY candidates "
+    f"with Levenshtein <= {_ER_MAXDIST} (JVM-side, codegen'd); (3) "
+    "cluster matches into entities via connected components (min-name "
+    "label) and assign every record its entity's canonical name. Runs "
+    "on the DISTINCT name domain (attribute-level dedup), then "
+    "broadcast-joins the tiny canon map back to the full record set — "
+    "at 100 TB the name domain is orders smaller than the fact table, "
+    "which is exactly why ER pipelines resolve attributes first. "
+    "Oracle: same blocking/verify in SQL + hop-bounded recursive-CTE "
+    "closure.",
+)
+def x_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split("p_name", " ")[0].alias("blk")
+    )
+    a = blocked.select(F.col("p_name").alias("na"), "blk")
+    b = blocked.select(F.col("p_name").alias("nb"), F.col("blk").alias("blk2"))
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("na") < F.col("nb")))
+        .filter(F.levenshtein("na", "nb") <= _ER_MAXDIST)
+        .select("na", "nb")
+    )
+    comp = connected_components(
+        pairs, names, src_col="na", dst_col="nb", id_col="p_name"
+    ).select(F.col("node").alias("p_name"), F.col("component").alias("entity"))
+    return part.select("p_partkey", "p_name").join(
+        F.broadcast(comp), "p_name"
+    ).select("p_partkey", "p_name", "entity")
+
+
+# ---------------------------------------------------------------------------
+# k-core graph pruning (bounded peel over the near-dup graph)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    from blspark.queries.extensions import CORPUS_SQL, SHINGLES_SQL
+
+    # AS MATERIALIZED on every multiply-referenced CTE: the chained
+    # e{r}/d{r}/k{r} references otherwise INLINE exponentially in
+    # DuckDB (each round references the prior edge set three times ->
+    # 3^8 scans of documents.parquet; observed as an fd-exhaustion
+    # "Too many open files" before any round finished)
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM (
+        SELECT a AS n FROM e{r} UNION ALL SELECT b FROM e{r}) t GROUP BY n),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE c >= {_KCORE_K}),
+    e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+                 JOIN k{r} x ON e.a = x.n JOIN k{r} y ON e.b = y.n)""")
+    last = _KCORE_ROUNDS
+    return f"""
+    WITH corpus AS MATERIALIZED ({CORPUS_SQL}),
+    {SHINGLES_SQL},
+    sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT i.id_a AS a, i.id_b AS b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.6
+    ),{",".join(rounds)}
+    SELECT n AS node, CAST(c AS BIGINT) AS core_degree FROM (
+      SELECT n, COUNT(*) AS c FROM (
+        SELECT a AS n FROM e{last} UNION ALL SELECT b FROM e{last}) t
+      GROUP BY n) f
+    WHERE c >= {_KCORE_K}
+    """
+
+
+@register(
+    "x_kcore_prune",
+    oracle=_kcore_oracle(),
+    doc=f"k-core pruning (k={_KCORE_K}) of the near-dup graph (exact-"
+    "Jaccard >= 0.6 pairs, same graph as x_dedup_components / "
+    "x_graph_triangles): iteratively peel nodes with degree < k until "
+    "stable — what survives are the densely duplicated cliques, "
+    "stripped of chains of borderline pairwise matches; the curation "
+    "dial between 'delete whole component' and 'trust every edge'. "
+    f"Fixed {_KCORE_ROUNDS}-round peel budget on BOTH sides (tests "
+    "assert the fixpoint lands inside it; extra rounds are no-ops), "
+    "so the differential compares a well-defined object and the Spark "
+    "loop makes NO per-round driver decisions — star-contraction's "
+    "scale law. Each round: one partial-aggregatable degree count + "
+    "two semi-joins, localCheckpoint to stop plan growth.",
+)
+def x_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import jaccard_pairs, word_shingles
+    from blspark.queries.extensions import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    e = jaccard_pairs(sh, min_jaccard=0.6).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Peel an (a, b) edge frame down to its k-core over a fixed round
+    budget (extra rounds past the fixpoint are no-ops). Returns the
+    surviving (node, core_degree) frame with core_degree >= k. Each
+    round: one partial-aggregatable degree count + two semi-joins;
+    localCheckpoint per round (iterative-loop law), coalesce bounds the
+    checkpoint block count as the frame shrinks."""
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k)
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (fixed-lag exponential moving average)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # alpha = 1/2, truncated at 8 lags (weight 1/128 last)
+
+
+def _ewma_exprs(order_by: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL shared verbatim by both engines:
+    sum of value*2^-k over the last k lags, and the matching weight sum
+    over non-null lags. Division by powers of two is exact in doubles;
+    the left-assoc '+' chain is the same expression tree in both
+    engines, so every intermediate rounds identically."""
+    over = f"OVER (PARTITION BY event_type ORDER BY {order_by})"
+    num_terms = ["value"]
+    den_terms = ["CAST(1 AS DOUBLE)"]
+    for k in range(1, _EWMA_LAGS):
+        num_terms.append(f"COALESCE(lag(value, {k}) {over}, 0) / {2 ** k}")
+        den_terms.append(
+            f"CAST(CASE WHEN lag(value, {k}) {over} IS NULL"
+            f" THEN 0 ELSE 1 END AS DOUBLE) / {2 ** k}"
+        )
+    return " + ".join(num_terms), " + ".join(den_terms)
+
+
+@register(
+    "x_ewma_smooth",
+    oracle=(
+        lambda n, d: f"""
+    SELECT event_id, event_type, value,
+           ({n}) / ({d}) AS ewma
+    FROM (SELECT event_id, event_type, value,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events) t
+    """
+    )(*_ewma_exprs("ts, event_id")),
+    doc="Exponential moving average per event_type (alpha = 1/2, "
+    f"truncated at {_EWMA_LAGS} lags — the tail weight is 2^-7, below "
+    "float noise for smoothing purposes): the time-series denoising "
+    "primitive behind rate dashboards and drift monitors. Numeric "
+    "device: weights are 2^-k via integer division (exact in binary "
+    "doubles), the lag chain is ONE shared SQL expression string so "
+    "both engines evaluate the identical tree, and missing leading "
+    "lags renormalize through the parallel weight sum. One "
+    "partition-bounded window sort, no iteration, no state.",
+)
+def x_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    num, den = _ewma_exprs("ts, event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(f"({num}) / ({den})").alias("ewma"),
+    )

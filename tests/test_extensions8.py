@@ -1,0 +1,285 @@
+"""Property tests for the round-5 operators (extensions8): MMR
+diversification, incremental refresh == direct recompute, compaction
+bin invariants, entity-resolution clustering, k-core peel semantics,
+EWMA renormalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.catalog import registry
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rank1_is_relevance_argmax_and_scores_decay(spark):
+    rows = REG["x_mmr_rerank"].spark_fn(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 3
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        # rank 1 is pure relevance: its mmr_score equals its relevance
+        assert rs[0].mmr_score == rs[0].relevance
+        # later picks pay a diversity penalty: score < own relevance
+        for r in rs[1:]:
+            assert r.mmr_score < r.relevance
+        # no repeats
+        ids = [r.vec_id for r in rs]
+        assert len(set(ids)) == 5
+        assert qid not in ids  # query never returns itself
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """On at least one query the MMR selection must differ from the
+    plain relevance top-5 — otherwise the diversity term is dead code
+    (lambda=0.5 on 64-dim embeddings: near-certain, asserted so a
+    regression to pure-relevance ranking cannot pass silently)."""
+    from blspark.ext.similarity import cosine_topk
+    from blspark.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    mmr = {
+        (r.query_id, r.vec_id)
+        for r in REG["x_mmr_rerank"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    assert mmr != plain
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_refresh_equals_direct(spark):
+    from blspark.catalog import load_table
+
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.min_chars, r.max_chars, r.n_new)
+        for r in REG["x_incremental_agg_refresh"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    direct = {
+        r.source: (r.n_docs, r.total_chars, r.min_chars, r.max_chars)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    }
+    delta_counts = {
+        r.source: r.n
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(delta_counts)  # touched groups only
+    for src, (nd, tc, mn, mx, n_new) in got.items():
+        assert (nd, tc, mn, mx) == direct[src]
+        assert n_new == delta_counts[src]
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_partition_files_contiguously(spark):
+    from blspark.catalog import load_table
+    from blspark.queries.extensions8 import _COMPACT_TARGET
+
+    plan = REG["x_compaction_plan"].spark_fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {
+        r.source: (r.n, r.b)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("b"))
+        .collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in plan:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(totals)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin)
+        # bins are dense 0..m and id-contiguous (no interleaving)
+        assert [b.bin for b in bins] == list(range(len(bins)))
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.last_file < nxt.first_file
+        n_files = sum(b.n_files for b in bins)
+        n_bytes = sum(b.bin_bytes for b in bins)
+        assert (n_files, n_bytes) == totals[src]
+        # every non-final bin closed at or past the target boundary:
+        # its last file STARTS inside the bin, so cumulative bytes
+        # through it reach (bin+1)*target or beyond
+        cum = 0
+        for b in bins[:-1]:
+            cum += b.bin_bytes
+            assert cum >= (b.bin + 1) * _COMPACT_TARGET
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_clusters_are_consistent(spark):
+    from blspark.catalog import load_table
+
+    rows = REG["x_entity_resolution"].spark_fn(spark, SF_SMOKE).collect()
+    part_n = load_table(spark, SF_SMOKE, "part").count()
+    assert len(rows) == part_n  # every record resolved exactly once
+    ent_of = {}
+    for r in rows:
+        # same name -> same entity, deterministically
+        assert ent_of.setdefault(r.p_name, r.entity) == r.entity
+    entities = set(ent_of.values())
+    # the entity label is the lexicographic min member name
+    for name, ent in ent_of.items():
+        assert ent <= name
+        assert ent in ent_of and ent_of[ent] == ent
+    # blocking: an entity never spans first-word blocks
+    for name, ent in ent_of.items():
+        assert name.split(" ")[0] == ent.split(" ")[0]
+    assert 1 < len(entities) < len(ent_of) or len(entities) == len(ent_of)
+
+
+def test_entity_resolution_merges_close_names_only(spark):
+    from pyspark.sql import Row
+
+    from blspark.ext.dedup import connected_components
+
+    # synthetic: 'red bolt'~'red bell' (dist 2) merge; 'red widget' far
+    names = ["red bolt", "red bell", "red widget", "blue bolt"]
+    df = spark.createDataFrame([Row(p_name=n) for n in names])
+    blocked = df.select("p_name", F.split("p_name", " ")[0].alias("blk"))
+    a = blocked.select(F.col("p_name").alias("na"), "blk")
+    b = blocked.select(
+        F.col("p_name").alias("nb"), F.col("blk").alias("blk2")
+    )
+    pairs = (
+        a.join(
+            b, (F.col("blk") == F.col("blk2")) & (F.col("na") < F.col("nb"))
+        )
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select("na", "nb")
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            pairs, df, src_col="na", dst_col="nb", id_col="p_name"
+        ).collect()
+    }
+    assert comp["red bolt"] == comp["red bell"] == "red bell"
+    assert comp["red widget"] == "red widget"  # dist > 3: own entity
+    assert comp["blue bolt"] == "blue bolt"  # other block untouched
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_kcore_triangle_survives_chain_peels(spark):
+    from blspark.queries.extensions8 import kcore_peel
+
+    # triangle 1-2-3 (2-core) + pendant chain 3-4-5 (peels end-first)
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {
+        r.node: r.core_degree for r in kcore_peel(e, k=2, rounds=4).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_pure_chain_peels_to_empty(spark):
+    from blspark.queries.extensions8 import kcore_peel
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    assert kcore_peel(e, k=2, rounds=4).count() == 0
+
+
+def test_kcore_budget_reaches_fixpoint_on_corpus(spark):
+    """The registered query's fixed 8-round budget must land on the
+    fixpoint at test scale: one extra round changes nothing."""
+    from blspark.ext.dedup import jaccard_pairs, word_shingles
+    from blspark.queries.extensions import _corpus
+    from blspark.queries.extensions8 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        kcore_peel,
+    )
+
+    corpus = _corpus(spark, SF_SMOKE)
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    e = jaccard_pairs(sh, min_jaccard=0.6).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint(eager=True)
+    at_budget = sorted(
+        map(tuple, kcore_peel(e, _KCORE_K, _KCORE_ROUNDS).collect())
+    )
+    one_more = sorted(
+        map(tuple, kcore_peel(e, _KCORE_K, _KCORE_ROUNDS + 1).collect())
+    )
+    assert at_budget == one_more
+    assert all(deg >= _KCORE_K for _, deg in at_budget)
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_constant_series_and_first_row(spark, tmp_path):
+    import shutil
+
+    # build a tiny events-shaped parquet dir so the registered query
+    # runs unmodified over controlled values
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "a", 7.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "a", 7.0, "{}"),
+            (3, "2024-01-01 00:02:00", 1, "a", 7.0, "{}"),
+            (4, "2024-01-01 00:00:00", 1, "b", 1.0, "{}"),
+            (5, "2024-01-01 00:01:00", 1, "b", 2.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf_ewma")
+    src.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    try:
+        got = {
+            r.event_id: r.ewma
+            for r in REG["x_ewma_smooth"].spark_fn(spark, d).collect()
+        }
+        # constant series: renormalized EWMA is exactly the constant
+        assert got[1] == 7.0 and got[2] == 7.0 and got[3] == 7.0
+        # partition-first row: no lags -> ewma == value
+        assert got[4] == 1.0
+        # second row: (2 + 1/2) / (1 + 1/2) = 5/3
+        assert got[5] == (2.0 + 0.5) / 1.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
