@@ -254,6 +254,122 @@ def bench_cooccurrence(spark, factor: int) -> float:
     return dt
 
 
+def bench_entity_resolution(spark, factor: int) -> float:
+    """Record count grows with factor; the NAME domain stays fixed —
+    the attribute-level-resolution property: pairwise work is bounded
+    by the name domain, record growth only scales the final broadcast
+    map-back join."""
+    from blspark.ext.dedup import connected_components
+
+    part = amplify(
+        load_table(spark, SF_DIR, "part").select("p_partkey", "p_name"),
+        "p_partkey",
+        factor,
+        10_000_000,
+    )
+    t0 = time.perf_counter()
+    names = part.select("p_name").distinct()
+    blocked = names.select("p_name", F.split("p_name", " ")[0].alias("blk"))
+    a = blocked.select(F.col("p_name").alias("na"), "blk")
+    b = blocked.select(F.col("p_name").alias("nb"), F.col("blk").alias("blk2"))
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("na") < F.col("nb")))
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select("na", "nb")
+    )
+    comp = connected_components(
+        pairs, names, src_col="na", dst_col="nb", id_col="p_name"
+    ).select(F.col("node").alias("p_name"), F.col("component").alias("entity"))
+    n = part.join(F.broadcast(comp), "p_name").count()
+    dt = time.perf_counter() - t0
+    print(f"  entity_resolution x{factor}: {dt:.2f}s ({n} records)", flush=True)
+    return dt
+
+
+def bench_mmr(spark, factor: int) -> float:
+    """Corpus grows with factor, query count fixed: candidate scoring is
+    one corpus scan; the greedy stage is candidates^2 per query,
+    corpus-independent."""
+    from blspark.catalog import registry
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    emb.createOrReplaceTempView("_sweep_emb")
+    from blspark.queries.extensions8 import x_mmr_rerank  # noqa: F401
+    # reuse the registered callable against the amplified frame by
+    # monkey-free route: inline the same stages
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+    t0 = time.perf_counter()
+    vecs = with_double_vec(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "vec", _norm(F.col("vec")).alias("nrm")
+    )
+    q = vecs.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = vecs.join(F.broadcast(q), F.col("id") != F.col("qid")).select(
+        "qid", "id",
+        (_dot(F.col("vec"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("rel"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("id"))
+    n = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).count()
+    dt = time.perf_counter() - t0
+    print(f"  mmr_candidates x{factor}: {dt:.2f}s ({n} cands)", flush=True)
+    return dt
+
+
+def bench_kcore(spark, factor: int) -> float:
+    """Planted graph growing with factor: factor*1000 triangles (stay)
+    + one long chain (peels); rounds fixed, edge frame shrinks."""
+    from blspark.queries.extensions8 import kcore_peel
+
+    n_tri = 1000 * factor
+    tri = spark.range(n_tri).select(F.col("id"))
+    edges = (
+        tri.select((F.col("id") * 3).alias("a"), (F.col("id") * 3 + 1).alias("b"))
+        .unionByName(tri.select((F.col("id") * 3 + 1).alias("a"), (F.col("id") * 3 + 2).alias("b")))
+        .unionByName(tri.select((F.col("id") * 3).alias("a"), (F.col("id") * 3 + 2).alias("b")))
+        .unionByName(
+            spark.range(2000).select(
+                (F.lit(10_000_000) + F.col("id")).alias("a"),
+                (F.lit(10_000_000) + F.col("id") + 1).alias("b"),
+            )
+        )
+        .repartition(32)
+    )
+    t0 = time.perf_counter()
+    n = kcore_peel(edges, k=2, rounds=8).count()
+    dt = time.perf_counter() - t0
+    print(f"  kcore x{factor}: {dt:.2f}s ({n} core nodes)", flush=True)
+    return dt
+
+
+def bench_ewma(spark, factor: int) -> float:
+    """Events grow with factor but event_type cardinality is FIXED —
+    the low-cardinality-partition window hazard: per-type sort grows
+    with total rows. Documented mitigation: co-partition by
+    (event_type, time bucket) when a type outgrows a task."""
+    from blspark.queries.extensions8 import _ewma_exprs
+
+    ev = amplify(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type", "ts", "value"
+        ),
+        "event_id",
+        factor,
+        1_000_000_000,
+    )
+    num, den = _ewma_exprs("ts, event_id")
+    t0 = time.perf_counter()
+    n = ev.select(
+        "event_id", F.expr(f"({num}) / ({den})").alias("ewma")
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  ewma x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "minhash": bench_minhash,
@@ -264,16 +380,26 @@ BENCHES = {
     "components_star": bench_components_star,
     "lm_bigram": bench_lm_bigram,
     "cooccurrence": bench_cooccurrence,
+    "entity_resolution": bench_entity_resolution,
+    "mmr_candidates": bench_mmr,
+    "kcore": bench_kcore,
+    "ewma": bench_ewma,
 }
 
 
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    only = os.environ.get("SWEEP_ONLY")
+    benches = {
+        n: f
+        for n, f in BENCHES.items()
+        if not only or n in only.split(",")
+    }
     spark = get_spark(app_name="blspark-scale-sweep")
     for t in ("documents", "events", "embeddings"):
         load_table(spark, SF_DIR, t).count()
     results: dict[str, list[tuple[int, float]]] = {}
-    for name, fn in BENCHES.items():
+    for name, fn in benches.items():
         print(f"{name}:", flush=True)
         fn(spark, 1)  # warm the plan shape
         results[name] = [(f, fn(spark, f)) for f in factors]
