@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_incremental_agg_refresh",
     "x_compaction_plan",
     "x_ewma_smooth",
+    "x_dedup_span_removal",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

@@ -580,3 +580,140 @@ def x_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr(f"({num}) / ({den})").alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup: remove cross-document duplicated n-gram spans
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+
+def _span_removal_oracle() -> str:
+    from blspark.queries.extensions import CORPUS_SQL
+
+    n = _SPAN_N
+    return f"""
+    WITH corpus AS MATERIALIZED ({CORPUS_SQL}),
+    tok AS MATERIALIZED (
+      SELECT doc_id AS id, string_split(text, ' ') AS t FROM corpus
+    ),
+    g AS MATERIALIZED (
+      SELECT id, i AS pos, array_to_string(t[i + 1:i + {n}], ' ') AS gram
+      FROM (SELECT id, t, unnest(range(len(t) - {n - 1})) AS i
+            FROM tok WHERE len(t) >= {n})
+    ),
+    gmin AS MATERIALIZED (SELECT gram, MIN(id) AS first_id FROM g GROUP BY gram),
+    covered AS MATERIALIZED (
+      SELECT DISTINCT g.id, unnest(generate_series(g.pos, g.pos + {n - 1})) AS cpos
+      FROM g JOIN gmin m ON g.gram = m.gram
+      WHERE g.id > m.first_id
+    ),
+    words AS MATERIALIZED (
+      SELECT id, t[i + 1] AS word, i AS wpos
+      FROM (SELECT id, t, unnest(range(len(t))) AS i FROM tok)
+    ),
+    kept AS MATERIALIZED (
+      SELECT w.id, w.word, w.wpos FROM words w
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.id = w.id AND c.cpos = w.wpos)
+    )
+    SELECT tok.id AS doc_id,
+           CAST(len(tok.t) AS INT) AS n_words,
+           CAST(len(tok.t) - COUNT(k.word) AS INT) AS n_dropped,
+           COALESCE(string_agg(k.word, ' ' ORDER BY k.wpos), '') AS clean_text
+    FROM tok LEFT JOIN kept k ON k.id = tok.id
+    GROUP BY tok.id, len(tok.t)
+    """
+
+
+@register(
+    "x_dedup_span_removal",
+    oracle=_span_removal_oracle(),
+    doc=f"SPAN-level dedup (exact-substring family, Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better'): "
+    f"every cross-document duplicated {_SPAN_N}-word span is removed "
+    "from all but its FIRST document (min doc_id keeps the canonical "
+    "occurrence), and surviving words are reassembled in order — the "
+    "curation step between doc-level dedup (too coarse for quoted "
+    "boilerplate) and nothing. Plan: positional grams (map-side), one "
+    "gram-keyed min-aggregate, one gram-keyed join bounded by "
+    "duplicated occurrences only, an (id, pos) anti-join, and a "
+    "per-doc ordered reassembly (collect bounded by doc length). "
+    "No pairwise document comparison anywhere — the gram key does the "
+    "matching, which is what keeps exact-substring dedup linear at "
+    "100 TB. Runs on the planted-duplicate corpus: exact copies empty "
+    "out, near-dup copies keep only their novel suffix, originals "
+    "stay intact (tested).",
+)
+def x_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.queries.extensions import _corpus
+
+    return remove_duplicated_spans(_corpus(spark, sf_dir))
+
+
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = _SPAN_N,
+) -> DataFrame:
+    """Remove every cross-document duplicated n-word span from all but
+    its first (min-id) document; returns (doc_id, n_words, n_dropped,
+    clean_text) for EVERY input document."""
+    tok = corpus.select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("t")
+    )
+    # positional n-grams via the shared slice/zip_with stream (no UDF)
+    toks = F.col("t")
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    gram = F.slice(toks, 1, n_grams)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, j + 1, n_grams),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    g = (
+        tok.filter(F.size("t") >= n)
+        .select("id", F.posexplode(gram).alias("pos", "gram"))
+    )
+    gmin = g.groupBy("gram").agg(F.min("id").alias("first_id"))
+    covered = (
+        g.join(gmin, "gram")
+        .filter(F.col("id") > F.col("first_id"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    words = tok.select(
+        "id", F.posexplode("t").alias("wpos", "word")
+    )
+    kept = words.join(
+        covered,
+        (words.id == covered.id) & (words.wpos == covered.cpos),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+            lambda s: s["word"],
+        ).alias("ws"),
+    )
+    base = tok.select("id", F.size("t").alias("n_words"))
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+            F.coalesce(F.concat_ws(" ", "ws"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -283,3 +283,59 @@ def test_ewma_constant_series_and_first_row(spark, tmp_path):
         assert got[5] == (2.0 + 0.5) / 1.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Span removal
+# ---------------------------------------------------------------------------
+
+
+def test_span_removal_planted(spark):
+    from blspark.queries.extensions8 import remove_duplicated_spans
+
+    w = [f"w{i}" for i in range(10)]
+    x = ["x0", "x1"]
+    rows = [
+        (1, " ".join(w)),                              # original
+        (2, " ".join(x + w[:8] + ["x2"])),             # quotes w0..w7
+        (3, " ".join(w)),                              # exact copy
+        (4, "short doc under eight words here"),       # no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_dropped, r.clean_text)
+        for r in remove_duplicated_spans(df).collect()
+    }
+    # original keeps everything
+    assert got[1] == (10, 0, " ".join(w))
+    # the quoting doc loses exactly the 8 quoted positions
+    assert got[2] == (11, 8, "x0 x1 x2")
+    # the exact copy empties out completely
+    assert got[3] == (10, 10, "")
+    # sub-n docs are untouched
+    assert got[4] == (6, 0, "short doc under eight words here")
+
+
+def test_span_removal_corpus_invariants(spark):
+    """Corpus-level invariants of the min-id canonical-occurrence rule.
+    (Note: the base synthetic corpus itself contains repeated texts, so
+    'originals' planted at +200000 are not necessarily first holders —
+    the invariants below are the ones that actually hold.)"""
+    from blspark.queries.extensions import _corpus
+    from blspark.queries.extensions8 import remove_duplicated_spans
+
+    corpus = _corpus(spark, SF_SMOKE)
+    out = remove_duplicated_spans(corpus).collect()
+    assert len(out) == corpus.count()  # every doc accounted for
+    # planted exact copies (doc_id + 200000) always empty out: their
+    # full text exists at a strictly smaller id by construction
+    for r in out:
+        assert 0 <= r.n_dropped <= r.n_words
+        assert len(r.clean_text.split()) == (
+            r.n_words - r.n_dropped if r.clean_text else 0
+        )
+        if r.doc_id >= 200000 and r.n_words >= 8:
+            assert r.n_dropped == r.n_words and r.clean_text == ""
+    # the rule keeps one canonical occurrence: not everything vanishes
+    intact = [r for r in out if r.n_dropped == 0 and r.n_words >= 8]
+    assert intact  # first holders survive untouched
