@@ -74,9 +74,14 @@ def main() -> None:
         "q_market_share", "q_product_profit",
         "x_dedup_pipeline_lsh", "x_lm_bigram_score",
     )
+    R5_SET = R4_SET + (
+        "x_mmr_rerank", "x_entity_resolution", "x_dedup_span_removal",
+    )
     subtotals = {
         label: round(sum(timings[n] for n in names if n in timings), 3)
-        for label, names in (("r1_14", R1_SET), ("r4_18", R4_SET))
+        for label, names in (
+            ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
+        )
     }
     print(
         json.dumps(

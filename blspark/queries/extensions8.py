@@ -106,6 +106,7 @@ def _mmr_oracle() -> str:
 
 @register(
     "x_mmr_rerank",
+    bench=True,  # the retrieval-diversification composition (pandas-grouped greedy)
     oracle=_mmr_oracle(),
     doc="Maximal-marginal-relevance diversified top-k (Carbonell & "
     "Goldstein '98, the standard RAG/retrieval diversification pass): "
@@ -380,6 +381,7 @@ def _er_oracle() -> str:
 
 @register(
     "x_entity_resolution",
+    bench=True,  # block -> verify -> components -> broadcast map-back composition
     oracle=_er_oracle(),
     doc="Entity resolution, the classic three-stage shape: (1) BLOCK "
     "candidate pairs by a cheap key (first name token) so the pairwise "
@@ -642,6 +644,7 @@ def _span_removal_oracle() -> str:
 
 @register(
     "x_dedup_span_removal",
+    bench=True,  # the span-level curation pass (gram-keyed, no pairwise stage)
     oracle=_span_removal_oracle(),
     doc=f"SPAN-level dedup (exact-substring family, Lee et al. 2022 "
     "'Deduplicating Training Data Makes Language Models Better'): "
