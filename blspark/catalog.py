@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_compaction_plan",
     "x_ewma_smooth",
     "x_dedup_span_removal",
+    "s_stream_interval_join_outer",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

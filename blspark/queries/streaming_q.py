@@ -540,3 +540,131 @@ def s_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "s_stream_interval_join_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    doc="LEFT OUTER watermarked stream-stream interval join — the "
+    "semantics the inner variant (s_stream_interval_join) cannot give: "
+    "a click with NO purchase inside its 1-hour window still emits "
+    "(with nulls), but only once the purchase-side watermark has "
+    "passed the window's close, which is what makes the null provably "
+    "final rather than merely not-yet-matched. Epilogue technique: an "
+    "availableNow drain's final watermark is max(event time) minus the "
+    "delay, which would strand the youngest unmatched clicks in state "
+    "forever (their windows never provably close) — so two sentinel "
+    "watermark-advancer events far past the stream's end are unioned "
+    "in as a second one-file-per-trigger source: the first advances "
+    "the clock, the second forces the trailing micro-batch in which "
+    "the flushed outer nulls actually emit. The sentinels must be "
+    "typed click/purchase (Catalyst pushes the branch filters below "
+    "the watermark node into the source scan — a sentinel-typed row "
+    "dies before the watermark sees it; measured) and carry "
+    "user_id=-1, dropped batch-side after the drain. That is the "
+    "'stream epilogue' flush for bounded replays of unbounded-stream "
+    "semantics. Full oracle: the batch LEFT JOIN.",
+)
+def s_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    adv_dir = tempfile.mkdtemp(prefix="blspark_wm_adv_")
+    try:
+        # TWO sentinel events 10/11 hours past the stream's end, written
+        # as two separate files consumed one-per-trigger: the first
+        # advances the watermark far enough to close EVERY click's 1h
+        # window; the second forces one more micro-batch so the closed
+        # windows' outer nulls are actually EMITTED (availableNow stops
+        # after the last data batch — without a trailing batch, state
+        # evicted by the final watermark update would flush nowhere)
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        norm = normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+        max_ts = norm.agg(F.max("ts").alias("m")).first()["m"]
+        # the sentinels must be typed click/purchase: Catalyst pushes the
+        # branch filters BELOW the watermark node into the source scan,
+        # so a '__advance__'-typed row would be filtered before the
+        # watermark ever saw it (measured: source numInputRows stayed 0
+        # and the watermark never moved). They carry user_id = -1 and
+        # are dropped AFTER the drain, batch-side, where no streaming
+        # pushdown applies.
+        for i, (hours, etype) in enumerate(((10, "click"), (11, "purchase"))):
+            t = max_ts + _dt.timedelta(hours=hours)
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([-1 - i], pa.int64()),
+                    "ts": pa.array([t], pa.timestamp("us", tz="UTC")),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array([etype], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            )
+            # flat single files (not Spark output dirs): the file-stream
+            # source lists them directly, one per trigger
+            pq.write_table(tbl, f"{adv_dir}/advance{i}.parquet")
+
+        events = normalize_event_ts(
+            file_arrival_stream(
+                spark, sf_dir, schema=raw_schema, glob="events.parquet"
+            )
+        )
+        advancer = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(adv_dir)
+        )
+        src = events.unionByName(advancer).withWatermark("ts", "2 hours")
+        clicks = src.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts")))
+            .cast("bigint")
+            .alias("delay_us"),
+        )
+        name = run_available_now(joined, output_mode="append")
+        # drop the sentinel rows batch-side (post-materialization)
+        return spark.table(name).filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(adv_dir, ignore_errors=True)

@@ -385,3 +385,34 @@ def test_watermark_drops_late_rows_for_closed_windows(spark, tmp_path):
     run_once()
     assert ("2024-01-01T12:00:00", 1) in out_rows
     assert len(out_rows) == 2
+
+
+def test_stream_interval_join_outer_matches_batch(spark):
+    """LEFT OUTER stream-stream interval join == the batch LEFT JOIN:
+    the watermark-epilogue flush (two typed sentinel advancer events)
+    must surface EVERY unmatched click as a null row, including the
+    youngest ones whose windows only close past the natural final
+    watermark. Inner rows must equal the inner variant's output."""
+    from blspark.catalog import registry
+    from tests.conftest import SF_SMOKE as SF_ORACLE
+
+    reg = registry()
+    outer = [
+        (r.user_id, r.click_id, r.purchase_id, r.delay_us)
+        for r in reg["s_stream_interval_join_outer"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
+    ]
+    inner = {
+        (r.user_id, r.click_id, r.purchase_id, r.delay_us)
+        for r in reg["s_stream_interval_join"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
+    }
+    matched = {t for t in outer if t[2] is not None}
+    nulls = [t for t in outer if t[2] is None]
+    assert matched == inner  # outer ⊇ inner, matched rows identical
+    assert nulls  # unmatched clicks do surface
+    # a click is either matched or null-rowed, never both
+    null_clicks = {t[1] for t in nulls}
+    assert null_clicks.isdisjoint({t[1] for t in matched})
