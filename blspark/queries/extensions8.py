@@ -733,3 +733,155 @@ def remove_duplicated_spans(
             F.coalesce(F.concat_ws(" ", "ws"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimates, fully differential)
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+_CM_PROBES = (1, 2, 3, 4, 5)  # user_ids to estimate
+
+
+def _cm_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+
+    h = hex_int_sql("md5(s || ':' || user_id)", 6)
+    probes = ", ".join(str(p) for p in _CM_PROBES)
+    return f"""
+    WITH rows_ AS MATERIALIZED (
+      SELECT user_id, user_id % 3 AS shard, s, ({h}) % {_CM_WIDTH} AS bucket
+      FROM events, (SELECT unnest(range({_CM_DEPTH})) AS s)
+    ),
+    cm AS MATERIALIZED (
+      SELECT s, bucket, COUNT(*) AS c FROM rows_ GROUP BY s, bucket
+    ),
+    shard_cm AS MATERIALIZED (
+      SELECT shard, s, bucket, COUNT(*) AS c FROM rows_ GROUP BY shard, s, bucket
+    ),
+    merged AS MATERIALIZED (
+      SELECT s, bucket, CAST(SUM(c) AS BIGINT) AS c
+      FROM shard_cm GROUP BY s, bucket
+    ),
+    probes AS (SELECT unnest(ARRAY[{probes}]) AS user_id),
+    pb AS (
+      SELECT p.user_id, t.s,
+             ({hex_int_sql("md5(t.s || ':' || p.user_id)", 6)}) % {_CM_WIDTH}
+               AS bucket
+      FROM probes p, (SELECT unnest(range({_CM_DEPTH})) AS s) t
+    ),
+    est AS (
+      SELECT pb.user_id,
+             MIN(cm.c) AS est_direct,
+             MIN(m.c) AS est_merged
+      FROM pb
+      JOIN cm ON cm.s = pb.s AND cm.bucket = pb.bucket
+      JOIN merged m ON m.s = pb.s AND m.bucket = pb.bucket
+      GROUP BY pb.user_id
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_n FROM events
+      WHERE user_id IN ({probes}) GROUP BY user_id
+    )
+    SELECT e.user_id, COALESCE(t.true_n, 0) AS true_n,
+           e.est_direct, e.est_merged
+    FROM est e LEFT JOIN truth t USING (user_id)
+    """
+
+
+@register(
+    "x_countmin_sketch",
+    oracle=_cm_oracle(),
+    doc=f"Count-Min sketch over event user frequencies (depth "
+    f"{_CM_DEPTH} x width {_CM_WIDTH}, md5-derived row hashes — the "
+    "same engine-portable hex device as the MinHash family, so the "
+    "WHOLE sketch is value-replayable in SQL and the differential is "
+    "a full hash check, not a contract row): per probe key, the exact "
+    "count next to the sketch estimate (min over depth rows — always "
+    ">= true by construction) AND the estimate from per-shard partial "
+    "sketches summed then probed, whose equality with the direct "
+    "estimate is the mergeability law that lets 100 TB frequency "
+    "monitoring run as per-partition sketch + tiny merge (the "
+    "x_agg_state_merge law, sketch-shaped). Sketch size is "
+    f"O({_CM_DEPTH}*{_CM_WIDTH}) counts regardless of stream size.",
+)
+def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.select(
+        "user_id",
+        (F.col("user_id") % 3).alias("shard"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_CM_DEPTH)])
+        ).alias("s"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH,
+    )
+    cm = rows.groupBy("s", "bucket").agg(F.count("*").alias("c"))
+    shard_cm = rows.groupBy("shard", "s", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    merged = shard_cm.groupBy("s", "bucket").agg(F.sum("c").alias("c"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _CM_PROBES], "user_id long"
+    )
+    pb = probes.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_CM_DEPTH)])
+        ).alias("s"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH,
+    )
+    est = (
+        pb.join(F.broadcast(cm.withColumnRenamed("c", "cd")), ["s", "bucket"])
+        .join(F.broadcast(merged.withColumnRenamed("c", "cmg")), ["s", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("cd").alias("est_direct"),
+            F.min("cmg").alias("est_merged"),
+        )
+    )
+    truth = (
+        ev.filter(F.col("user_id").isin(list(_CM_PROBES)))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+    )
+    return est.join(truth, "user_id", "left").select(
+        "user_id",
+        F.coalesce("true_n", F.lit(0)).alias("true_n"),
+        "est_direct",
+        "est_merged",
+    )

@@ -339,3 +339,26 @@ def test_span_removal_corpus_invariants(spark):
     # the rule keeps one canonical occurrence: not everything vanishes
     intact = [r for r in out if r.n_dropped == 0 and r.n_words >= 8]
     assert intact  # first holders survive untouched
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overestimates_within_bound(spark):
+    """CM guarantees: est >= true always (min of counters that each
+    include every occurrence of the key), and merged-shard estimates
+    equal direct ones exactly (counter addition is associative). Error
+    bound: est - true <= total_rows * e / width holds w.h.p. — checked
+    with the generous deterministic factor 4/width."""
+    from blspark.catalog import load_table
+    from blspark.queries.extensions8 import _CM_WIDTH
+
+    rows = REG["x_countmin_sketch"].spark_fn(spark, SF_SMOKE).collect()
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.est_direct >= r.true_n
+        assert r.est_merged == r.est_direct
+        assert r.est_direct - r.true_n <= 4 * n_total // _CM_WIDTH
