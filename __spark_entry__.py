@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each SQL-expressible query (streaming and
-    mapInPandas-based entries are omitted -> rows-only driver check)."""
+    """DuckDB oracle SQL per query. Since round 5 EVERY registered
+    query carries one — learned/engine-specific ops hash deterministic
+    contract rows instead of raw outputs."""
     from blspark.catalog import registry
 
     return {name: q.oracle for name, q in registry().items() if q.oracle}

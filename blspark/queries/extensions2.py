@@ -916,9 +916,9 @@ FROM m
     doc="Oracle-checkable half of the resize path: per-blob channel "
     "count (sha256 pseudo-decode, same device as "
     "x_multimodal_decode_checked) and the exact resized byte budget "
-    "width*height*channels. The resized bytes themselves ride in the "
-    "rows-only x_multimodal_resize (DuckDB has no BLOB "
-    "substring/digest, so byte content is not SQL-replayable); "
+    "width*height*channels. The resized bytes themselves ride in "
+    "x_multimodal_resize (contract-row oracle since r5; DuckDB has no "
+    "BLOB substring/digest, so raw byte content is not SQL-replayable); "
     "tests/test_ext.py pins the tile-or-truncate byte contract.",
 )
 def x_multimodal_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:

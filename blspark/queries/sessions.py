@@ -233,7 +233,7 @@ def s_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recomputes the exact counts and expects every contract boolean "
     "TRUE — a hard driver row for the sketch family (sketch internals "
     "differ across engines, so the raw estimates themselves stay in "
-    "the rows-only x_approx_sketches). HLL bounds: rsd=0.05 default, "
+    "x_approx_sketches' raw twin approx_sketches_raw). HLL bounds: rsd=0.05 default, "
     "observed error ~2%; approx-percentile rank error <= N/accuracy.",
 )
 def x_sketch_accuracy_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
