@@ -1133,7 +1133,7 @@ def x_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recompute — one shuffle per iteration; the training loop behind "
     "IVF cells. Learned float means are order-dependent, so the "
     "registered form hashes a deterministic CONTRACT row: every vector "
-    "assigned exactly once, 1..k non-empty clusters, and the Lloyd's "
+    "assigned exactly once, ALL k clusters non-empty, and the Lloyd's "
     "invariant (inertia monotone non-increasing across iterations). "
     "Raw assignments: ext.clustering.kmeans + the fully hash-checked "
     "x_kmeans_checked twin; tests/test_kmeans.py adds planted-cluster "
@@ -1150,9 +1150,11 @@ def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.agg(
         F.count("*").alias("n_assigned"),
         (F.count_distinct("id") == F.count("*")).alias("coverage_ok"),
-        (
-            F.count_distinct("cluster").between(1, 4)
-        ).alias("k_ok"),
+        # ALL k clusters non-empty — between(1, k) would be vacuously
+        # true for any assignment (ids come from a k-way argmin), so it
+        # could never catch a collapsed-centroid regression; == k can
+        # (holds for the deterministic first-k init at every test SF)
+        (F.count_distinct("cluster") == 4).alias("k_ok"),
         F.lit(bool(monotone)).alias("inertia_monotone"),
     )
 

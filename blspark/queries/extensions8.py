@@ -151,9 +151,16 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cands.select("qid", F.col("id").alias("ia"), F.col("vec").alias("va"),
                      F.col("nrm").alias("na"), F.col("rel").alias("rel_a"))
-    b = cands.select("qid", F.col("id").alias("ib"), F.col("vec").alias("vb"),
+    b = cands.select(F.col("qid").alias("qid2"),
+                     F.col("id").alias("ib"), F.col("vec").alias("vb"),
                      F.col("nrm").alias("nb"))
-    pairs = a.join(b, ["qid"]).filter(F.col("ia") != F.col("ib")).select(
+    # LEFT join: a pool-of-one candidate keeps a (ib=null) row so its
+    # query still reaches the grouped greedy instead of vanishing
+    pairs = a.join(
+        b,
+        (F.col("qid") == F.col("qid2")) & (F.col("ia") != F.col("ib")),
+        "left",
+    ).select(
         "qid",
         "ia",
         "ib",
@@ -174,11 +181,14 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = {}
         for r in pdf.itertuples(index=False):
             rel[r.ia] = r.rel_a
-            sim[(r.ia, r.ib)] = r.s
+            if pd.notna(r.ib):
+                sim[(r.ia, int(r.ib))] = r.s
         # pick 1: pure relevance (score == rel), ties to lowest id
         first = min(rel, key=lambda i: (-rel[i], i))
         selected = [first]
         rows = [(qid, 1, first, rel[first], rel[first])]
+        # pools smaller than K emit min(K, pool) rows — the oracle's
+        # unrolled pick CTEs go empty the same way
         for k in range(2, _MMR_K + 1):
             best = None
             for i in sorted(rel):
@@ -188,6 +198,8 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = rel[i] / 2 - ms / 2
                 if best is None or score > best[0]:
                     best = (score, i)
+            if best is None:
+                break  # pool exhausted
             score, i = best
             selected.append(i)
             rows.append((qid, k, i, rel[i], score))
@@ -411,8 +423,15 @@ def x_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("na", "nb") <= _ER_MAXDIST)
         .select("na", "nb")
     )
+    # max_iters=_ER_HOPS bounds BOTH sides with the same budget: after
+    # r min-label rounds a node holds the min name within r hops —
+    # exactly the oracle's hops-bounded recursive closure — so the
+    # differential compares the same well-defined object even if a
+    # pathological name chain ever exceeded the budget (the q_recursive
+    # _closure device; the fixpoint-within-budget is tested).
     comp = connected_components(
-        pairs, names, src_col="na", dst_col="nb", id_col="p_name"
+        pairs, names, src_col="na", dst_col="nb", id_col="p_name",
+        max_iters=_ER_HOPS,
     ).select(F.col("node").alias("p_name"), F.col("component").alias("entity"))
     return part.select("p_partkey", "p_name").join(
         F.broadcast(comp), "p_name"

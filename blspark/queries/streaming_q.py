@@ -593,15 +593,21 @@ def s_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # windows' outer nulls are actually EMITTED (availableNow stops
         # after the last data batch — without a trailing batch, state
         # evicted by the final watermark update would flush nowhere)
-        import datetime as _dt
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         norm = normalize_event_ts(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         )
-        max_ts = norm.agg(F.max("ts").alias("m")).first()["m"]
+        # epoch MICROS as an integer, never a naive datetime: .first()
+        # would deliver the instant in the driver's LOCAL timezone and
+        # pa.timestamp(..., tz='UTC') would re-interpret that naive
+        # value as UTC — shifting the sentinel by the host's UTC offset
+        # and silently stranding the youngest unmatched clicks on any
+        # non-UTC host. Integers are timezone-free end to end.
+        max_us = norm.agg(
+            F.unix_micros(F.max("ts")).alias("m")
+        ).first()["m"]
         # the sentinels must be typed click/purchase: Catalyst pushes the
         # branch filters BELOW the watermark node into the source scan,
         # so a '__advance__'-typed row would be filtered before the
@@ -610,11 +616,11 @@ def s_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are dropped AFTER the drain, batch-side, where no streaming
         # pushdown applies.
         for i, (hours, etype) in enumerate(((10, "click"), (11, "purchase"))):
-            t = max_ts + _dt.timedelta(hours=hours)
+            t_us = max_us + hours * 3_600_000_000
             tbl = pa.table(
                 {
                     "event_id": pa.array([-1 - i], pa.int64()),
-                    "ts": pa.array([t], pa.timestamp("us", tz="UTC")),
+                    "ts": pa.array([t_us], pa.timestamp("us", tz="UTC")),
                     "user_id": pa.array([-1], pa.int64()),
                     "event_type": pa.array([etype], pa.string()),
                     "value": pa.array([0.0], pa.float64()),

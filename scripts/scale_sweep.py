@@ -290,15 +290,11 @@ def bench_mmr(spark, factor: int) -> float:
     """Corpus grows with factor, query count fixed: candidate scoring is
     one corpus scan; the greedy stage is candidates^2 per query,
     corpus-independent."""
-    from blspark.catalog import registry
-
     emb = amplify(
         load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
     )
-    emb.createOrReplaceTempView("_sweep_emb")
-    from blspark.queries.extensions8 import x_mmr_rerank  # noqa: F401
-    # reuse the registered callable against the amplified frame by
-    # monkey-free route: inline the same stages
+    # same stages as x_mmr_rerank's candidate scoring, inlined over the
+    # amplified frame
     from blspark.ext.similarity import _dot, _norm, with_double_vec
     t0 = time.perf_counter()
     vecs = with_double_vec(emb, "embedding").select(

@@ -362,3 +362,27 @@ def test_countmin_overestimates_within_bound(spark):
         assert r.est_direct >= r.true_n
         assert r.est_merged == r.est_direct
         assert r.est_direct - r.true_n <= 4 * n_total // _CM_WIDTH
+
+
+def test_mmr_small_candidate_pool(spark, tmp_path):
+    """Pools smaller than K must emit min(K, pool) ranked rows instead
+    of crashing or silently dropping the query (code-review r5 fix):
+    4 vectors -> each query has a 3-candidate pool -> 3 rows/query."""
+    import shutil
+
+    vecs = [(i, [float(i == j) for j in range(8)], 0) for i in range(4)]
+    src = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf_mmr")
+    src.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    try:
+        rows = REG["x_mmr_rerank"].spark_fn(spark, d).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert set(by_q) == {0, 1, 2}
+        for ranks in by_q.values():
+            assert sorted(ranks) == [1, 2, 3]  # pool of 3 < K=5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
