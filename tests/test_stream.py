@@ -416,3 +416,47 @@ def test_stream_interval_join_outer_matches_batch(spark):
     # a click is either matched or null-rowed, never both
     null_clicks = {t[1] for t in nulls}
     assert null_clicks.isdisjoint({t[1] for t in matched})
+
+
+def test_outer_join_flush_is_host_tz_independent():
+    """Regression for the code-review r5 finding: the watermark-advancer
+    sentinels were built from a naive driver-local datetime, shifting
+    the epilogue flush by the host's UTC offset (silently dropping the
+    youngest outer nulls on any non-UTC host). The fix builds them from
+    epoch micros. Proven here by running the operator in a subprocess
+    pinned to TZ=America/Los_Angeles and asserting row-count parity
+    with the batch LEFT JOIN (counts are tz-representation-immune)."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "Etc/UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from blspark.catalog import load_table, registry
+SF = "/root/testdata/sf0.001"
+n_stream = registry()["s_stream_interval_join_outer"].spark_fn(spark, SF).count()
+ev = load_table(spark, SF, "events")
+c = ev.filter(F.col("event_type") == "click").select(
+    "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts"))
+p = ev.filter(F.col("event_type") == "purchase").select(
+    F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+n_batch = c.join(p, (F.col("pu") == F.col("user_id"))
+    & (F.col("pts") > F.col("cts"))
+    & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")), "left").count()
+assert n_stream == n_batch, (n_stream, n_batch)
+print("TZ_OK", n_stream)
+"""
+    env = dict(os.environ, TZ="America/Los_Angeles", PYTHONPATH=os.getcwd())
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "TZ_OK" in out.stdout, out.stdout[-500:] + out.stderr[-1500:]
