@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_span_removal",
     "s_stream_interval_join_outer",
     "x_countmin_sketch",
+    "x_cusum_drift",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

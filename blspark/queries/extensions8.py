@@ -904,3 +904,91 @@ def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_direct",
         "est_merged",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (sequential recurrence per series)
+# ---------------------------------------------------------------------------
+
+
+def _cusum_oracle() -> str:
+    from blspark.catalog import o_davg
+
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {o_davg("value")} AS x
+      FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    mu AS MATERIALIZED (
+      SELECT event_type, {o_davg("value")} AS mu FROM ev GROUP BY event_type
+    ),
+    ser AS MATERIALIZED (
+      SELECT hourly.event_type, h, x, mu,
+             ROW_NUMBER() OVER (PARTITION BY hourly.event_type ORDER BY h)
+               AS rn
+      FROM hourly JOIN mu USING (event_type)
+    ),
+    rec(event_type, rn, h, x, s) AS (
+      SELECT event_type, rn, h, x,
+             GREATEST(CAST(0 AS DOUBLE), x - mu)
+      FROM ser WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.h, n.x,
+             GREATEST(CAST(0 AS DOUBLE), r.s + n.x - n.mu)
+      FROM rec r JOIN ser n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, h AS hour, x, s AS cusum FROM rec
+    """
+
+
+@register(
+    "x_cusum_drift",
+    oracle=_cusum_oracle(),
+    doc="CUSUM drift detection per event-type series: the one-sided "
+    "cumulative-sum statistic s_t = max(0, s_{t-1} + x_t - mu) over "
+    "the hourly mean series, against the series' global mean — the "
+    "classic sequential change-point monitor (Page 1954) that trips "
+    "on sustained small shifts z-score rules miss. The recurrence is "
+    "NON-associative (no window/aggregate can express it), so this is "
+    "the canonical per-group sequential operator: state rides inside "
+    "one applyInPandas group per series (group size = hours, bounded), "
+    "while everything feeding it (hourly means, series mean) is "
+    "decimal-exact distributed aggregation. Oracle: the same "
+    "recurrence as a linear recursive CTE stepping rn -> rn+1, "
+    "bit-identical because every step is the same IEEE add/subtract/"
+    "max sequence on decimal-exact inputs. At 100 TB: series count "
+    "scales out, per-series history length is the only per-task "
+    "bound (time-bucket a series if it outgrows one).",
+)
+def x_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from blspark.catalog import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("x"))
+    mu = ev.groupBy("event_type").agg(davg("value").alias("mu"))
+    ser = hourly.join(mu, "event_type")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        s = 0.0
+        out = []
+        for x, m in zip(pdf["x"], pdf["mu"]):
+            s = max(0.0, s + x - m)
+            out.append(s)
+        pdf = pdf.assign(cusum=out)
+        return pdf[["event_type", "h", "x", "cusum"]].rename(
+            columns={"h": "hour"}
+        )
+
+    return ser.groupBy("event_type").applyInPandas(
+        cusum, schema="event_type string, hour timestamp, x double, cusum double"
+    )

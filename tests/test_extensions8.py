@@ -386,3 +386,50 @@ def test_mmr_small_candidate_pool(spark, tmp_path):
             assert sorted(ranks) == [1, 2, 3]  # pool of 3 < K=5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_planted_shift(spark, tmp_path):
+    """Planted mean shift: hours 0-23 at the baseline, hours 24-47
+    shifted +10. The CUSUM statistic must stay ~0 before the shift and
+    rise monotonically after it — the sustained-drift sensitivity the
+    operator exists for — and is 0-floored everywhere."""
+    import shutil
+
+    rows = []
+    eid = 0
+    for hour in range(48):
+        for m in range(4):  # 4 events per hour
+            v = 100.0 + (10.0 if hour >= 24 else 0.0)
+            rows.append(
+                (eid, f"2024-01-0{1 + hour // 24}T{hour % 24:02d}:{15 * m:02d}:00",
+                 1, "a", v, "{}")
+            )
+            eid += 1
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf_cusum")
+    src.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    try:
+        out = sorted(
+            REG["x_cusum_drift"].spark_fn(spark, d).collect(),
+            key=lambda r: r.hour,
+        )
+        assert len(out) == 48
+        assert all(r.cusum >= 0.0 for r in out)
+        # global mean = 105; pre-shift hours drift at -5/h -> floored 0
+        pre = [r.cusum for r in out[:24]]
+        post = [r.cusum for r in out[24:]]
+        assert max(pre) == 0.0
+        # post-shift drifts +5/h: strictly increasing, ending ~120
+        assert all(b > a for a, b in zip(post, post[1:]))
+        assert post[-1] > 100.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
