@@ -113,6 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_interval_join_outer",
     "x_countmin_sketch",
     "x_cusum_drift",
+    "x_group_split",
+    "x_label_knn_disagreement",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

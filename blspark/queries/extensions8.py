@@ -992,3 +992,172 @@ def x_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.groupBy("event_type").applyInPandas(
         cusum, schema="event_type string, hour timestamp, x double, cusum double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware (leakage-free) train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _group_split_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+
+    b = f"({hex_int_sql('md5(CAST(user_id AS VARCHAR))', 6)}) % 100"
+    return f"""
+    WITH assigned AS (
+      SELECT event_id, user_id,
+             CASE WHEN {b} < 80 THEN 'train'
+                  WHEN {b} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events, TRUE AS no_leakage
+    FROM assigned GROUP BY split
+    """
+
+
+@register(
+    "x_group_split",
+    oracle=_group_split_oracle(),
+    doc="GROUP-aware train/val/test split (80/10/10): the split key is "
+    "the hashed ENTITY (user), not the row, so every event of a user "
+    "lands in exactly one split — the ML-hygiene property that "
+    "prevents entity leakage between train and eval (the classic "
+    "failure of row-level splits on grouped data; x_sample_split is "
+    "the row-level document twin). Pure map-side md5 bucket "
+    "expression, no shuffle for assignment; the no_leakage contract "
+    "column is computed from the EVENT-level assignment (bool_and of "
+    "per-user distinct-split == 1), so a regression to row-dependent "
+    "hashing fails the hash, not just a code review.",
+)
+def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = ev.select(
+        "event_id",
+        "user_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_user = assigned.groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.first("split").alias("split"),
+        F.count("*").alias("n_ev"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .join(
+            per_user.agg(
+                F.bool_and(F.col("n_splits") == 1).alias("no_leakage")
+            ),
+            how="cross",
+        )
+        .select("split", "n_users", "n_events", "no_leakage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-disagreement audit (training-data label QA)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_SAMPLE = 50  # audit sample: vec_id < _KNN_SAMPLE
+
+
+def _knn_oracle() -> str:
+    cos = _COS.format(a="c.v", b="s.sv")
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    sample AS (SELECT id AS sid, label AS slabel, v AS sv
+               FROM vecs WHERE id < {_KNN_SAMPLE}),
+    scored AS (
+      SELECT s.sid, s.slabel, c.id, c.label, {cos} AS cos_raw
+      FROM vecs c, sample s WHERE c.id <> s.sid
+    ),
+    topk AS (
+      SELECT sid, slabel, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sid ORDER BY cos_raw DESC, id ASC) AS rn
+        FROM scored) t
+      WHERE rn <= {_KNN_K}
+    )
+    SELECT sid AS vec_id, slabel AS label,
+           CAST(SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) AS INT)
+             AS n_same,
+           SUM(CASE WHEN label = slabel THEN 1 ELSE 0 END) <= 1 AS flagged
+    FROM topk GROUP BY sid, slabel
+    """
+
+
+@register(
+    "x_label_knn_disagreement",
+    oracle=_knn_oracle(),
+    doc=f"kNN label-disagreement audit (confident-learning lite): each "
+    f"audit-sample vector's {_KNN_K} nearest neighbors (exact cosine, "
+    "deterministic fold + id tie-break) vote on its label; a vector "
+    "whose own label agrees with at most 1 of 5 neighbors is flagged "
+    "as likely mislabeled — the embedding-space label-QA pass run "
+    "before training on weak labels. Plan shape = cosine_topk: the "
+    "audit sample broadcasts, the corpus scans once and never "
+    "shuffles; cost is sample x corpus, so at 100 TB you audit a "
+    "sample (which is the methodology anyway), not the full cross "
+    "product.",
+)
+def x_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import _dot, _norm, with_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = with_double_vec(emb, "embedding").select(
+        "vec_id", "label", "vec", _norm(F.col("vec")).alias("nrm")
+    )
+    sample = vecs.filter(F.col("vec_id") < _KNN_SAMPLE).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("vec").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    scored = vecs.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("sid")
+    ).select(
+        "sid",
+        "slabel",
+        "vec_id",
+        "label",
+        (_dot(F.col("vec"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("sid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    n_same = F.sum(
+        F.when(F.col("label") == F.col("slabel"), 1).otherwise(0)
+    )
+    return topk.groupBy("sid", "slabel").agg(
+        n_same.cast("int").alias("n_same"),
+        (n_same <= 1).alias("flagged"),
+    ).select(
+        F.col("sid").alias("vec_id"),
+        F.col("slabel").alias("label"),
+        "n_same",
+        "flagged",
+    )

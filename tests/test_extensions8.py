@@ -433,3 +433,54 @@ def test_cusum_planted_shift(spark, tmp_path):
         assert post[-1] > 100.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Group split / kNN label audit
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_no_leakage_and_proportions(spark):
+    from blspark.catalog import load_table
+
+    rows = {r.split: r for r in REG["x_group_split"].spark_fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    assert sum(r.n_users for r in rows.values()) == n_users
+    assert sum(r.n_events for r in rows.values()) == n_events
+    assert all(r.no_leakage for r in rows.values())
+    # hashed 80/10/10: train holds the clear majority of users
+    assert rows["train"].n_users > rows["val"].n_users
+    assert rows["train"].n_users > rows["test"].n_users
+
+
+def test_knn_disagreement_planted_mislabel(spark, tmp_path):
+    """Planted label noise: three tight clusters of identical vectors;
+    one vector carries the wrong label -> its 5 nearest neighbors all
+    disagree (n_same=0, flagged); correctly labeled vectors agree."""
+    import shutil
+
+    rows = []
+    vid = 0
+    for label in range(3):
+        base = [0.0] * 8
+        base[label] = 1.0
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in base], label))
+            vid += 1
+    rows[5] = (5, rows[5][1], 2)  # mislabel one cluster-0 vector
+    src = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf_knn")
+    src.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    try:
+        out = {r.vec_id: r for r in
+               REG["x_label_knn_disagreement"].spark_fn(spark, d).collect()}
+        assert out[5].n_same == 0 and out[5].flagged
+        clean = [r for v, r in out.items() if v != 5 and v < 5]
+        assert all(r.n_same >= 4 and not r.flagged for r in clean)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
