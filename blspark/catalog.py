@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_cusum_drift",
     "x_group_split",
     "x_label_knn_disagreement",
+    "x_histogram_quantile_merge",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

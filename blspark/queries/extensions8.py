@@ -1161,3 +1161,115 @@ def x_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_same",
         "flagged",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (equi-width bins, shard-merge law)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 1024
+
+
+def _histq_oracle() -> str:
+    nb = _HQ_BINS
+    return f"""
+    WITH bounds AS MATERIALIZED (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+             COUNT(*) AS n
+      FROM orders
+    ),
+    binned AS MATERIALIZED (
+      SELECT o_orderkey % 4 AS shard,
+             LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo)
+                              * {nb}) AS BIGINT), {nb - 1}) AS bin
+      FROM orders, bounds b
+    ),
+    shard_hist AS MATERIALIZED (
+      SELECT shard, bin, COUNT(*) AS c FROM binned GROUP BY shard, bin
+    ),
+    merged AS MATERIALIZED (
+      SELECT bin, CAST(SUM(c) AS BIGINT) AS c
+      FROM shard_hist GROUP BY bin
+    ),
+    cum AS MATERIALIZED (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM merged
+    ),
+    qs AS (SELECT unnest(ARRAY[50, 95]) AS p),
+    pick AS (
+      SELECT qs.p, MIN(cum.bin) AS qbin
+      FROM qs JOIN cum
+        ON cum.cum * 100 >= qs.p * (SELECT n FROM bounds)
+      GROUP BY qs.p
+    )
+    SELECT p.p, p.qbin,
+           b.lo + (CAST(p.qbin AS DOUBLE) + CAST(1 AS DOUBLE) / 2)
+                  * (b.hi - b.lo) / {nb} AS est,
+           TRUE AS within_bin
+    FROM pick p, bounds b
+    """
+
+
+@register(
+    "x_histogram_quantile_merge",
+    oracle=_histq_oracle(),
+    doc=f"Mergeable quantile estimation from equi-width histograms "
+    f"({_HQ_BINS} bins over the exact [min, max] range): per-shard "
+    "histograms sum into the global one (counter addition — the same "
+    "merge law as x_countmin_sketch/x_agg_state_merge, here completing "
+    "the sketch family: HLL=cardinality, CM=frequency, histogram="
+    "quantiles, top-k=heavy hitters), and p50/p95 read off the merged "
+    "cumulative counts as bin midpoints. The estimate is structurally "
+    "within one bin width of the exact quantile (the quantile lies "
+    "inside the selected bin — asserted as the within_bin contract, "
+    "verified against the exact interpolated percentile in tests). "
+    "Bin arithmetic is the same FLOOR/LEAST expression text on both "
+    "sides, so the WHOLE estimate value-hashes — no contract-only "
+    "columns needed for the numbers themselves. State is O(bins) "
+    "regardless of row count; the scan is one pass after a broadcast "
+    "min/max.",
+)
+def x_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = _HQ_BINS
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        (F.col("o_orderkey") % 4).alias("shard"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * nb
+            ).cast("bigint"),
+            F.lit(nb - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    shard_hist = binned.groupBy("shard", "bin").agg(F.count("*").alias("c"))
+    merged = shard_hist.groupBy("bin").agg(F.sum("c").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("cum", F.sum("c").over(w))
+    qs = spark.createDataFrame([(50,), (95,)], "p int")
+    pick = (
+        qs.join(
+            F.broadcast(cum).crossJoin(F.broadcast(bounds.select("n"))),
+            F.col("cum") * 100 >= F.col("p") * F.col("n"),
+        )
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return pick.crossJoin(F.broadcast(bounds)).select(
+        "p",
+        "qbin",
+        (
+            F.col("lo")
+            + (F.col("qbin").cast("double") + F.lit(1).cast("double") / 2)
+            * (F.col("hi") - F.col("lo"))
+            / nb
+        ).alias("est"),
+        F.lit(True).alias("within_bin"),
+    )

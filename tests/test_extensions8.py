@@ -484,3 +484,27 @@ def test_knn_disagreement_planted_mislabel(spark, tmp_path):
         assert all(r.n_same >= 4 and not r.flagged for r in clean)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_histogram_quantile_within_bin_of_exact(spark, duck):
+    """The within_bin contract, checked against the EXACT interpolated
+    percentile: |histogram estimate - exact| <= one bin width."""
+    from blspark.queries.extensions8 import _HQ_BINS
+
+    from tests.conftest import SF_ORACLE
+
+    rows = {
+        r.p: r.est
+        for r in REG["x_histogram_quantile_merge"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
+    }
+    lo, hi = duck.execute(
+        "SELECT MIN(o_totalprice), MAX(o_totalprice) FROM orders"
+    ).fetchone()
+    width = (hi - lo) / _HQ_BINS
+    for p in (50, 95):
+        exact = duck.execute(
+            f"SELECT quantile_cont(o_totalprice, {p / 100}) FROM orders"
+        ).fetchone()[0]
+        assert abs(rows[p] - exact) <= width
