@@ -24,6 +24,15 @@ QUERIES = [
     # the decimal-exact centroid means are the whole point of the
     # checked k-means: assignment must not flip with association order
     "x_kmeans_checked",
+    # round-5 order-sensitive shapes: the CUSUM recurrence sorts inside
+    # its pandas group, EWMA rides a window, MMR folds dot products and
+    # greedily selects, span removal reassembles via array_sort — each
+    # must be bitwise-stable however rows land in partitions
+    "x_cusum_drift",
+    "x_ewma_smooth",
+    "x_mmr_rerank",
+    "x_dedup_span_removal",
+    "x_histogram_quantile_merge",
 ]
 
 
