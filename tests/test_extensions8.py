@@ -508,3 +508,89 @@ def test_histogram_quantile_within_bin_of_exact(spark, duck):
             f"SELECT quantile_cont(o_totalprice, {p / 100}) FROM orders"
         ).fetchone()[0]
         assert abs(rows[p] - exact) <= width
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_empty_and_single_edge(spark):
+    from blspark.queries.extensions8 import kcore_peel
+
+    assert kcore_peel(_edges(spark, []), k=2, rounds=3).count() == 0
+    assert kcore_peel(_edges(spark, [(1, 2)]), k=2, rounds=3).count() == 0
+
+
+def test_span_removal_all_short_docs_untouched(spark):
+    from blspark.queries.extensions8 import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(df).collect()}
+    # identical texts but under n=8 words: no grams, nothing dropped
+    assert all(r.n_dropped == 0 for r in out.values())
+    assert out[1].clean_text == "a b c"
+
+
+def test_ewma_null_values_propagate_consistently(spark, tmp_path):
+    """A null value makes its own row's ewma null (value + ... is null)
+    but coalesce(lag, 0) keeps LATER rows computable — no poisoning of
+    the rest of the series."""
+    import shutil
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "a", 4.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "a", None, "{}"),
+            (3, "2024-01-01 00:02:00", 1, "a", 8.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf_ewma_null")
+    src.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    try:
+        got = {
+            r.event_id: r.ewma
+            for r in REG["x_ewma_smooth"].spark_fn(spark, d).collect()
+        }
+        assert got[1] == 4.0
+        assert got[2] is None  # own value null -> null ewma
+        # row 3: the null lag contributes ZERO weight to num AND den
+        # (renormalization over present values only):
+        # num = 8 + 0/2 + 4/4; den = 1 + 0 + 1/4
+        assert got[3] == (8.0 + 0.0 / 2 + 4.0 / 4) / (1.0 + 0.0 + 0.25)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_refresh_delta_only_group(spark, tmp_path):
+    """A source present ONLY in the delta batch (its first-ever rows)
+    must refresh from the delta partials alone — the coalesce branch of
+    the state merge, unreachable on the stock corpus."""
+    import shutil
+
+    rows = [
+        # src_a: base rows (ids not %5) + delta rows (%5)
+        (1, "src_a", 10), (2, "src_a", 20), (5, "src_a", 30),
+        # src_new: ONLY delta rows
+        (10, "src_new", 7), (15, "src_new", 9),
+    ]
+    src = spark.createDataFrame(
+        [(i, s, n, "x", "en") for i, s, n in rows],
+        "doc_id long, source string, n_chars int, text string, lang string",
+    )
+    d = str(tmp_path / "sf_incr")
+    src.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    try:
+        got = {
+            r.source: (r.n_docs, r.total_chars, r.min_chars, r.max_chars, r.n_new)
+            for r in REG["x_incremental_agg_refresh"].spark_fn(spark, d).collect()
+        }
+        assert got["src_a"] == (3, 60, 10, 30, 1)
+        assert got["src_new"] == (2, 16, 7, 9, 2)  # delta-only group
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
