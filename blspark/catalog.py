@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_group_split",
     "x_label_knn_disagreement",
     "x_histogram_quantile_merge",
+    "x_ab_readout",
     # -- remaining budget: capability-table anchors (extension cores,
     # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",

@@ -1273,3 +1273,103 @@ def x_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est"),
         F.lit(True).alias("within_bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (hash-assigned variants, exact stats)
+# ---------------------------------------------------------------------------
+
+
+def _ab_oracle() -> str:
+    from blspark.catalog import o_davg, o_dstd
+
+    from blspark.ext.dedup import hex_int_sql
+
+    arm = f"({hex_int_sql('md5(CAST(user_id AS VARCHAR))', 6)}) % 2"
+    return f"""
+    WITH assigned AS MATERIALIZED (
+      SELECT CASE WHEN {arm} = 0 THEN 'control' ELSE 'treatment' END
+               AS variant,
+             value
+      FROM events
+    ),
+    stats AS MATERIALIZED (
+      SELECT variant, COUNT(*) AS n,
+             {o_davg("value")} AS mean_v,
+             {o_dstd("value")} AS std_v
+      FROM assigned GROUP BY variant
+    )
+    SELECT c.n AS n_control, t.n AS n_treatment,
+           c.mean_v AS mean_control, t.mean_v AS mean_treatment,
+           t.mean_v - c.mean_v AS diff,
+           (t.mean_v - c.mean_v)
+             / SQRT(t.std_v * t.std_v / t.n + c.std_v * c.std_v / c.n)
+             AS z_stat
+    FROM (SELECT * FROM stats WHERE variant = 'control') c,
+         (SELECT * FROM stats WHERE variant = 'treatment') t
+    """
+
+
+@register(
+    "x_ab_readout",
+    oracle=_ab_oracle(),
+    doc="A/B experiment readout: users hash-assigned to control/"
+    "treatment (same entity-hash device as x_group_split — assignment "
+    "is deterministic, stateless, and consistent across every event of "
+    "a user), then the two-sample z statistic for the difference in "
+    "mean event value. Every number rides the decimal-exact davg/dstd "
+    "devices, the variance combination is pure +,*,/ on those exact "
+    "doubles, and sqrt is correctly rounded — so even the z-statistic "
+    "value-hashes across engines. Plan: one scan, one 2-group partial "
+    "aggregate, a 2-row self-product; at 100 TB the readout costs one "
+    "pass regardless of arm count.",
+)
+def x_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import davg, dstd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = ev.select(
+        F.when(arm == 0, F.lit("control")).otherwise(F.lit("treatment")).alias(
+            "variant"
+        ),
+        "value",
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        davg("value").alias("mean_v"),
+        dstd("value").alias("std_v"),
+    )
+    c = stats.filter(F.col("variant") == "control").select(
+        F.col("n").alias("n_control"),
+        F.col("mean_v").alias("mean_control"),
+        F.col("std_v").alias("std_c"),
+    )
+    t = stats.filter(F.col("variant") == "treatment").select(
+        F.col("n").alias("n_treatment"),
+        F.col("mean_v").alias("mean_treatment"),
+        F.col("std_v").alias("std_t"),
+    )
+    return c.crossJoin(t).select(
+        "n_control",
+        "n_treatment",
+        "mean_control",
+        "mean_treatment",
+        (F.col("mean_treatment") - F.col("mean_control")).alias("diff"),
+        (
+            (F.col("mean_treatment") - F.col("mean_control"))
+            / F.sqrt(
+                F.col("std_t") * F.col("std_t") / F.col("n_treatment")
+                + F.col("std_c") * F.col("std_c") / F.col("n_control")
+            )
+        ).alias("z_stat"),
+    )

@@ -594,3 +594,18 @@ def test_incremental_refresh_delta_only_group(spark, tmp_path):
         assert got["src_new"] == (2, 16, 7, 9, 2)  # delta-only group
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ab_readout_consistency(spark):
+    """A/A sanity on hash-split arms: both arms populated, counts sum
+    to the event total, and |z| is small (the arms are a random split
+    of the SAME distribution, so a huge z would mean the assignment or
+    the stats are broken)."""
+    from blspark.catalog import load_table
+
+    r = REG["x_ab_readout"].spark_fn(spark, SF_SMOKE).first()
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    assert r.n_control + r.n_treatment == n_total
+    assert r.n_control > 0 and r.n_treatment > 0
+    assert abs(r.diff) == abs(r.mean_treatment - r.mean_control)
+    assert abs(r.z_stat) < 5.0  # A/A: no true effect
