@@ -366,6 +366,68 @@ def bench_ewma(spark, factor: int) -> float:
     return dt
 
 
+def bench_span_removal(spark, factor: int) -> float:
+    """Docs grow with factor (distinct replica suffixes, so gram overlap
+    between replicas stays put but the gram table grows linearly)."""
+    from blspark.queries.extensions8 import remove_duplicated_spans
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    n = remove_duplicated_spans(docs).count()
+    dt = time.perf_counter() - t0
+    print(f"  span_removal x{factor}: {dt:.2f}s ({n} docs)", flush=True)
+    return dt
+
+
+def bench_cusum(spark, factor: int) -> float:
+    """Series COUNT grows with factor (event_type re-keyed per replica):
+    the scale-out axis for the per-series sequential operator; series
+    length stays fixed, so per-task work is constant."""
+    from blspark.catalog import davg
+    import pandas as pd
+
+    ev = amplify(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type", "ts", "value"
+        ),
+        "event_id",
+        factor,
+        1_000_000_000,
+    ).withColumn(
+        "event_type",
+        F.concat(F.col("event_type"), (F.col("event_id") / 1_000_000_000)
+                 .cast("bigint").cast("string")),
+    )
+    t0 = time.perf_counter()
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("x"))
+    mu = ev.groupBy("event_type").agg(davg("value").alias("mu"))
+    ser = hourly.join(mu, "event_type")
+
+    def cusum(pdf):
+        pdf = pdf.sort_values("h")
+        s = 0.0
+        out = []
+        for x, m in zip(pdf["x"], pdf["mu"]):
+            s = max(0.0, s + x - m)
+            out.append(s)
+        return pdf.assign(cusum=out)[["event_type", "h", "cusum"]]
+
+    n = ser.groupBy("event_type").applyInPandas(
+        cusum, schema="event_type string, h timestamp, cusum double"
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  cusum x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "minhash": bench_minhash,
@@ -380,6 +442,8 @@ BENCHES = {
     "mmr_candidates": bench_mmr,
     "kcore": bench_kcore,
     "ewma": bench_ewma,
+    "span_removal": bench_span_removal,
+    "cusum": bench_cusum,
 }
 
 
