@@ -171,6 +171,21 @@ def hex_int_sql(col: str, n_digits: int) -> str:
 SHINGLE_V_SQL = hex_int_sql("h", 6)
 
 
+def md5_bucket(col, mod: int):
+    """Spark-side twin of ``hex_int_sql(md5(...), 6) % mod``: the shared
+    deterministic entity-hash bucket (splits, A/B arms, CM sketch rows).
+    ``col`` is a string Column; the md5 is taken over its UTF-8 bytes,
+    matching DuckDB's ``md5(varchar)``. Keeping every consumer on this
+    one helper is what keeps 'same entity-hash device as X' claims true
+    by construction."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        % mod
+    )
+
+
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     """MinHash signature per document: v = 24-bit MD5-derived shingle
     hash, minhash_s = min((A[s]*v + B[s]) mod P). One MD5 + one

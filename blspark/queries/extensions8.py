@@ -827,31 +827,18 @@ def _cm_oracle() -> str:
 )
 def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
+    from blspark.ext.dedup import md5_bucket
+
+    cm_key = F.concat(
+        F.col("s").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+    )
     rows = ev.select(
         "user_id",
         (F.col("user_id") % 3).alias("shard"),
         F.explode(
             F.array(*[F.lit(s) for s in range(_CM_DEPTH)])
         ).alias("s"),
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("s").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CM_WIDTH,
-    )
+    ).withColumn("bucket", md5_bucket(cm_key, _CM_WIDTH))
     cm = rows.groupBy("s", "bucket").agg(F.count("*").alias("c"))
     shard_cm = rows.groupBy("shard", "s", "bucket").agg(
         F.count("*").alias("c")
@@ -865,25 +852,7 @@ def x_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[F.lit(s) for s in range(_CM_DEPTH)])
         ).alias("s"),
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("s").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CM_WIDTH,
-    )
+    ).withColumn("bucket", md5_bucket(cm_key, _CM_WIDTH))
     est = (
         pb.join(F.broadcast(cm.withColumnRenamed("c", "cd")), ["s", "bucket"])
         .join(F.broadcast(merged.withColumnRenamed("c", "cmg")), ["s", "bucket"])
@@ -917,6 +886,7 @@ def _cusum_oracle() -> str:
     return f"""
     WITH RECURSIVE ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE value IS NOT NULL
     ),
     hourly AS MATERIALIZED (
       SELECT event_type, date_trunc('hour', ts) AS h,
@@ -966,11 +936,23 @@ def _cusum_oracle() -> str:
     "bound (time-bucket a series if it outgrows one).",
 )
 def x_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+def cusum_drift(ev: DataFrame) -> DataFrame:
+    """CUSUM statistic per event_type over the hourly mean series (see
+    x_cusum_drift). Null values are dropped BEFORE aggregation: an
+    hour whose values were all null would otherwise yield a null
+    hourly mean that pandas coerces to NaN while a SQL oracle keeps
+    NULL — dropping nulls keeps the recurrence defined and the engines
+    bit-identical (code-review r5 finding). Shared by the registered
+    query and scripts/scale_sweep.py so the benchmark always measures
+    the shipped implementation."""
     import pandas as pd
 
     from blspark.catalog import davg
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("value").isNotNull())
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(davg("value").alias("x"))
@@ -1032,17 +1014,10 @@ def _group_split_oracle() -> str:
     "hashing fails the hash, not just a code review.",
 )
 def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import md5_bucket
+
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 6
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = md5_bucket(F.col("user_id").cast("string"), 100)
     assigned = ev.select(
         "event_id",
         "user_id",
@@ -1053,8 +1028,6 @@ def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = assigned.groupBy("user_id").agg(
         F.count_distinct("split").alias("n_splits"),
-        F.first("split").alias("split"),
-        F.count("*").alias("n_ev"),
     )
     return (
         assigned.groupBy("split")
@@ -1121,42 +1094,32 @@ def _knn_oracle() -> str:
     "product.",
 )
 def x_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.similarity import _dot, _norm, with_double_vec
+    # neighbor retrieval IS cosine_topk (same broadcast-queries /
+    # row_number plan, same desc(cos)+asc(id) tie-break) — reuse it
+    # instead of a hand-rolled twin so its norm-hoisting and any future
+    # tie-break fix apply here automatically (code-review r5 finding)
+    from blspark.ext.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = with_double_vec(emb, "embedding").select(
-        "vec_id", "label", "vec", _norm(F.col("vec")).alias("nrm")
+    sample = emb.filter(F.col("vec_id") < _KNN_SAMPLE)
+    topk = cosine_topk(emb, sample, k=_KNN_K)
+    nlabels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
-    sample = vecs.filter(F.col("vec_id") < _KNN_SAMPLE).select(
-        F.col("vec_id").alias("sid"),
-        F.col("label").alias("slabel"),
-        F.col("vec").alias("sv"),
-        F.col("nrm").alias("snrm"),
+    slabels = sample.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("slabel")
     )
-    scored = vecs.join(
-        F.broadcast(sample), F.col("vec_id") != F.col("sid")
-    ).select(
-        "sid",
-        "slabel",
-        "vec_id",
-        "label",
-        (_dot(F.col("vec"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))).alias(
-            "cos_raw"
-        ),
-    )
-    w = Window.partitionBy("sid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    topk = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
+    joined = topk.join(nlabels, "neighbor_id").join(
+        F.broadcast(slabels), "query_id"
     )
     n_same = F.sum(
-        F.when(F.col("label") == F.col("slabel"), 1).otherwise(0)
+        F.when(F.col("nlabel") == F.col("slabel"), 1).otherwise(0)
     )
-    return topk.groupBy("sid", "slabel").agg(
+    return joined.groupBy("query_id", "slabel").agg(
         n_same.cast("int").alias("n_same"),
         (n_same <= 1).alias("flagged"),
     ).select(
-        F.col("sid").alias("vec_id"),
+        F.col("query_id").alias("vec_id"),
         F.col("slabel").alias("label"),
         "n_same",
         "flagged",
@@ -1294,7 +1257,7 @@ def _ab_oracle() -> str:
       FROM events
     ),
     stats AS MATERIALIZED (
-      SELECT variant, COUNT(*) AS n,
+      SELECT variant, COUNT(value) AS n,
              {o_davg("value")} AS mean_v,
              {o_dstd("value")} AS std_v
       FROM assigned GROUP BY variant
@@ -1327,25 +1290,21 @@ def _ab_oracle() -> str:
 def x_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.catalog import davg, dstd
 
+    from blspark.ext.dedup import md5_bucket
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 6
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    arm = md5_bucket(F.col("user_id").cast("string"), 2)
     assigned = ev.select(
         F.when(arm == 0, F.lit("control")).otherwise(F.lit("treatment")).alias(
             "variant"
         ),
         "value",
     )
+    # n = COUNT(value): the mean/std denominators exclude nulls, so the
+    # z-statistic's std^2/n must too (COUNT(*) would understate the
+    # standard error when values are null — code-review r5 finding)
     stats = assigned.groupBy("variant").agg(
-        F.count("*").alias("n"),
+        F.count("value").alias("n"),
         davg("value").alias("mean_v"),
         dstd("value").alias("std_v"),
     )

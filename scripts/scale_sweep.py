@@ -389,8 +389,7 @@ def bench_cusum(spark, factor: int) -> float:
     """Series COUNT grows with factor (event_type re-keyed per replica):
     the scale-out axis for the per-series sequential operator; series
     length stays fixed, so per-task work is constant."""
-    from blspark.catalog import davg
-    import pandas as pd
+    from blspark.queries.extensions8 import cusum_drift
 
     ev = amplify(
         load_table(spark, SF_DIR, "events").select(
@@ -405,24 +404,7 @@ def bench_cusum(spark, factor: int) -> float:
                  .cast("bigint").cast("string")),
     )
     t0 = time.perf_counter()
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(davg("value").alias("x"))
-    mu = ev.groupBy("event_type").agg(davg("value").alias("mu"))
-    ser = hourly.join(mu, "event_type")
-
-    def cusum(pdf):
-        pdf = pdf.sort_values("h")
-        s = 0.0
-        out = []
-        for x, m in zip(pdf["x"], pdf["mu"]):
-            s = max(0.0, s + x - m)
-            out.append(s)
-        return pdf.assign(cusum=out)[["event_type", "h", "cusum"]]
-
-    n = ser.groupBy("event_type").applyInPandas(
-        cusum, schema="event_type string, h timestamp, cusum double"
-    ).count()
+    n = cusum_drift(ev).count()
     dt = time.perf_counter() - t0
     print(f"  cusum x{factor}: {dt:.2f}s ({n} rows)", flush=True)
     return dt

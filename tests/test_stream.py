@@ -430,6 +430,10 @@ def test_outer_join_flush_is_host_tz_independent():
     import subprocess
     import sys
 
+    from pathlib import Path
+
+    from tests.conftest import SF_SMOKE
+
     code = r"""
 import os
 from pyspark.sql import SparkSession, functions as F
@@ -438,7 +442,7 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.sql.session.timeZone", "Etc/UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 from blspark.catalog import load_table, registry
-SF = "/root/testdata/sf0.001"
+SF = os.environ["BLSPARK_TZTEST_SF"]
 n_stream = registry()["s_stream_interval_join_outer"].spark_fn(spark, SF).count()
 ev = load_table(spark, SF, "events")
 c = ev.filter(F.col("event_type") == "click").select(
@@ -451,7 +455,13 @@ n_batch = c.join(p, (F.col("pu") == F.col("user_id"))
 assert n_stream == n_batch, (n_stream, n_batch)
 print("TZ_OK", n_stream)
 """
-    env = dict(os.environ, TZ="America/Los_Angeles", PYTHONPATH=os.getcwd())
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env = dict(
+        os.environ,
+        TZ="America/Los_Angeles",
+        PYTHONPATH=repo_root,
+        BLSPARK_TZTEST_SF=SF_SMOKE,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         env=env,
