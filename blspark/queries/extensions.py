@@ -1187,7 +1187,7 @@ def x_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_multimodal_decode",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(octet_length(text::BLOB) AS BIGINT)) AS total_bytes,
+           CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
            TRUE AS dims_ok, TRUE AS sha1_ok
     FROM documents
     """,

@@ -875,10 +875,11 @@ def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS sum_tokens,
-           MAX(n_toks) AS max_tokens,
-           COUNT(*) * MAX(n_toks) - SUM(n_toks) AS padding_waste,
-           (SUM(n_toks) * 10000) // (COUNT(*) * MAX(n_toks)) AS efficiency_bp
+           CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) * MAX(n_toks) - SUM(n_toks) AS BIGINT) AS padding_waste,
+           CAST((SUM(n_toks) * 10000) // (COUNT(*) * MAX(n_toks)) AS BIGINT)
+             AS efficiency_bp
     FROM b GROUP BY bucket
     """,
     doc="Training-batch padding-efficiency report: docs bucketed by "
@@ -905,7 +906,7 @@ def x_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("sum_tokens"),
-            F.max("n_toks").alias("max_tokens"),
+            F.max("n_toks").cast("long").alias("max_tokens"),
             (F.count("*") * F.max("n_toks") - F.sum("n_toks")).alias(
                 "padding_waste"
             ),

@@ -131,10 +131,10 @@ def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           (SUM(n_chars) * 100) // COUNT(*) AS avg_chars_x100
+           CAST((SUM(n_chars) * 100) // COUNT(*) AS BIGINT) AS avg_chars_x100
     FROM documents GROUP BY source
     """,
     doc="Hierarchical partial-aggregate merge: shard-level states "

@@ -231,7 +231,8 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 5 = 0 GROUP BY source
     ),
     full_agg AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       FROM documents GROUP BY source
     )

@@ -7,6 +7,7 @@ Env:   DIFF_SF_DIR (default /root/testdata/sf0.01)
 
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,6 +22,23 @@ def canon(v):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
     return str(v)
+
+
+# DuckDB result types that materialize differently through the driver's
+# fetchdf()/Arrow path than through cursor fetchall(): HUGEINT (int128,
+# from SUM over INTEGER/BIGINT) becomes float64/decimal128 so the driver
+# value-hash diverges even when every number matches Spark's BIGINT.
+# Python-level str() canonicalization is width-blind, which is exactly
+# why this script could not see the r5 failure class — hence this
+# explicit type lint on every oracle (VERDICT r5 item 2).
+_WIDTH_HAZARD = re.compile(r"^(HUGEINT|UHUGEINT|DECIMAL)")
+
+
+def width_hazards(con, oracle_sql: str) -> list[tuple[str, str]]:
+    """Columns of the oracle result whose DuckDB type would materialize
+    width-unstably through the driver's fetchdf()/Arrow path."""
+    rows = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    return [(r[0], r[1]) for r in rows if _WIDTH_HAZARD.match(r[1])]
 
 
 def main() -> int:
@@ -47,6 +65,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             if q.oracle is None:
                 print(f"{name}: rows-only {len(srows)}")
+                continue
+            hazards = width_hazards(con, q.oracle)
+            if hazards:
+                fails.append(name)
+                print(f"{name}: WIDTH-HAZARD {hazards}")
                 continue
             rel = con.execute(q.oracle)
             dcols = [d[0] for d in rel.description]

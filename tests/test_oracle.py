@@ -58,6 +58,30 @@ def test_matches_oracle(name, spark, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_no_width_hazard(name, duck):
+    """No oracle result column may be HUGEINT/UHUGEINT/DECIMAL.
+
+    The driver materializes oracle results via fetchdf()/Arrow, under
+    which DuckDB HUGEINT (the result type of SUM over INTEGER/BIGINT)
+    becomes float64 (``3`` -> ``3.0``) or decimal128, so the value-hash
+    diverges from Spark's BIGINT even when every number is identical
+    (the r5 hash-fail class). Cursor-level fetchall() is width-blind,
+    so this lint checks the declared DuckDB type via DESCRIBE instead
+    of looking at values. Fix pattern: CAST(SUM(...) AS BIGINT) on the
+    aggregate's OUTPUT (an inner cast does not help — SUM re-widens).
+    """
+    from scripts.diffcheck import width_hazards
+
+    bad = width_hazards(duck, QUERIES[name].oracle)
+    assert not bad, (
+        f"{name}: oracle columns {bad} would materialize width-unstably "
+        f"through the driver's fetchdf()/Arrow path; wrap the aggregate "
+        f"output in CAST(... AS BIGINT) (or route decimals through "
+        f"o_d2d)"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(name, spark):
     q = QUERIES[name]
