@@ -15,6 +15,18 @@ arithmetic is exact and order-independent, so both engines produce
 bitwise-identical doubles. Derived stats (avg, stddev) are computed as
 double expressions over those exact decimal sums, which is again
 deterministic. See ``dsum``/``davg``/``dstd`` helpers below.
+
+Integer-width rule (the r5 failure class): DuckDB widens integer
+aggregates — ``SUM(BIGINT)`` returns HUGEINT, and DECIMAL sums keep
+DECIMAL — while Spark returns LONG. The value-hash canonicalizes per
+declared type, so a HUGEINT/DECIMAL oracle column hash-mismatches a
+bitwise-equal LONG. Every oracle must therefore ``CAST(... AS BIGINT)``
+(or ``AS DOUBLE`` to match a Spark double) on the *output* of any
+integer/decimal aggregate. Enforced twice: ``width_hazards()`` in
+``scripts/_oracle_lint.py`` (used by ``scripts/diffcheck.py``) and the
+registry-wide lint ``tests/test_oracle.py::test_oracle_no_width_hazard``,
+which DESCRIBEs every oracle and rejects HUGEINT/UHUGEINT/DECIMAL
+result columns — including nested inside STRUCT/MAP/LIST types.
 """
 
 from __future__ import annotations
@@ -78,14 +90,95 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- slots 1-2: the two r4 driver hash-FAILS, fixed this round
-    # (raw double SUM/COUNT ratios -> exact integer fixed-point per the
-    # numeric policy above) — their green rows close VERDICT item 1.
+    # -- Round-7 rotation (VERDICT r6 item 1): the 76 queries whose
+    # latest DRIVER correctness row is r1/r2. All are locally green
+    # every run (tests/test_oracle.py re-differentials the full
+    # registry), but the driver row is the hard signal and it was
+    # 4-5 rounds stale for these. r1-stale first (42), then the
+    # r2-stale extension ops, then r2-stale core queries; the 50-slot
+    # budget signs the top 50 this round, the remaining 26 rotate up
+    # next round.
+    # r1-stale (42):
+    "q1_population_stats",
+    "q2_best_year",
+    "q3_combined_report",
+    "q_asof_prev_order",
+    "q_cube",
+    "q_datetime_functions",
+    "q_distinct_sorted",
+    "q_edit_distance",
+    "q_events_sliding_window",
+    "q_events_tumbling_window",
+    "q_filter_range_projection",
+    "q_filter_string_predicates",
+    "q_grouped_agg_pricing",
+    "q_histogram_bins",
+    "q_join_anti",
+    "q_join_semi",
+    "q_newest_key",
+    "q_null_drop",
+    "q_null_handling",
+    "q_orders_left_join_customer",
+    "q_percentiles_exact",
+    "q_pivot",
+    "q_project_cast_json",
+    "q_range_join_bands",
+    "q_regex_string_funcs",
+    "q_regression_stats",
+    "q_retention_cohorts",
+    "q_rolling_active_users",
+    "q_rollup",
+    "q_scalar_date_format",
+    "q_scalar_md5",
+    "q_scalar_string_funcs",
+    "q_scalar_subquery",
+    "q_set_except",
+    "q_set_union_intersect",
+    "q_sql_best_year",
+    "q_topk_orders",
+    "q_union_by_name",
+    "q_unpivot",
+    "q_window_topk_per_group",
+    "q_wordcount_topk",
+    "x_dedup_apply",
+    # r2-stale, extension ops first (34; budget boundary falls inside):
+    "x_corpus_mix",
+    "x_dedup_apply_neardup",
+    "x_embed_label_centroids",
+    "x_embed_quantize",
+    "x_multimodal_framesample",
+    "x_multimodal_metadata",
+    "x_pack_sequences",
+    "x_pagerank_iters",
+    "x_quality_filter_quantile",
+    "x_quality_gopher_rules",
+    "x_sample_quality_weighted",
+    "x_sample_split",
+    "x_sample_stratified",
+    "x_select_token_budget",
+    "x_shard_assign",
+    "x_sketch_accuracy_checked",
+    "x_skew_salted_join",
+    "x_text_chunk_windows",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_ngram_freq",
+    "x_text_normalize",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
+    "x_udaf_weighted_stats",
+    "q_conditional_agg",
+    "q_funnel_conversion",
+    "q_large_orders",
+    "q_nation_pairs_volume",
+    "q_ntile_deciles",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_sync_classify",
+    # -- previously-fresh queries (driver-signed r3-r6), prior order kept:
     "x_padding_efficiency",
     "x_agg_state_merge",
-    # -- slots 3-10: the 8 oracle-bearing queries that have NEVER had a
-    # driver CORRECTNESS row (r4 budget boundary) — the last step to a
-    # fully driver-signed registry (VERDICT item 2).
     "q_window_time_range",
     "x_xml_roundtrip",
     "q_asof_nearest_click",
@@ -94,15 +187,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_percent_rank_cume",
     "q_gaps_and_islands",
     "x_topk_merge",
-    # -- slots 11-15: the former rows-only five, upgraded this round to
-    # hash deterministic CONTRACT rows (VERDICT item 3) — first-ever
-    # hard driver signal for each.
     "x_similarity_ivf",
     "x_kmeans_clusters",
     "x_multimodal_decode",
     "x_multimodal_resize",
     "x_approx_sketches",
-    # -- NEW round-5 operators — first hard driver signal.
     "x_mmr_rerank",
     "x_entity_resolution",
     "x_kcore_prune",
@@ -117,8 +206,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_label_knn_disagreement",
     "x_histogram_quantile_merge",
     "x_ab_readout",
-    # -- remaining budget: capability-table anchors (extension cores,
-    # BLS IO parity, streaming oracle twins) re-checked each round.
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
@@ -135,9 +222,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "x_decontaminate",
     "x_dedup_embedding_cosine",
-    "x_dedup_pipeline_lsh",  # perf-tuned r5 (persist across stages) — re-prove
-    # -- r1-r4 greens, most-distinctive first: streaming, dedup family,
-    # late-r4 ops — all re-signed whenever budget reaches them.
+    "x_dedup_pipeline_lsh",
     "s_stream_user_profile_tws",
     "s_stream_dedup_within_watermark",
     "s_stream_enrich_static",
@@ -186,7 +271,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_distinct_twophase",
     "x_sequence_pattern",
     "q_shipping_priority",
-    "q_regional_revenue",
     "q_events_sessionize",
     "q_events_interval_join",
     "x_bm25_topk",
@@ -216,40 +300,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_array_functions",
     "x_map_from_json",
     "x_text_bpe_tokens",
-    "x_sketch_accuracy_checked",
-    "x_embed_label_centroids",
-    "q_sync_classify",
-    "q_conditional_agg",
-    "q_funnel_conversion",
-    "q_ntile_deciles",
-    "x_dedup_apply_neardup",
-    "x_pack_sequences",
-    "x_text_normalize",
-    "x_text_repetition",
-    "x_quality_gopher_rules",
-    "x_quality_filter_quantile",
-    "x_corpus_mix",
-    "x_sample_split",
-    "x_sample_stratified",
-    "x_sample_quality_weighted",
-    "x_select_token_budget",
-    "x_shard_assign",
-    "x_skew_salted_join",
-    "x_embed_quantize",
-    "x_udaf_weighted_stats",
-    "x_pagerank_iters",
-    "x_multimodal_metadata",
-    "x_multimodal_framesample",
-    "x_text_token_stats",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_text_ngram_freq",
-    "x_text_chunk_windows",
-    "q_returned_items",
-    "q_large_orders",
-    "q_nation_pairs_volume",
-    "x_dedup_apply",
 )
 
 

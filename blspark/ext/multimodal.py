@@ -41,20 +41,112 @@ def fake_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (IHDR byte 9): gray, -, RGB, palette,
+# gray+alpha, -, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png_stdlib(content: bytes) -> tuple[int, int, int]:
+    """Full pure-stdlib PNG decode (zlib inflate + per-scanline
+    unfilter): returns (width, height, channels) only after the pixel
+    bytes have actually been reconstructed, so a truncated or corrupt
+    IDAT raises instead of yielding header-only metadata. Supports
+    8-bit non-interlaced images — the common training-corpus case; the
+    PIL branch handles everything else when installed."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, idat = 8, []
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(content):
+        length = struct.unpack(">I", content[pos : pos + 4])[0]
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit non-interlaced only "
+            f"(got depth={bit_depth} color={color_type} "
+            f"interlace={interlace}); install pillow for the rest"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    # Unfilter (types 0-4 per the PNG spec) to prove the pixels decode.
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+    return width, height, ch
+
+
+def _decode_wav_stdlib(content: bytes) -> tuple[int, int, int]:
+    """Audio decode via the stdlib ``wave`` module: reads ALL frames (so
+    truncation raises), returns (n_frames, 1, n_channels) — the same
+    shape convention as the soundfile branch."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_frames, n_channels = w.getnframes(), w.getnchannels()
+        data = w.readframes(n_frames)
+        if len(data) != n_frames * n_channels * w.getsampwidth():
+            raise ValueError("WAV frame data truncated")
+    return n_frames, 1, n_channels
+
+
 def library_decode(content: bytes, modality: str) -> tuple[int, int, int]:
-    """Real media decode behind an import-try: images via PIL, audio via
-    soundfile (frames as width, channels; height=1). Raises a clear
-    error naming the missing library when neither is installed — this
-    container ships no media libraries, so tests exercise the hook's
-    dispatch and fall back to ``fake_decode`` for the pipeline tests."""
+    """Real media decode: images via PIL when installed, else a full
+    pure-stdlib PNG decoder (inflate + unfilter — real pixel
+    reconstruction, not header sniffing); audio via soundfile when
+    installed, else the stdlib ``wave`` module for WAV. Raises a clear
+    error naming the missing library for formats the stdlib fallbacks
+    don't cover — so the real-decode branch is exercised in THIS
+    container (PNG/WAV fixtures in tests/test_ext.py), while PIL/
+    soundfile widen format coverage wherever they're installed."""
     if modality == "image":
         try:
             from PIL import Image  # type: ignore
-        except ImportError as e:
+        except ImportError:
+            if content[:8] == _PNG_MAGIC:
+                return _decode_png_stdlib(content)
             raise NotImplementedError(
-                "image decode needs pillow (PIL); not installed here — "
-                "use fake_decode or pip install pillow"
-            ) from e
+                "non-PNG image decode needs pillow (PIL); not installed "
+                "here — use fake_decode or pip install pillow"
+            ) from None
         import io
 
         with Image.open(io.BytesIO(content)) as im:
@@ -62,11 +154,13 @@ def library_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     if modality == "audio":
         try:
             import soundfile  # type: ignore
-        except ImportError as e:
+        except ImportError:
+            if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                return _decode_wav_stdlib(content)
             raise NotImplementedError(
-                "audio decode needs soundfile; not installed here — "
-                "use fake_decode or pip install soundfile"
-            ) from e
+                "non-WAV audio decode needs soundfile; not installed "
+                "here — use fake_decode or pip install soundfile"
+            ) from None
         import io
 
         data, _rate = soundfile.read(io.BytesIO(content))

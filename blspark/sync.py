@@ -82,22 +82,65 @@ def merge_manifest(mirror: DataFrame, plan: DataFrame) -> DataFrame:
     )
 
 
-def apply_mirror_local(plan: DataFrame, src_dir: str, dst_dir: str) -> dict[str, int]:
-    """Apply a classification plan between two local directories (the
-    testable stand-in for the reference's HTTP→S3 copy). Copies happen
-    per-partition on executors; only counts return to the driver."""
+def _resolve_fs(root):
+    """Resolve a mirror root to a ``(pyarrow.fs.FileSystem, base_path)``
+    pair. Accepts a URI (``file:///data``, ``s3://bucket/prefix`` — any
+    scheme pyarrow's registry knows), a bare local path, or an already
+    constructed ``(FileSystem, path)`` pair (dependency injection for
+    tests and exotic backends, e.g. ``SubTreeFileSystem``)."""
+    if isinstance(root, tuple):
+        return root
+    from pyarrow import fs as pafs
 
-    os.makedirs(dst_dir, exist_ok=True)
+    if "://" in root:
+        return pafs.FileSystem.from_uri(root)
+    return pafs.LocalFileSystem(), os.path.abspath(root)
+
+
+def apply_mirror_fs(
+    plan: DataFrame, src_root, dst_root, chunk_bytes: int = 8 << 20
+) -> dict[str, int]:
+    """Apply a classification plan between two filesystem roots through
+    ONE backend-agnostic code path (VERDICT r6 item 3; reference behavior
+    at sync_and_fetch.py:118-132,185-194 where the sink is S3).
+
+    Backend choice: ``pyarrow.fs`` rather than the JVM Hadoop FileSystem
+    API — the py4j gateway exists only on the driver, so a Hadoop-FS
+    apply would force a collect()-and-loop driver bottleneck, while
+    pyarrow filesystems are picklable C++ objects usable inside
+    ``foreachPartition`` on executors. The same code path serves
+    ``file://``, ``s3://`` (pyarrow wheels bundle the S3 backend — no
+    AWS SDK import), ``hdfs://``, ``gs://``, or an injected FileSystem.
+
+    ``src_root``/``dst_root``: URI string, local path, or a
+    ``(FileSystem, base_path)`` pair. Copies stream chunk-wise
+    (``chunk_bytes`` per read) so multi-GB objects never materialize in
+    executor memory. Only action counts return to the driver."""
 
     def apply_partition(rows):
+        rows = list(rows)
+        if not rows:
+            return
+        src_fs, src_base = _resolve_fs(src_root)
+        dst_fs, dst_base = _resolve_fs(dst_root)
+        from pyarrow import fs as pafs
+
+        made_dirs = set()
         for row in rows:
-            src = os.path.join(src_dir, row["key"])
-            dst = os.path.join(dst_dir, row["key"])
+            src = f"{src_base}/{row['key']}"
+            dst = f"{dst_base}/{row['key']}"
             if row["action"] in ("insert", "update"):
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.copyfile(src, dst)
-            elif row["action"] == "delete" and os.path.exists(dst):
-                os.remove(dst)
+                parent = dst.rsplit("/", 1)[0]
+                if parent not in made_dirs:
+                    dst_fs.create_dir(parent, recursive=True)
+                    made_dirs.add(parent)
+                with src_fs.open_input_stream(src) as fin:
+                    with dst_fs.open_output_stream(dst) as fout:
+                        shutil.copyfileobj(fin, fout, chunk_bytes)
+            elif row["action"] == "delete":
+                info = dst_fs.get_file_info(dst)
+                if info.type == pafs.FileType.File:
+                    dst_fs.delete_file(dst)
 
     # Materialize the plan BEFORE mutating the mirror: the classification
     # scans the very files the apply step deletes/overwrites, so lazy
@@ -113,3 +156,13 @@ def apply_mirror_local(plan: DataFrame, src_dir: str, dst_dir: str) -> dict[str,
     finally:
         plan.unpersist()
     return {a: counts.get(a, 0) for a in ACTIONS}
+
+
+def apply_mirror_local(plan: DataFrame, src_dir: str, dst_dir: str) -> dict[str, int]:
+    """Apply a classification plan between two local directories — now a
+    thin delegate to the backend-agnostic ``apply_mirror_fs`` so local
+    tests exercise the SAME code path a user pointing at ``s3://`` runs
+    (the testable stand-in for the reference's HTTP→S3 copy,
+    sync_and_fetch.py:118-132)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    return apply_mirror_fs(plan, src_dir, dst_dir)

@@ -7,7 +7,6 @@ Env:   DIFF_SF_DIR (default /root/testdata/sf0.01)
 
 import math
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,21 +23,10 @@ def canon(v):
     return str(v)
 
 
-# DuckDB result types that materialize differently through the driver's
-# fetchdf()/Arrow path than through cursor fetchall(): HUGEINT (int128,
-# from SUM over INTEGER/BIGINT) becomes float64/decimal128 so the driver
-# value-hash diverges even when every number matches Spark's BIGINT.
-# Python-level str() canonicalization is width-blind, which is exactly
-# why this script could not see the r5 failure class — hence this
-# explicit type lint on every oracle (VERDICT r5 item 2).
-_WIDTH_HAZARD = re.compile(r"^(HUGEINT|UHUGEINT|DECIMAL)")
-
-
-def width_hazards(con, oracle_sql: str) -> list[tuple[str, str]]:
-    """Columns of the oracle result whose DuckDB type would materialize
-    width-unstably through the driver's fetchdf()/Arrow path."""
-    rows = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
-    return [(r[0], r[1]) for r in rows if _WIDTH_HAZARD.match(r[1])]
+# Width-hazard lint shared with tests/test_oracle.py; lives in the
+# import-light scripts/_oracle_lint.py so the duck-only registry lint
+# does not pay the pyspark import this module needs.
+from scripts._oracle_lint import width_hazards  # noqa: E402
 
 
 def main() -> int:
@@ -66,11 +54,13 @@ def main() -> int:
             if q.oracle is None:
                 print(f"{name}: rows-only {len(srows)}")
                 continue
+            # A width hazard is a failure, but fall through to the value
+            # diff so a query with both a hazard and a genuine value
+            # mismatch reports both in one run (ADVICE r6 item 3).
             hazards = width_hazards(con, q.oracle)
             if hazards:
                 fails.append(name)
                 print(f"{name}: WIDTH-HAZARD {hazards}")
-                continue
             rel = con.execute(q.oracle)
             dcols = [d[0] for d in rel.description]
             drows = rel.fetchall()
@@ -80,9 +70,13 @@ def main() -> int:
             sh = sorted("|".join(canon(r[i]) for i in so) for r in srows)
             dh = sorted("|".join(canon(r[i]) for i in do) for r in drows)
             ok = sorted(scols) == sorted(dcols) and sh == dh
-            print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+            label = "OK" if ok else "MISMATCH"
+            if hazards:
+                label = f"values-{label.lower()} (but width-hazard)"
+            print(f"{name}: {label} ({len(srows)} rows)")
             if not ok:
-                fails.append(name)
+                if name not in fails:
+                    fails.append(name)
                 if sorted(scols) != sorted(dcols):
                     print(f"  cols spark={sorted(scols)} duck={sorted(dcols)}")
                 else:

@@ -194,6 +194,134 @@ def test_decoder_hook_dispatch():
         library_decode(b"xx", "video")
 
 
+def _make_png(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit, filter 0) for decode fixtures."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * channels + c + y) % 256 for x in range(width) for c in range(channels))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_frames: int, n_channels: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(2 * n_frames * n_channels))
+    return buf.getvalue()
+
+
+def test_library_decode_real_png_and_wav():
+    """The REAL decoder branch, exercised in-container: a generated 4x4
+    RGB PNG decodes to its true dimensions through full pixel
+    reconstruction (PIL when installed, pure-stdlib inflate+unfilter
+    otherwise), and a WAV through wave/soundfile. Corrupt pixel data
+    must raise — proving this is a decode, not header sniffing."""
+    import pytest as _pytest
+
+    from blspark.ext.multimodal import library_decode
+
+    assert library_decode(_make_png(4, 4, 3), "image") == (4, 4, 3)
+    assert library_decode(_make_png(7, 2, 1), "image") == (7, 2, 1)
+    assert library_decode(_make_png(3, 5, 4), "image") == (3, 5, 4)
+    assert library_decode(_make_wav(8, 1), "audio") == (8, 1, 1)
+    assert library_decode(_make_wav(5, 2), "audio") == (5, 1, 2)
+
+    good = _make_png(4, 4, 3)
+    truncated = good[: len(good) // 2]
+    with _pytest.raises(Exception):
+        library_decode(truncated, "image")
+
+
+def test_png_unfilter_all_filter_types():
+    """The stdlib PNG path reconstructs Sub/Up/Average/Paeth-filtered
+    scanlines (skipped when PIL is installed — PIL covers them)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL installed; stdlib unfilter path not reachable")
+    except ImportError:
+        pass
+
+    from blspark.ext.multimodal import _decode_png_stdlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # 2x5 grayscale, one scanline per filter type 0..4
+    width, height, ch = 2, 5, 1
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (
+        b"\x00\x10\x20"  # none
+        + b"\x01\x05\x05"  # sub
+        + b"\x02\x01\x01"  # up
+        + b"\x03\x02\x02"  # average
+        + b"\x04\x01\x01"  # paeth
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png_stdlib(png) == (width, height, ch)
+
+
+def test_decode_features_real_decoder_mapinpandas(spark):
+    """End-to-end real decode through the Spark plumbing: binary PNG/WAV
+    columns flow through mapInPandas (Arrow batches) with
+    library_decode and come back with true dimensions."""
+    from blspark.ext.multimodal import decode_features, library_decode
+
+    rows = [
+        (1, bytearray(_make_png(4, 4, 3)), "image"),
+        (2, bytearray(_make_png(9, 3, 1)), "image"),
+        (3, bytearray(_make_wav(16, 2)), "audio"),
+    ]
+    media = spark.createDataFrame(
+        rows, "id long, content binary, modality string"
+    )
+    got = {r["id"]: r for r in decode_features(media, decoder=library_decode).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 4, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (9, 3, 1)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_channels"]) == (16, 1, 2)
+    assert got[1]["n_bytes"] == len(_make_png(4, 4, 3))
+
+
 def test_connected_components_chain_and_singletons(spark):
     from blspark.ext.dedup import connected_components
 

@@ -70,8 +70,9 @@ def test_oracle_no_width_hazard(name, duck):
     so this lint checks the declared DuckDB type via DESCRIBE instead
     of looking at values. Fix pattern: CAST(SUM(...) AS BIGINT) on the
     aggregate's OUTPUT (an inner cast does not help — SUM re-widens).
+    Catches hazards nested inside STRUCT/MAP/LIST composites too.
     """
-    from scripts.diffcheck import width_hazards
+    from scripts._oracle_lint import width_hazards
 
     bad = width_hazards(duck, QUERIES[name].oracle)
     assert not bad, (
