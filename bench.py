@@ -30,19 +30,33 @@ def main() -> None:
     reg = registry()
     bench_queries = {n: q for n, q in reg.items() if q.bench}
 
-    # Warmup: touch every table once (file listing/footer reads), then run
-    # every bench query once untimed. The first execution of a query in a
-    # fresh JVM pays Catalyst planning + whole-stage-codegen compilation +
-    # JIT — hundreds of ms to seconds of driver/JVM one-time cost that a
-    # long-lived cluster amortizes to zero. The timed pass below measures
+    # Warmup: touch every table once (file listing/footer reads) and run
+    # one throwaway aggregation to absorb generic JVM/codegen-framework
+    # boot. The first execution of a query in a fresh JVM still pays its
+    # own Catalyst planning + whole-stage-codegen compilation + JIT —
+    # hundreds of ms to seconds of one-time cost that a long-lived
+    # cluster amortizes to zero. The timed passes below measure
     # steady-state plan execution (all data is still read and processed;
     # only JVM warmup is excluded).
     from blspark.catalog import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+
+    # Cold pass: the first execution of each query, TIMED (this doubles
+    # as the warm pass's warmup, so it costs nothing extra). For the
+    # dedup/LSH family, whose pipelines persist signature/verify caches
+    # across stages, this is the number a user pays on first run in a
+    # fresh session — evidence that the performance envelope holds
+    # without warm caches (VERDICT r6 item 2). Cold figures include the
+    # query's own first-run planning/codegen cost by construction.
+    cold: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
+        t0 = time.perf_counter()
         q.spark_fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
 
     # Two timed passes, min per query: single-shot timings on a shared
     # host swing 2x with neighbor load; the min is the stable estimate of
@@ -77,12 +91,21 @@ def main() -> None:
     R5_SET = R4_SET + (
         "x_mmr_rerank", "x_entity_resolution", "x_dedup_span_removal",
     )
+    # The persisted-cache queries (LSH/dedup family): their cold sum is
+    # the headline cold-path evidence.
+    LSH_SET = (
+        "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_pipeline_lsh",
+        "x_dedup_span_removal", "x_similarity_cosine_topk",
+    )
     subtotals = {
         label: round(sum(timings[n] for n in names if n in timings), 3)
         for label, names in (
             ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
         )
     }
+    subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)
+    subtotals["cold_r5_21"] = round(sum(cold[n] for n in R5_SET if n in cold), 3)
+    subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET if n in cold), 3)
     print(
         json.dumps(
             {
@@ -90,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
                 "subtotals": subtotals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -16,21 +16,48 @@ import json
 import re
 import time
 from collections.abc import Callable
+from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame, SparkSession
 
-_HREF_RE = re.compile(r"""<a\s+[^>]*href=["']([^"']+)["']""", re.IGNORECASE)
+class _ListingParser(HTMLParser):
+    """Collects <a href> values via the stdlib HTML parser — the
+    bs4-grade path (reference sync_and_fetch.py:49-81 uses
+    BeautifulSoup): handles unquoted attributes, entity references
+    (&amp; in names), whitespace around ``=``, uppercase tags, and
+    attributes split across lines, none of which a regex scan does."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
 
 
 def parse_directory_listing(html: str) -> list[str]:
     """File names from an HTML directory index: every <a href> that is
-    not a parent link or a subdirectory (reference sync_and_fetch.py:70-76,
-    BeautifulSoup-based; a regex suffices for index pages and avoids the
-    bs4 dependency)."""
+    not a parent link, a subdirectory, a sort/query link, a fragment,
+    or a non-path scheme like ``mailto:`` (reference
+    sync_and_fetch.py:70-76). Query strings and fragments are stripped
+    before taking the basename, so Apache's ``file.txt?download=1``
+    yields ``file.txt`` and nginx sort links like ``?C=M;O=D`` are
+    skipped entirely."""
+    p = _ListingParser()
+    p.feed(html)
     out = []
-    for href in _HREF_RE.findall(html):
-        name = href.rsplit("/", 1)[-1] if not href.endswith("/") else ""
-        if name and name not in ("..", ".") and not href.startswith("?"):
+    for href in p.hrefs:
+        if href.startswith(("?", "#")) or re.match(r"^[a-zA-Z][\w+.-]*:", href):
+            # sort links, fragments, mailto:/javascript:/ftp: schemes —
+            # http(s) absolute URLs are still handled below via basename
+            if not href.startswith(("http:", "https:")):
+                continue
+        path = href.split("#", 1)[0].split("?", 1)[0]
+        name = path.rsplit("/", 1)[-1] if not path.endswith("/") else ""
+        if name and name not in ("..", "."):
             out.append(name)
     return out
 

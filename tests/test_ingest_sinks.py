@@ -44,6 +44,44 @@ def test_parse_directory_listing():
     ]
 
 
+GNARLY_HTML = """
+<HTML><BODY><H1>Index of /data</H1><PRE>
+<A HREF=unquoted.txt>unquoted.txt</A>
+<a href = "spaced.csv" >spaced eq</a>
+<a
+   class="odd"
+   href='multi_line.dat'>split across lines</a>
+<a href="has&amp;amp.txt">entity in name</a>
+<a href="download.tsv?download=1&amp;v=2">query-string suffix</a>
+<a href="page.html#section">fragment suffix</a>
+<a href="https://mirror.example.com/abs/remote.bin">absolute URL</a>
+<a href="mailto:admin@example.com">contact</a>
+<a href="javascript:void(0)">js link</a>
+<a href="?C=M;O=D">sort by date</a>
+<a href="../">Parent Directory</a>
+<a href="nested/dir/">a subdir</a>
+<a name="anchor-no-href">no href at all</a>
+</PRE></BODY></HTML>
+"""
+
+
+def test_parse_directory_listing_gnarly_pages():
+    """bs4-grade robustness (reference uses BeautifulSoup,
+    sync_and_fetch.py:49-81): unquoted/whitespace/multiline/uppercase
+    attribute forms parse; entities decode; query strings and fragments
+    strip; mailto/javascript/sort/parent/subdir links are excluded;
+    absolute http(s) URLs contribute their basename."""
+    assert parse_directory_listing(GNARLY_HTML) == [
+        "unquoted.txt",
+        "spaced.csv",
+        "multi_line.dat",
+        "has&amp.txt",
+        "download.tsv",
+        "page.html",
+        "remote.bin",
+    ]
+
+
 def _fake_site(files: dict[str, bytes]):
     def fetch(url: str) -> bytes:
         name = url.rstrip("/").rsplit("/", 1)[-1]
