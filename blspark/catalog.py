@@ -141,6 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_topk_per_group",
     "q_wordcount_topk",
     "x_dedup_apply",
+    # NEW round-7 operator — first driver signal (one non-stale slot):
+    "x_similarity_pq_checked",
+    "x_similarity_ivfpq_checked",
     # r2-stale, extension ops first (34; budget boundary falls inside):
     "x_corpus_mix",
     "x_dedup_apply_neardup",

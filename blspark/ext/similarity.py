@@ -185,6 +185,289 @@ def ivf_topk(
     )
 
 
+def _d2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Split each vector into ``n_subspaces`` contiguous subvectors of
+    ``subdim`` dims: (id, m, sv). Map-side explode — n_subspaces rows
+    per vector, each carrying only a subdim-length slice."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col,
+        "m",
+        F.slice(F.col("_v"), F.col("m") * subdim + 1, subdim).alias("sv"),
+    )
+
+
+def pq_assign(subvecs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    tiny codebook, map-side squared-L2 distances, min(struct) hash-agg
+    argmin (tie-break lowest code) — subvectors never shuffle on a join
+    key, one scan at any corpus size. Returns (id, m, code, sv)."""
+    scored = subvecs.join(F.broadcast(codebooks), "m").select(
+        id_col, "m", "sv", "code", _d2(F.col("sv"), F.col("cw")).alias("d2")
+    )
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(
+            F.min(F.struct("d2", "code")).alias("s"),
+            # sv is functionally dependent on (id, m) — first() is
+            # deterministic in value
+            F.first("sv").alias("sv"),
+        )
+        .select(id_col, "m", F.col("s.code").alias("code"), "sv")
+    )
+
+
+def pq_train_codebooks(
+    vecs: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: per subspace, the
+    ``n_codes`` codewords are seeded from the subvectors of the lowest
+    ``n_codes`` ids, then refined by ONE Lloyd round with decimal-exact
+    (order-independent) elementwise means — the same deterministic-
+    training device as x_kmeans_checked, applied per subspace. Returns
+    (m, code, cw array<double>); the whole frame is
+    n_subspaces x n_codes rows — broadcast-sized by construction."""
+    from blspark.catalog import davg
+
+    sv = pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col)
+    init = sv.filter(F.col(id_col) < n_codes).select(
+        "m", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+    assigned = pq_assign(sv, init, id_col)
+    per_pos = (
+        assigned.select("m", "code", F.posexplode("sv"))
+        .groupBy("m", "code", "pos")
+        .agg(davg("col").alias("c"))
+    )
+    return per_pos.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cw")
+    )
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as n_subspaces small codes: (id, m, code).
+    This is the PQ compression step — at 64 dims x float32 a vector is
+    256 bytes; 8 subspace codes are 8 bytes (32x). The codes frame is
+    what a 100 TB corpus persists; raw vectors are only re-read for
+    exact re-ranking of the final candidates."""
+    return pq_assign(
+        pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col),
+        codebooks,
+        id_col,
+    ).select(id_col, "m", "code")
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, the
+    corpus is its PQ codes. Per query, a lookup table of
+    dot(query_subvector, codeword) for every (m, code) — Q x M x ks
+    values, broadcast — turns scoring into a sum of M table lookups per
+    corpus vector: join codes to the LUT on (m, code), then one
+    (query, neighbor)-keyed sum with map-side partial aggregation.
+    No raw vector is touched during scanning.
+
+    Determinism: per-pair scores fold the M per-subspace values in
+    subspace order (collect, sort by m, sequential aggregate) — the
+    same left-to-right order DuckDB's ``list_sum(list(val ORDER BY
+    m))`` uses — never an unordered double SUM.
+
+    At 100 TB, compose with IVF: keep cell_id on the codes frame and
+    restrict the LUT join to the query's probed cells, which prunes the
+    scan the same way ivf_topk does (FAISS IVF-PQ). Returns
+    (query_id, neighbor_id, score, rank); score is the approximate
+    inner product, rounded to 6 dp for display after ranking."""
+    qsv = pq_subvectors(queries, n_subspaces, subdim, id_col=id_col).select(
+        F.col(id_col).alias("query_id"), "m", "sv"
+    )
+    lut = qsv.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
+    )
+    scored = (
+        corpus_codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            F.broadcast(lut),
+            ["m", "code"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    per_pair = scored.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "val"))),
+                lambda s: s["val"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("score_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """FAISS-style IVF-PQ: IVF cells prune WHICH vectors a query scores
+    (only ``nprobe`` cells are scanned) while PQ codes shrink WHAT is
+    scored (ADC over codes; no raw corpus vector is touched during
+    scanning). This composition is the 100 TB configuration — plain
+    ``pq_adc_topk`` scans every code row per query batch, plain
+    ``ivf_topk`` reads raw vectors in probed cells; together the scan
+    is |probed cells| x M one-byte codes.
+
+    ``centroids``: (cell_id int, centroid array<double>) — tiny,
+    broadcast. ``codebooks``: (m, code, cw) from pq_train_codebooks —
+    tiny, broadcast. Corpus vectors are cell-assigned by max cosine
+    (ivf_topk's rule) and PQ-encoded once; at scale both frames would
+    be written once and reused across query batches. Returns
+    (query_id, neighbor_id, score, rank) where score is the
+    approximate inner product from the ADC fold.
+
+    With ``nprobe == |centroids|`` the cell restriction is vacuous and
+    results equal ``pq_adc_topk`` on the same codes (property-tested)."""
+    cent = centroids.select(
+        "cell_id",
+        F.col("centroid").cast("array<double>").alias("cvec"),
+        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
+    )
+
+    def assign_cells(df: DataFrame, idc: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            idc,
+            "vec",
+            "vnorm",
+            "cell_id",
+            (_dot(F.col("vec"), F.col("cvec"))
+             / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probes)
+            .select(idc, "vec", "cell_id")
+        )
+
+    c_cells = assign_cells(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        id_col,
+        1,
+    )
+    codes = pq_encode(
+        corpus.select(id_col, F.col(vec_col).alias("vec")),
+        codebooks, n_subspaces, subdim, id_col=id_col,
+    ).join(c_cells.select(id_col, "cell_id"), id_col)
+
+    q_cells = assign_cells(
+        queries.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        id_col,
+        nprobe,
+    ).select(F.col(id_col).alias("query_id"), "vec", "cell_id")
+
+    qsv = pq_subvectors(
+        q_cells.select("query_id", "vec").distinct(),
+        n_subspaces, subdim, id_col="query_id",
+    )
+    lut = qsv.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
+    )
+    # Restrict the ADC join to (query, probed cell) pairs: codes carry
+    # cell_id, the probe list is tiny and joins broadcast.
+    probes = q_cells.select("query_id", "cell_id")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    per_pair = scored.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "val"))),
+                lambda s: s["val"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("score_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def label_centroids(
     embeddings: DataFrame, id_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

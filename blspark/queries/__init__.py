@@ -19,4 +19,5 @@ import blspark.queries.extensions5  # noqa: F401
 import blspark.queries.extensions6  # noqa: F401
 import blspark.queries.extensions7  # noqa: F401
 import blspark.queries.extensions8  # noqa: F401
+import blspark.queries.extensions9  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401

@@ -1,0 +1,258 @@
+"""Round-7 extension operators: product quantization (PQ) for
+embedding search at scale.
+
+PQ is the compressed-domain counterpart of the IVF family
+(ext/similarity.py): instead of pruning WHICH vectors a query scores
+(IVF cells), it shrinks WHAT is scored — each 64-dim float vector
+becomes n_subspaces tiny codes (32x smaller here), and queries score
+corpus vectors by summing per-subspace lookup-table values (asymmetric
+distance computation, ADC) without touching a raw vector. At 100 TB of
+embeddings this is the difference between scanning 100 TB and scanning
+~3 TB of codes; composed with IVF cells (FAISS IVF-PQ) the scan also
+prunes to the probed cells. Reference scope: the reference pipeline has
+no vector search at all — this family extends SURVEY.md §2's
+"training-data pipeline" charter the same way the IVF/LSH operators do.
+
+Oracle device: deterministic codebooks (seeded from the lowest-id
+subvectors, ONE Lloyd refinement with decimal-exact order-independent
+means — the x_kmeans_checked device per subspace), and per-pair ADC
+sums folded in subspace order (DuckDB ``list_sum(list(val ORDER BY
+m))`` == Spark's sorted sequential ``aggregate`` fold) — never an
+unordered double SUM, per the catalog numeric policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, o_davg, register
+
+# 64-dim embeddings -> 8 subspaces x 8 dims, 4 codewords per subspace.
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_KS = 4
+_PQ_K = 3
+
+_DOTQ = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_D2Q = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+
+def _pq_assign_sql(cb: str, keep_sv: bool) -> str:
+    d2 = _D2Q.format(a="s.sv", b="c.cw")
+    sv = ", sv" if keep_sv else ""
+    return f"""
+  SELECT vec_id, m, code{sv} FROM (
+    SELECT s.vec_id, s.m, c.code, s.sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {d2} ASC, c.code ASC) AS r
+    FROM sv s JOIN {cb} c ON s.m = c.m) t
+  WHERE r = 1
+"""
+
+
+PQ_CHECKED_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+init AS MATERIALIZED (
+  SELECT m, CAST(vec_id AS INT) AS code, sv AS cw
+  FROM sv WHERE vec_id < {_PQ_KS}
+),
+a0 AS MATERIALIZED ({_pq_assign_sql("init", keep_sv=True)}),
+cb AS MATERIALIZED (
+  SELECT m, code, list(c ORDER BY pos) AS cw FROM (
+    SELECT a.m, a.code, t.i AS pos, {o_davg(f"a.sv[t.i + 1]")} AS c
+    FROM a0 a, range(0, {_PQ_SUBDIM}) t(i)
+    GROUP BY a.m, a.code, t.i) s
+  GROUP BY m, code
+),
+codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)}),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {_DOTQ.format(a="q.sv", b="c.cw")} AS val
+  FROM sv q JOIN cb c ON q.m = c.m
+  WHERE q.vec_id >= 10 AND q.vec_id < 15
+),
+scored AS (
+  SELECT l.query_id, s.vec_id AS neighbor_id,
+         list_sum(list(l.val ORDER BY l.m)) AS score_raw
+  FROM codes s
+  JOIN lut l ON s.m = l.m AND s.code = l.code AND s.vec_id <> l.query_id
+  GROUP BY l.query_id, s.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_PQ_K}
+"""
+
+
+_NORMQ = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _cell_assign_sql(src: str, id_out: str, probes: int, id_filter: str = "") -> str:
+    cs = _DOTQ.format(a=f"{src}.vec", b="c.cvec")
+    nn = f"({_NORMQ.format(a=f'{src}.vec')} * {_NORMQ.format(a='c.cvec')})"
+    return f"""
+  SELECT {id_out}, cell_id FROM (
+    SELECT {src}.vec_id AS {id_out}, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+             ORDER BY {cs} / {nn} DESC, c.cell_id ASC) AS r
+    FROM vecs {src}, cents c {id_filter}) t
+  WHERE r <= {probes}
+"""
+
+
+IVFPQ_CHECKED_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+cm AS MATERIALIZED (
+  SELECT label, t.i AS pos, ROUND(AVG(embedding[t.i + 1]::DOUBLE), 6) AS m
+  FROM embeddings, range(0, 64) t(i)
+  GROUP BY label, t.i
+),
+cents AS MATERIALIZED (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY label
+),
+cassign AS MATERIALIZED ({_cell_assign_sql("v", "vec_id", 1)}),
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+init AS MATERIALIZED (
+  SELECT m, CAST(vec_id AS INT) AS code, sv AS cw
+  FROM sv WHERE vec_id < {_PQ_KS}
+),
+a0 AS MATERIALIZED ({_pq_assign_sql("init", keep_sv=True)}),
+cb AS MATERIALIZED (
+  SELECT m, code, list(c ORDER BY pos) AS cw FROM (
+    SELECT a.m, a.code, t.i AS pos, {o_davg(f"a.sv[t.i + 1]")} AS c
+    FROM a0 a, range(0, {_PQ_SUBDIM}) t(i)
+    GROUP BY a.m, a.code, t.i) s
+  GROUP BY m, code
+),
+codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)}),
+codesc AS MATERIALIZED (
+  SELECT k.vec_id, k.m, k.code, a.cell_id
+  FROM codes k JOIN cassign a ON k.vec_id = a.vec_id
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {_DOTQ.format(a="q.sv", b="c.cw")} AS val
+  FROM sv q JOIN cb c ON q.m = c.m
+  WHERE q.vec_id >= 10 AND q.vec_id < 15
+),
+scored AS (
+  SELECT l.query_id, s.vec_id AS neighbor_id,
+         list_sum(list(l.val ORDER BY l.m)) AS score_raw
+  FROM codesc s
+  JOIN qprobe p ON s.cell_id = p.cell_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND s.m = l.m AND s.code = l.code
+  WHERE s.vec_id <> p.query_id
+  GROUP BY l.query_id, s.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_PQ_K}
+"""
+
+
+@register(
+    "x_similarity_ivfpq_checked",
+    oracle=IVFPQ_CHECKED_ORACLE,
+    doc="FAISS-style IVF-PQ with a full SQL oracle — the 100 TB ANN "
+    "configuration: IVF cells (deterministic label-mean centroids, the "
+    "x_similarity_ivf_checked device) prune WHICH vectors each query "
+    "scores (nprobe=2 of the label cells), while PQ codes (the "
+    "x_similarity_pq_checked codebooks) shrink WHAT is scored — the "
+    "ADC scan touches only the probed cells' one-byte codes, never a "
+    "raw corpus vector. Plan shape: centroids + codebooks + per-query "
+    "LUT + probe list all broadcast; the codes frame is the only "
+    "corpus-sized input and it joins map-side; one "
+    "(query, neighbor)-keyed shuffle with map-side partial sums. "
+    "ext/similarity.ivfpq_topk; tests/test_pq.py proves full-probe "
+    "IVF-PQ == plain ADC (the cell restriction is exact bookkeeping).",
+)
+def x_similarity_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivfpq_topk, pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    per_pos = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+    )
+    cents = (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+    cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivfpq_topk(
+        vecs, queries, cents, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K, nprobe=2
+    )
+
+
+@register(
+    "x_similarity_pq_checked",
+    oracle=PQ_CHECKED_ORACLE,
+    doc="Product-quantization ANN with a full SQL oracle: 64-dim "
+    "embeddings split into 8x8-dim subspaces, 4 codewords per subspace "
+    "trained deterministically (lowest-4-id seeds + one decimal-exact "
+    "Lloyd round — the x_kmeans_checked device per subspace), corpus "
+    "encoded to 8 one-byte codes per vector (32x compression), queries "
+    "scored by asymmetric distance: a broadcast per-query lookup table "
+    "of subspace dot products, summed in subspace order per candidate. "
+    "Plan shape: codebook always broadcast; encode is one scan + "
+    "(id, m)-keyed argmin; the ADC scan joins the codes frame to the "
+    "broadcast LUT and partial-aggregates map-side before one "
+    "(query, neighbor)-keyed shuffle. At 100 TB compose with IVF cells "
+    "(keep cell_id on the codes frame, restrict the LUT join to probed "
+    "cells) for FAISS-style IVF-PQ. ext/similarity.py: "
+    "pq_train_codebooks / pq_encode / pq_adc_topk; "
+    "tests/test_pq.py proves reconstruction beats the unrefined "
+    "codebook and ADC approximates exact dot products.",
+)
+def x_similarity_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
+    codes = pq_encode(vecs, cb, _PQ_M, _PQ_SUBDIM)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return pq_adc_topk(codes, queries, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K)

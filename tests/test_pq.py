@@ -1,0 +1,176 @@
+"""Product-quantization family (ext/similarity.py pq_*): encode
+coverage, exactness on separable data, and ADC recall vs exact search
+on the real embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blspark.ext.similarity import (
+    pq_adc_topk,
+    pq_encode,
+    pq_subvectors,
+    pq_train_codebooks,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    )
+
+
+def test_pq_encode_coverage_and_code_range(spark):
+    vecs = _vecs(spark)
+    n = vecs.count()
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    assert codes.count() == n * 8  # every vector encoded in every subspace
+    stats = codes.agg(
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+        F.count_distinct("vec_id").alias("nv"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] < 4
+    assert stats["nv"] == n
+
+
+def test_pq_exact_on_separable_data(spark):
+    """When every subvector IS one of the codeword patterns, one Lloyd
+    round recovers the patterns exactly (means of identical vectors)
+    and ADC reproduces the exact inner product."""
+    # dim 8 = 2 subspaces x 4; per subspace, two patterns A/B
+    pa = [1.0, 0.0, 2.0, 0.0]
+    pb = [0.0, 3.0, 0.0, 1.0]
+    rows = []
+    for i in range(12):
+        left = pa if i % 2 == 0 else pb
+        right = pa if i % 3 == 0 else pb
+        rows.append((i, left + right))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cb = pq_train_codebooks(df, 2, 4, 2)
+    codes = pq_encode(df, cb, 2, 4)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in pq_adc_topk(codes, queries, cb, 2, 4, k=11).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    by_id = dict(rows)
+    for (q, n), score in got.items():
+        assert score == pytest.approx(dot(by_id[q], by_id[n]), abs=1e-6)
+
+
+def test_pq_adc_recall_beats_chance(spark):
+    """ADC top-3 by approximate inner product recalls far more of the
+    exact inner-product top-3 than random guessing. The synthetic
+    embeddings are near-uniform (no planted cluster structure), so
+    absolute recall with 4 codewords/subspace is modest by design —
+    the assertion is chance-relative: a random top-3 would hit
+    3/(N-1) ~ 0.6% per slot; require >= 10x that (measured ~13%,
+    i.e. ~22x chance at sf0.001; recall grows with codebook size:
+    4->7->8 hits of 30 at ks=4/8/16)."""
+    vecs = _vecs(spark)
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    approx = pq_adc_topk(codes, queries, cb, 8, 8, k=3)
+
+    data = {r["vec_id"]: r["vec"] for r in vecs.collect()}
+    hits = total = 0
+    got = [(r["query_id"], r["neighbor_id"]) for r in approx.collect()]
+    for q in range(10):
+        dots = sorted(
+            (
+                (sum(x * y for x, y in zip(data[q], v)), -i, i)
+                for i, v in data.items()
+                if i != q
+            ),
+            reverse=True,
+        )
+        exact3 = {i for _, _, i in dots[:3]}
+        hits += sum(1 for qq, nn in got if qq == q and nn in exact3)
+        total += 3
+    assert total == 30
+    chance = 3.0 / (len(data) - 1)
+    assert hits / total >= 10 * chance
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark):
+    """With nprobe == |cells| the IVF restriction is vacuous: IVF-PQ
+    must return exactly the plain-ADC result on the same codes —
+    proving the cell bookkeeping prunes candidates and nothing else."""
+    from blspark.ext.similarity import ivfpq_topk, label_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    n_cells = cents.count()
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    full = ivfpq_topk(
+        vecs, queries, cents, cb, 8, 8, k=3, nprobe=n_cells
+    )
+    plain = pq_adc_topk(codes, queries, cb, 8, 8, k=3)
+    got = {tuple(r) for r in full.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+
+
+def test_ivfpq_probed_results_subset_of_probed_cells(spark):
+    """Every IVF-PQ neighbor at nprobe=1 must live in its query's
+    single probed cell (the pruning is real, not cosmetic)."""
+    from blspark.ext.similarity import ivfpq_topk, label_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(vecs, queries, cents, cb, 8, 8, k=3, nprobe=1)
+
+    # reconstruct each vector's cell by brute force in the test
+    import math
+
+    cvs = {r["cell_id"]: r["centroid"] for r in cents.collect()}
+    data = {r["vec_id"]: r["vec"] for r in vecs.collect()}
+
+    def cell_of(v):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        return max(sorted(cvs), key=lambda c: (cos(v, cvs[c]), -c))
+
+    for r in out.collect():
+        assert cell_of(data[r["neighbor_id"]]) == cell_of(data[r["query_id"]])
+
+
+def test_pq_subvectors_slices(spark):
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)])], "vec_id long, vec array<double>"
+    )
+    got = {
+        r["m"]: r["sv"] for r in pq_subvectors(df, 2, 4).collect()
+    }
+    assert got[0] == [0.0, 1.0, 2.0, 3.0]
+    assert got[1] == [4.0, 5.0, 6.0, 7.0]
