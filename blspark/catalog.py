@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW round-7 operator — first driver signal (one non-stale slot):
     "x_similarity_pq_checked",
     "x_similarity_ivfpq_checked",
+    "x_similarity_pq_rerank",
     # r2-stale, extension ops first (34; budget boundary falls inside):
     "x_corpus_mix",
     "x_dedup_apply_neardup",

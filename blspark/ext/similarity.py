@@ -353,6 +353,70 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    shortlist: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Two-stage retrieval: the ADC scan produces a ``shortlist`` of
+    candidates per query from compressed codes (cheap, approximate
+    order), then ONLY those candidates' raw vectors are fetched for an
+    exact cosine re-rank to the final top-k — the standard production
+    shape (quantization error perturbs the shortlist's internal order;
+    the exact pass fixes it for the cost of |shortlist| vector reads
+    per query instead of a corpus scan).
+
+    Scale shape: the candidate frame is Q x shortlist rows — broadcast;
+    the corpus raw-vector fetch is a broadcast-hash semi-join prune of
+    one scan (at 100 TB with a sorted/bucketed corpus layout this is a
+    point-lookup pattern). Returns (query_id, neighbor_id, cosine,
+    rank) with exact cosines."""
+    cand = pq_adc_topk(
+        corpus_codes, queries, codebooks, n_subspaces, subdim,
+        k=shortlist, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    exact = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("nvec"), F.col("qvec"))
+             / (F.col("cnorm") * F.col("qnorm"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -54,7 +54,10 @@ def _pq_assign_sql(cb: str, keep_sv: bool) -> str:
 """
 
 
-PQ_CHECKED_ORACLE = f"""
+# Shared CTE chain: deterministic codebooks -> codes -> per-query LUT
+# -> ADC scores. PQ_CHECKED ranks it directly; the re-rank query takes
+# a longer shortlist from it and re-scores exactly.
+_PQ_CHAIN = f"""
 WITH vecs AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
@@ -88,7 +91,9 @@ scored AS (
   FROM codes s
   JOIN lut l ON s.m = l.m AND s.code = l.code AND s.vec_id <> l.query_id
   GROUP BY l.query_id, s.vec_id
-)
+)"""
+
+PQ_CHECKED_ORACLE = f"""{_PQ_CHAIN}
 SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
       PARTITION BY query_id
@@ -96,6 +101,73 @@ SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
   FROM scored) t
 WHERE rank <= {_PQ_K}
 """
+
+_PQ_SHORTLIST = 12
+
+_NORMQR = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+PQ_RERANK_ORACLE = f"""{_PQ_CHAIN},
+shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY score_raw DESC, neighbor_id ASC) AS r
+    FROM scored) t
+  WHERE r <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         {{dot}} / ({{nn}} * {{nq}}) AS cos_raw
+  FROM shortlist s
+  JOIN vecs n ON n.vec_id = s.neighbor_id
+  JOIN vecs q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM exact) t
+WHERE rank <= {_PQ_K}
+""".format(
+    dot=_DOTQ.format(a="n.vec", b="q.vec"),
+    nn=_NORMQR.format(a="n.vec"),
+    nq=_NORMQR.format(a="q.vec"),
+)
+
+
+@register(
+    "x_similarity_pq_rerank",
+    oracle=PQ_RERANK_ORACLE,
+    doc="Two-stage retrieval (shortlist-then-rerank), full SQL oracle: "
+    "the PQ ADC scan produces a 12-candidate shortlist per query from "
+    "compressed codes, then ONLY those candidates' raw vectors are "
+    "fetched for an exact cosine re-rank to the final top-3 — the "
+    "standard production ANN shape (quantization error perturbs the "
+    "shortlist's internal order; the cheap exact pass fixes it). "
+    "Plan shape: the Q x 12 candidate frame broadcasts; the raw-vector "
+    "fetch is a broadcast-semi-join prune of one corpus scan (a "
+    "point-lookup pattern on a sorted/bucketed layout at 100 TB). "
+    "ext/similarity.pq_rerank_topk; tests/test_pq.py proves a "
+    "corpus-sized shortlist reproduces exact cosine_topk.",
+)
+def x_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        pq_encode,
+        pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
+    codes = pq_encode(vecs, cb, _PQ_M, _PQ_SUBDIM)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return pq_rerank_topk(
+        vecs, codes, queries, cb, _PQ_M, _PQ_SUBDIM,
+        k=_PQ_K, shortlist=_PQ_SHORTLIST,
+    )
 
 
 _NORMQ = "sqrt(list_sum(list_transform({a}, x -> x * x)))"

@@ -410,8 +410,59 @@ def bench_cusum(spark, factor: int) -> float:
     return dt
 
 
+def bench_pq_adc(spark, factor: int) -> float:
+    """Corpus grows with factor; codebook size and query count fixed —
+    train + encode + ADC should all scale ~linearly (train's shuffle is
+    (m, code, pos)-keyed: constant key space, growing partials)."""
+    from blspark.ext.similarity import (
+        pq_adc_topk, pq_encode, pq_train_codebooks,
+    )
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    n = pq_adc_topk(codes, queries, cb, 8, 8, k=3).count()
+    dt = time.perf_counter() - t0
+    print(f"  pq_adc x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_ivfpq(spark, factor: int) -> float:
+    """Full IVF-PQ pipeline at growing corpus size: cells + codebooks
+    trained, corpus cell-assigned + encoded, 5 queries probe 2 cells."""
+    from blspark.ext.similarity import (
+        ivfpq_topk, label_centroids, pq_train_codebooks,
+    )
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    n = ivfpq_topk(vecs, queries, cents, cb, 8, 8, k=3, nprobe=2).count()
+    dt = time.perf_counter() - t0
+    print(f"  ivfpq x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
+    "pq_adc": bench_pq_adc,
+    "ivfpq": bench_ivfpq,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

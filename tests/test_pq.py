@@ -165,6 +165,70 @@ def test_ivfpq_probed_results_subset_of_probed_cells(spark):
         assert cell_of(data[r["neighbor_id"]]) == cell_of(data[r["query_id"]])
 
 
+def test_pq_rerank_full_shortlist_equals_exact(spark):
+    """With shortlist >= corpus size the ADC stage excludes nothing, so
+    the exact re-rank must reproduce brute-force cosine_topk verbatim
+    (ids, cosines, ranks)."""
+    from blspark.ext.similarity import cosine_topk, pq_rerank_topk
+
+    vecs = _vecs(spark)
+    n = vecs.count()
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    got = {
+        tuple(r)
+        for r in pq_rerank_topk(
+            vecs, codes, queries, cb, 8, 8, k=3, shortlist=n
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in cosine_topk(
+            vecs, queries, id_col="vec_id", vec_col="vec", k=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_rerank_improves_or_matches_adc_order(spark):
+    """The re-ranked top-k's exact cosines are >= the cosines of the
+    plain ADC top-k (re-ranking can only improve the exact-metric
+    quality of what the shortlist already contains)."""
+    vecs = _vecs(spark)
+    data = {r["vec_id"]: r["vec"] for r in vecs.collect()}
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = pq_encode(vecs, cb, 8, 8)
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    from blspark.ext.similarity import pq_rerank_topk
+
+    rr = pq_rerank_topk(vecs, codes, queries, cb, 8, 8, k=3, shortlist=12)
+    adc = pq_adc_topk(codes, queries, cb, 8, 8, k=3)
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    def mean_cos(rows):
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(
+                cos(data[r["query_id"]], data[r["neighbor_id"]])
+            )
+        return {q: sum(v) / len(v) for q, v in per_q.items()}
+
+    m_rr = mean_cos(rr.collect())
+    m_adc = mean_cos(adc.collect())
+    for q in m_adc:
+        assert m_rr[q] >= m_adc[q] - 1e-12
+
+
 def test_pq_subvectors_slices(spark):
     df = spark.createDataFrame(
         [(0, [float(i) for i in range(8)])], "vec_id long, vec array<double>"
