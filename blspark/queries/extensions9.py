@@ -328,3 +328,113 @@ def x_similarity_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(vecs, cb, _PQ_M, _PQ_SUBDIM)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return pq_adc_topk(codes, queries, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate stripping (frequency-based, RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+_BP_W = 2  # words per segment (the "line" analog for newline-free text)
+_BP_MIN_DF = 3  # absolute floor on document frequency
+_BP_FRAC = 0.05  # ... and >= this fraction of the source's documents
+
+
+@register(
+    "x_text_boilerplate_strip",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    segged AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_transform(
+               range(CAST(ceil(len(w) / {_BP_W}.0) AS BIGINT)),
+               s -> array_to_string(w[s * {_BP_W} + 1 : s * {_BP_W} + {_BP_W}], ' ')
+             ) AS segs
+      FROM d
+    ),
+    src_n AS MATERIALIZED (
+      SELECT source, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY source
+    ),
+    df AS MATERIALIZED (
+      SELECT u.source, u.seg
+      FROM (SELECT doc_id, source, unnest(segs) AS seg FROM segged) u
+      JOIN src_n n ON u.source = n.source
+      GROUP BY u.source, u.seg, n.nd
+      HAVING COUNT(DISTINCT u.doc_id)
+             >= greatest({_BP_MIN_DF},
+                         CAST(ceil({_BP_FRAC} * n.nd) AS BIGINT))
+    ),
+    boiler AS MATERIALIZED (
+      SELECT source, list(seg) AS bl FROM df GROUP BY source
+    )
+    SELECT s.doc_id,
+           CAST(len(s.segs) AS BIGINT) AS n_segments,
+           CAST(len(list_filter(s.segs,
+                x -> NOT coalesce(list_contains(b.bl, x), false)))
+             AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(list_filter(s.segs,
+                x -> NOT coalesce(list_contains(b.bl, x), false)), ' '), ''))
+             AS cleaned_md5
+    FROM segged s LEFT JOIN boiler b ON s.source = b.source
+    """,
+    doc="Cross-document boilerplate stripping (RefinedWeb/C4-style, "
+    "frequency-based — complements x_dedup_span_removal, which keys on "
+    "duplication between document PAIRS; boilerplate is detected by "
+    "per-source document frequency with no pairing at all): documents "
+    "split into fixed 2-word segments (the 'line' unit for "
+    "newline-free text; swap in split('\\n') for real pages), a "
+    "segment present in >= max(3, 5% of the source's documents) is "
+    "boilerplate (the fractional threshold keeps semantics stable as "
+    "sources grow — an absolute floor alone strips ~everything at "
+    "10x), and every document is reassembled from its surviving "
+    "segments in order. Plan shape: segmenting is pure map-side array "
+    "code (one transform+slice, no explode for the rebuild); the only "
+    "explode feeds the (source, segment) document-frequency aggregate; "
+    "the boilerplate manifest is per-source lists that broadcast back "
+    "for a map-side array filter. Two shuffles total at any corpus "
+    "size. Output hashes the cleaned text via md5 so full bodies "
+    "never enter the value hash. Engine gotcha pinned by the sf0.1 "
+    "differential: DuckDB array_to_string([]) is NULL where Spark "
+    "array_join([]) is '' — the oracle coalesces before md5.",
+)
+def x_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nseg = F.ceil(F.size(w) / F.lit(float(_BP_W))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda s: F.array_join(F.slice(w, s * _BP_W + 1, _BP_W), " "),
+    )
+    segged = docs.select("doc_id", "source", segs.alias("segs"))
+    src_n = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    df = (
+        segged.select(
+            "doc_id", "source", F.explode("segs").alias("seg")
+        )
+        .groupBy("source", "seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .join(F.broadcast(src_n), "source")
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(_BP_MIN_DF),
+                F.ceil(F.lit(_BP_FRAC) * F.col("nd")).cast("bigint"),
+            )
+        )
+    )
+    boiler = df.groupBy("source").agg(F.collect_list("seg").alias("bl"))
+    joined = segged.join(F.broadcast(boiler), "source", "left")
+    kept = F.filter(
+        F.col("segs"),
+        lambda x: ~F.coalesce(F.array_contains(F.col("bl"), x), F.lit(False)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("segs").cast("bigint").alias("n_segments"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )

@@ -238,3 +238,44 @@ def test_pq_subvectors_slices(spark):
     }
     assert got[0] == [0.0, 1.0, 2.0, 3.0]
     assert got[1] == [4.0, 5.0, 6.0, 7.0]
+
+
+def test_boilerplate_strip_planted(spark):
+    """Planted boilerplate: a 2-word banner present in most of a
+    source's docs is stripped; unique content and a below-threshold
+    source survive untouched."""
+    from blspark.catalog import registry
+    import hashlib
+
+    fn = registry()["x_text_boilerplate_strip"].spark_fn
+    import tempfile
+
+    rows = []
+    # srcA: 10 docs, 8 share the banner "ad banner" as segments 0
+    for i in range(10):
+        banner = "ad banner " if i < 8 else "xx yy "
+        rows.append((i, banner + f"unique{i} tail{i}", "en", "srcA", 0))
+    # srcB: 3 docs, all share a banner — but 3 < max(3, ceil(.05*3)=1)=3
+    # so df==3 DOES meet the absolute floor and strips there too;
+    # make it 2 docs so it stays below the floor
+    rows = rows + [
+        (100, "keep me alone{0} x{0}".format(i), "en", "srcB", 0)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in fn(spark, d).collect()}
+
+    # srcA: the banner segment (df=8 >= max(3, 1)) is stripped from the
+    # 8 docs carrying it; their cleaned text drops segment 0
+    for i in range(8):
+        r = out[i]
+        assert r["n_segments"] == 2 and r["n_kept"] == 1
+        cleaned = f"unique{i} tail{i}"
+        assert r["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+    # the two xx-yy docs keep everything (df=2 < 3)
+    for i in (8, 9):
+        assert out[i]["n_kept"] == out[i]["n_segments"]
