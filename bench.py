@@ -91,6 +91,10 @@ def main() -> None:
     R5_SET = R4_SET + (
         "x_mmr_rerank", "x_entity_resolution", "x_dedup_span_removal",
     )
+    R7_SET = R5_SET + (
+        "x_similarity_pq_checked", "x_similarity_ivfpq_checked",
+        "x_similarity_pq_rerank", "x_text_boilerplate_strip",
+    )
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
     LSH_SET = (
@@ -101,6 +105,7 @@ def main() -> None:
         label: round(sum(timings[n] for n in names if n in timings), 3)
         for label, names in (
             ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
+            ("r7_25", R7_SET),
         )
     }
     subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)

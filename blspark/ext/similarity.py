@@ -260,12 +260,20 @@ def pq_train_codebooks(
         .groupBy("m", "code", "pos")
         .agg(davg("col").alias("c"))
     )
-    return per_pos.groupBy("m", "code").agg(
+    cb = per_pos.groupBy("m", "code").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))),
             lambda s: s["c"],
         ).alias("cw")
     )
+    # Persist the finished codebook: it is n_subspaces x n_codes rows
+    # (32 here — metadata-sized at any corpus scale), but every
+    # downstream branch that references it (encode, per-query LUT,
+    # re-assign) would otherwise re-execute the whole training subtree
+    # — a full corpus scan each. Same compact-frame-persist pattern as
+    # the LSH pipeline caches (ext/dedup.py). Measured at sf0.1:
+    # 1.72 -> 1.27 s (pq), 2.38 -> 1.49 (ivfpq), 1.92 -> 1.13 (rerank).
+    return cb.persist()
 
 
 def pq_encode(

@@ -137,6 +137,7 @@ WHERE rank <= {_PQ_K}
 
 @register(
     "x_similarity_pq_rerank",
+    bench=True,
     oracle=PQ_RERANK_ORACLE,
     doc="Two-stage retrieval (shortlist-then-rerank), full SQL oracle: "
     "the PQ ADC scan produces a 12-candidate shortlist per query from "
@@ -250,6 +251,7 @@ WHERE rank <= {_PQ_K}
 
 @register(
     "x_similarity_ivfpq_checked",
+    bench=True,
     oracle=IVFPQ_CHECKED_ORACLE,
     doc="FAISS-style IVF-PQ with a full SQL oracle — the 100 TB ANN "
     "configuration: IVF cells (deterministic label-mean centroids, the "
@@ -295,6 +297,7 @@ def x_similarity_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_similarity_pq_checked",
+    bench=True,
     oracle=PQ_CHECKED_ORACLE,
     doc="Product-quantization ANN with a full SQL oracle: 64-dim "
     "embeddings split into 8x8-dim subspaces, 4 codewords per subspace "
@@ -341,6 +344,7 @@ _BP_FRAC = 0.05  # ... and >= this fraction of the source's documents
 
 @register(
     "x_text_boilerplate_strip",
+    bench=True,
     oracle=f"""
     WITH d AS MATERIALIZED (
       SELECT doc_id, source, string_split(text, ' ') AS w
