@@ -191,3 +191,25 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_family_no_cartesian_and_codebook_broadcasts(spark):
+    """The PQ/ADC plans must never cross-product and must join the
+    tiny codebook/LUT frames as broadcasts — the corpus-sized codes
+    frame stays map-side."""
+    for name in (
+        "x_similarity_pq_checked",
+        "x_similarity_ivfpq_checked",
+        "x_similarity_pq_rerank",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_boilerplate_strip_broadcasts_manifest(spark):
+    """The per-source boilerplate lists join back as a broadcast (the
+    rebuild is map-side); document text never shuffles."""
+    plan = _plan(spark, "x_text_boilerplate_strip")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -326,3 +326,155 @@ def test_survivor_best_matches_bruteforce(spark, edges, quality):
     for c, members in want.items():
         best = max(members, key=lambda n: (quality[n], -n))
         assert got[c] == (best, quality[best], len(members)), c
+
+
+# --- round-7 operators ------------------------------------------------------
+
+# Vector components on a 1/16 grid: exact in binary doubles AND in the
+# DECIMAL(28,4) cast used by the codebook's decimal-exact means, so the
+# python Fraction model below reproduces training bit-for-bit.
+grid_vals = st.integers(min_value=-32, max_value=32).map(lambda i: i / 16.0)
+vec4 = st.lists(grid_vals, min_size=4, max_size=4)
+
+
+@SLOW
+@given(
+    vecs=st.lists(vec4, min_size=3, max_size=12).map(
+        lambda vs: [(i, v) for i, v in enumerate(vs)]
+    )
+)
+def test_pq_pipeline_matches_python_model(spark, vecs):
+    """Full differential of train -> encode -> ADC against an
+    independent python model (Fraction-exact Lloyd means, argmin with
+    lowest-code tie-break, ordered ADC fold), on arbitrary grid
+    vectors: M=2 subspaces x 2 dims, ks=2 codewords."""
+    from fractions import Fraction
+
+    from blspark.ext.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    M, SD, KS = 2, 2, 2
+    df = spark.createDataFrame(vecs, "vec_id long, vec array<double>")
+    cb_df = pq_train_codebooks(df, M, SD, KS)
+    codes_df = pq_encode(df, cb_df, M, SD)
+    queries = df.filter(F.col("vec_id") < 1)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in pq_adc_topk(
+            codes_df, queries, cb_df, M, SD, k=len(vecs)
+        ).collect()
+    }
+
+    # python model
+    data = dict(vecs)
+
+    def sub(v, m):
+        return v[m * SD : (m + 1) * SD]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(svs, cbm):
+        # argmin d2, tie-break lowest code
+        return min(cbm, key=lambda c: (d2(svs, cbm[c]), c))
+
+    cb = {}
+    for m in range(M):
+        init = {c: sub(data[c], m) for c in range(KS) if c in data}
+        members: dict[int, list] = {c: [] for c in init}
+        for i, v in data.items():
+            members[assign(sub(v, m), init)].append(sub(v, m))
+        for c, vs in members.items():
+            if not vs:
+                continue
+            cw = [
+                float(sum(Fraction(x).limit_denominator(16) for x in col)
+                      / len(vs))
+                for col in zip(*vs)
+            ]
+            cb[(m, c)] = cw
+    codes = {
+        (i, m): assign(sub(v, m), {c: cb[(m, c)] for mm, c in cb if mm == m})
+        for i, v in data.items()
+        for m in range(M)
+    }
+    for (q, n), score in got.items():
+        want = sum(
+            sum(
+                x * y
+                for x, y in zip(sub(data[q], m), cb[(m, codes[(n, m)])])
+            )
+            for m in range(M)
+        )
+        assert score == round(want, 6) or abs(score - want) < 1e-6, (
+            q, n, score, want,
+        )
+
+
+doc_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8
+).map(" ".join)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), doc_words),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_boilerplate_strip_matches_python_model(spark, docs):
+    """Differential of the boilerplate strip against a python model on
+    arbitrary tiny corpora: same segmenting (2-word windows), same
+    max(3, ceil(0.05*n_docs)) per-source threshold, same in-order
+    rebuild."""
+    import hashlib
+    import math
+
+    from blspark.catalog import registry
+
+    rows = [
+        (i, text, "en", src, len(text)) for i, (src, text) in enumerate(docs)
+    ]
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        fn = registry()["x_text_boilerplate_strip"].spark_fn
+        got = {r["doc_id"]: tuple(r)[1:] for r in fn(spark, d).collect()}
+
+    # python model
+    def segs_of(text):
+        w = text.split(" ")
+        return [
+            " ".join(w[s * 2 : s * 2 + 2])
+            for s in range(math.ceil(len(w) / 2))
+        ]
+
+    per_src_docs: dict[str, set] = {}
+    seg_docs: dict[tuple, set] = {}
+    for i, (src, text) in enumerate(docs):
+        per_src_docs.setdefault(src, set()).add(i)
+        for s in set(segs_of(text)):
+            seg_docs.setdefault((src, s), set()).add(i)
+    boiler = {
+        (src, s)
+        for (src, s), ds in seg_docs.items()
+        if len(ds) >= max(3, math.ceil(0.05 * len(per_src_docs[src])))
+    }
+    for i, (src, text) in enumerate(docs):
+        segs = segs_of(text)
+        kept = [s for s in segs if (src, s) not in boiler]
+        want = (
+            len(segs),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+        assert got[i] == want, (i, got[i], want)
