@@ -141,13 +141,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_topk_per_group",
     "q_wordcount_topk",
     "x_dedup_apply",
-    # NEW round-7 operators — first driver signal (four non-stale
+    # NEW round-7 operators — first driver signal (five non-stale
     # slots; first-time checks outrank stale refresh per the budget
     # policy above):
     "x_similarity_pq_checked",
     "x_similarity_ivfpq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
+    "s_stream_index_pq",
     # r2-stale, extension ops first (34; budget boundary falls inside):
     "x_corpus_mix",
     "x_dedup_apply_neardup",

@@ -361,6 +361,54 @@ def pq_adc_topk(
     )
 
 
+def pq_encode_stateless(
+    df: DataFrame,
+    codebook_rows: list[tuple[int, int, list[float]]],
+    n_subspaces: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Encode vectors against a FROZEN codebook as a pure per-row
+    expression — no aggregation, no state — so it runs identically in
+    batch and inside a Structured Streaming micro-batch in append mode
+    (the streaming-index-maintenance shape: codebooks are trained
+    offline, arrivals encode statelessly). ``codebook_rows`` is the
+    collected (m, code, cw) list — n_subspaces x n_codes entries,
+    metadata-sized by construction, inlined as literals (the expression
+    equivalent of a broadcast). Argmin tie-break is lowest code, same
+    as ``pq_assign``. Returns (id, m, code)."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, code, cw in codebook_rows:
+        by_m.setdefault(m, []).append((code, cw))
+
+    pairs = []
+    for m in sorted(by_m):
+        sv = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+        cands = [
+            F.struct(
+                _d2(
+                    sv,
+                    F.array(*[F.lit(float(x)).cast("double") for x in cw]),
+                ).alias("d2"),
+                F.lit(int(code)).cast("int").alias("code"),
+            )
+            for code, cw in sorted(by_m[m])
+        ]
+        # array_min over (d2, code) structs = lexicographic argmin with
+        # lowest-code tie-break — bit-identical to pq_assign's
+        # min(struct(d2, code)) aggregate
+        pairs.append(
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.array_min(F.array(*cands)).getField("code").alias("code"),
+            )
+        )
+    return df.select(
+        id_col, F.explode(F.array(*pairs)).alias("mc")
+    ).select(id_col, F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     corpus_codes: DataFrame,

@@ -54,10 +54,12 @@ def _pq_assign_sql(cb: str, keep_sv: bool) -> str:
 """
 
 
-# Shared CTE chain: deterministic codebooks -> codes -> per-query LUT
-# -> ADC scores. PQ_CHECKED ranks it directly; the re-rank query takes
-# a longer shortlist from it and re-scores exactly.
-_PQ_CHAIN = f"""
+# Shared CTE chains: the codes-only prefix (deterministic codebooks ->
+# codes) serves the streaming-encode oracle too; _PQ_CHAIN extends it
+# with the per-query LUT -> ADC scores. PQ_CHECKED ranks the scores
+# directly; the re-rank query takes a longer shortlist and re-scores
+# exactly.
+_PQ_CODES_CHAIN = f"""
 WITH vecs AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
@@ -78,7 +80,9 @@ cb AS MATERIALIZED (
     GROUP BY a.m, a.code, t.i) s
   GROUP BY m, code
 ),
-codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)}),
+codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)})"""
+
+_PQ_CHAIN = f"""{_PQ_CODES_CHAIN},
 lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.code,
          {_DOTQ.format(a="q.sv", b="c.cw")} AS val

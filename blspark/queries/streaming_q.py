@@ -674,3 +674,55 @@ def s_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(adv_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental PQ-index maintenance (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _pq_stream_oracle() -> str:
+    from blspark.queries.extensions9 import _PQ_CODES_CHAIN
+
+    return f"""{_PQ_CODES_CHAIN}
+SELECT vec_id, CAST(m AS INT) AS m, code FROM codes
+"""
+
+
+@register(
+    "s_stream_index_pq",
+    oracle=_pq_stream_oracle(),
+    doc="Streaming incremental ANN-index maintenance: PQ codebooks are "
+    "trained OFFLINE on the static table (the production shape — you "
+    "never retrain per arrival), then a file-arrival stream of "
+    "embedding vectors encodes each arrival STATELESSLY against the "
+    "frozen codebook (per-row argmin expression over inlined codeword "
+    "literals — ext/similarity.pq_encode_stateless; no streaming "
+    "aggregation, no state store, pure append mode) and appends "
+    "(vec_id, m, code) rows to the index sink. The resulting index is "
+    "hash-checked against the batch PQ encode of the same corpus "
+    "(oracle = the x_similarity_pq_checked codes chain) — proving "
+    "batch/stream encode parity, which is what makes incremental "
+    "maintenance sound: appended codes are exactly what a full batch "
+    "rebuild would produce. At 100 TB this is the difference between "
+    "re-encoding the corpus per refresh and encoding only arrivals.",
+)
+def s_stream_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        pq_encode_stateless,
+        pq_train_codebooks,
+    )
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cb = pq_train_codebooks(static, 8, 8, 4)
+    cb_rows = [(r["m"], r["code"], list(r["cw"])) for r in cb.collect()]
+
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    codes = pq_encode_stateless(stream, cb_rows, 8, 8)
+    name = run_available_now(codes, output_mode="append")
+    return spark.table(name)

@@ -33,6 +33,14 @@ QUERIES = [
     "x_mmr_rerank",
     "x_dedup_span_removal",
     "x_histogram_quantile_merge",
+    # round-7 PQ family: codebook means are decimal-exact davg, ADC
+    # folds per-pair values in subspace order (sorted collect) — both
+    # must survive any association order; boilerplate strip rebuilds
+    # docs from ordered arrays with a distinct-count threshold
+    "x_similarity_pq_checked",
+    "x_similarity_ivfpq_checked",
+    "x_similarity_pq_rerank",
+    "x_text_boilerplate_strip",
 ]
 
 

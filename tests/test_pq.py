@@ -279,3 +279,19 @@ def test_boilerplate_strip_planted(spark):
     # the two xx-yy docs keep everything (df=2 < 3)
     for i in (8, 9):
         assert out[i]["n_kept"] == out[i]["n_segments"]
+
+
+def test_pq_encode_stateless_matches_aggregate_encode(spark):
+    """The stateless per-row encoder (streaming path, inlined codeword
+    literals) must produce byte-identical codes to the aggregate-based
+    batch encoder for the same frozen codebook."""
+    from blspark.ext.similarity import pq_encode_stateless
+
+    vecs = _vecs(spark)
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    cb_rows = [(r["m"], r["code"], list(r["cw"])) for r in cb.collect()]
+    batch = {tuple(r) for r in pq_encode(vecs, cb, 8, 8).collect()}
+    stateless = {
+        tuple(r) for r in pq_encode_stateless(vecs, cb_rows, 8, 8).collect()
+    }
+    assert batch == stateless
