@@ -291,6 +291,10 @@ def x_similarity_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
         .select(F.col("label").alias("cell_id"), "centroid")
+        # |labels| rows; corpus- and query-side cell assignment both
+        # reference it — persist so the per-position centroid aggregate
+        # (a corpus-scan subtree) runs once, not per branch
+        .persist()
     )
     cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))

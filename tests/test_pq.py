@@ -295,3 +295,59 @@ def test_pq_encode_stateless_matches_aggregate_encode(spark):
         tuple(r) for r in pq_encode_stateless(vecs, cb_rows, 8, 8).collect()
     }
     assert batch == stateless
+
+
+def test_pq_index_layout_partition_prunes(spark, tmp_path):
+    """The persisted index layout: codes written partitioned by cell_id
+    mean a query probing 2 cells reads ONLY those partitions — the scan
+    shows PartitionFilters on cell_id and lists just the probed
+    directories. This is the on-disk half of the IVF-PQ scale story."""
+    from blspark.ext.similarity import label_centroids, ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+
+    # build the cell-tagged codes frame the same way ivfpq does, then
+    # persist it in the partitioned layout
+    from blspark.ext.similarity import _norm, _dot
+    from pyspark.sql import Window
+
+    cent = cents.select(
+        "cell_id",
+        F.col("centroid").cast("array<double>").alias("cvec"),
+        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
+    )
+    scored = vecs.withColumn("vnorm", _norm(F.col("vec"))).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "vec_id", "vec", "cell_id",
+        (_dot(F.col("vec"), F.col("cvec"))
+         / (F.col("vnorm") * F.col("centnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    cells = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell_id")
+    )
+    codes = pq_encode(vecs, cb, 8, 8).join(cells, "vec_id")
+    idx_path = str(tmp_path / "pq_index")
+    codes.write.partitionBy("cell_id").parquet(idx_path)
+
+    probed = [0, 1]
+    scan = spark.read.parquet(idx_path).filter(F.col("cell_id").isin(probed))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = scan._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the data actually restricts to the probed cells
+    got_cells = {r["cell_id"] for r in scan.select("cell_id").distinct().collect()}
+    assert got_cells <= set(probed)
