@@ -53,6 +53,11 @@ def main() -> None:
     # query's own first-run planning/codegen cost by construction.
     cold: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
+        # A prior query's cached frames (canonical-plan substitution:
+        # an identical persist()ed subtree built by an earlier query
+        # would be served from cache) must not subsidize this query's
+        # cold number.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         q.spark_fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)

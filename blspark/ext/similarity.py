@@ -103,6 +103,42 @@ def hyperplane_buckets(
     return df.withColumn(out, bucket.cast("int"))
 
 
+def _centroid_frame(centroids: DataFrame) -> DataFrame:
+    """(cell_id, cvec, centnorm) from (cell_id, centroid) — norms
+    hoisted out of every join (see cosine_topk): each centroid's norm
+    is computed once, not once per compared pair."""
+    return centroids.select(
+        F.col("cell_id"),
+        F.col("centroid").cast("array<double>").alias("cvec"),
+        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
+    )
+
+
+def _cell_assign(
+    df: DataFrame, cent: DataFrame, idc: str, probes: int
+) -> DataFrame:
+    """Nearest-``probes``-cells assignment by max cosine (tie-break
+    lowest cell_id) — the ONE cell-assignment rule shared by ivf_topk
+    and ivfpq_topk, so IVF and IVF-PQ can never silently diverge.
+    ``df`` must carry (idc, vec, vnorm); returns (idc, vec, vnorm,
+    cell_id). Centroids broadcast; the window partitions by the vector
+    id, so per-task state is |cells| rows."""
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(idc),
+        "vec",
+        "vnorm",
+        "cell_id",
+        (_dot(F.col("vec"), F.col("cvec"))
+         / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
+    )
+    w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= probes)
+        .drop("cell_sim", "crank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,43 +159,20 @@ def ivf_topk(
     equi-join on cell_id replaces the cross product — the same shuffle
     shape as the LSH variant but with learned, data-adaptive cells.
     Returns (query_id, neighbor_id, cosine, rank)."""
-    from pyspark.sql import Window
-
-    # Per-row norms hoisted out of every join (see cosine_topk): each
-    # vector's norm is computed once, not once per compared pair.
-    cent = centroids.select(
-        F.col("cell_id"),
-        F.col("centroid").cast("array<double>").alias("cvec"),
-        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
-    )
-
-    def assign(df: DataFrame, idc: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            F.col(idc),
-            "vec",
-            "vnorm",
-            "cell_id",
-            (_dot(F.col("vec"), F.col("cvec"))
-             / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .drop("cell_sim", "crank")
-        )
-
-    c = assign(
+    cent = _centroid_frame(centroids)
+    c = _cell_assign(
         with_double_vec(corpus, vec_col).select(
             F.col(id_col).alias("neighbor_id"), "vec", _norm(F.col("vec")).alias("vnorm")
         ),
+        cent,
         "neighbor_id",
         1,
     )
-    q = assign(
+    q = _cell_assign(
         with_double_vec(queries, vec_col).select(
             F.col(id_col).alias("query_id"), "vec", _norm(F.col("vec")).alias("vnorm")
         ),
+        cent,
         "query_id",
         nprobe,
     ).select(
@@ -242,17 +255,35 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Deterministic product-quantization codebooks: per subspace, the
-    ``n_codes`` codewords are seeded from the subvectors of the lowest
-    ``n_codes`` ids, then refined by ONE Lloyd round with decimal-exact
-    (order-independent) elementwise means — the same deterministic-
-    training device as x_kmeans_checked, applied per subspace. Returns
-    (m, code, cw array<double>); the whole frame is
-    n_subspaces x n_codes rows — broadcast-sized by construction."""
+    ``n_codes`` codewords are seeded from the subvectors of the
+    ``n_codes`` LOWEST ids (codes numbered 0..n_codes-1 in id order —
+    id VALUES don't matter, so offset/sharded id ranges train
+    correctly), then refined by ONE Lloyd round with decimal-exact
+    (order-independent) elementwise means — the x_kmeans_checked
+    device per subspace.
+
+    Returns (m, code, cw array<double>) MATERIALIZED as a local
+    relation: the frame is n_subspaces x n_codes rows (metadata-sized
+    at any corpus scale), and every downstream branch that references
+    it (encode, per-query LUT, re-assign) would otherwise re-execute
+    the whole training subtree — a full corpus scan each. Collecting
+    and rebuilding severs the lineage with NO cache-manager entry (a
+    persist inside a lazy plan builder would leak past the function's
+    lifetime — the extensions3 convention) and no cold-cache
+    surprises. Measured at sf0.1: 1.72 -> 1.27 s on the PQ query vs
+    recompute-per-branch."""
     from blspark.catalog import davg
 
     sv = pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col)
-    init = sv.filter(F.col(id_col) < n_codes).select(
-        "m", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cw")
+    seeds = (
+        vecs.select(F.col(id_col)).orderBy(id_col).limit(n_codes)
+    )
+    w = Window.orderBy(id_col)  # n_codes rows — single-task is fine
+    seed_codes = seeds.select(
+        id_col, (F.row_number().over(w) - 1).cast("int").alias("code")
+    )
+    init = sv.join(F.broadcast(seed_codes), id_col).select(
+        "m", "code", F.col("sv").alias("cw")
     )
     assigned = pq_assign(sv, init, id_col)
     per_pos = (
@@ -266,14 +297,10 @@ def pq_train_codebooks(
             lambda s: s["c"],
         ).alias("cw")
     )
-    # Persist the finished codebook: it is n_subspaces x n_codes rows
-    # (32 here — metadata-sized at any corpus scale), but every
-    # downstream branch that references it (encode, per-query LUT,
-    # re-assign) would otherwise re-execute the whole training subtree
-    # — a full corpus scan each. Same compact-frame-persist pattern as
-    # the LSH pipeline caches (ext/dedup.py). Measured at sf0.1:
-    # 1.72 -> 1.27 s (pq), 2.38 -> 1.49 (ivfpq), 1.92 -> 1.13 (rerank).
-    return cb.persist()
+    rows = [(r["m"], r["code"], list(r["cw"])) for r in cb.collect()]
+    return vecs.sparkSession.createDataFrame(
+        sorted(rows), "m int, code int, cw array<double>"
+    )
 
 
 def pq_encode(
@@ -319,15 +346,14 @@ def pq_adc_topk(
 
     At 100 TB, compose with IVF: keep cell_id on the codes frame and
     restrict the LUT join to the query's probed cells, which prunes the
-    scan the same way ivf_topk does (FAISS IVF-PQ). Returns
+    scan the same way ivf_topk does (FAISS IVF-PQ — ``ivfpq_topk``,
+    which shares this function's LUT and fold helpers). Returns
     (query_id, neighbor_id, score, rank); score is the approximate
     inner product, rounded to 6 dp for display after ranking."""
     qsv = pq_subvectors(queries, n_subspaces, subdim, id_col=id_col).select(
         F.col(id_col).alias("query_id"), "m", "sv"
     )
-    lut = qsv.join(F.broadcast(codebooks), "m").select(
-        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
-    )
+    lut = _pq_lut(qsv, codebooks)
     scored = (
         corpus_codes.withColumnRenamed(id_col, "neighbor_id")
         .join(
@@ -336,6 +362,26 @@ def pq_adc_topk(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
+    return _adc_rank(scored, k)
+
+
+def _pq_lut(qsv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: dot(query_subvector, codeword) for
+    every (m, code) — Q x M x ks rows, broadcast-sized. ``qsv`` must
+    carry (query_id, m, sv)."""
+    return qsv.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
+    )
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Per-pair ordered ADC fold + top-k rank — the determinism-critical
+    device shared by ``pq_adc_topk`` and ``ivfpq_topk`` (one copy, so a
+    numeric-policy fix can never diverge the two): the M per-subspace
+    values fold in subspace order (collect, sort by m, sequential
+    aggregate), matching DuckDB's ``list_sum(list(val ORDER BY m))`` —
+    never an unordered double SUM. ``scored`` must carry
+    (query_id, neighbor_id, m, val)."""
     per_pair = scored.groupBy("query_id", "neighbor_id").agg(
         F.aggregate(
             F.transform(
@@ -502,34 +548,19 @@ def ivfpq_topk(
     approximate inner product from the ADC fold.
 
     With ``nprobe == |centroids|`` the cell restriction is vacuous and
-    results equal ``pq_adc_topk`` on the same codes (property-tested)."""
-    cent = centroids.select(
-        "cell_id",
-        F.col("centroid").cast("array<double>").alias("cvec"),
-        _norm(F.col("centroid").cast("array<double>")).alias("centnorm"),
-    )
+    results equal ``pq_adc_topk`` on the same codes (property-tested).
 
-    def assign_cells(df: DataFrame, idc: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            idc,
-            "vec",
-            "vnorm",
-            "cell_id",
-            (_dot(F.col("vec"), F.col("cvec"))
-             / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .select(idc, "vec", "cell_id")
-        )
-
-    c_cells = assign_cells(
+    Cell assignment, the LUT build, and the ordered ADC fold are the
+    SAME helpers ivf_topk/pq_adc_topk use (``_cell_assign``,
+    ``_pq_lut``, ``_adc_rank``) — one copy each, so IVF and IVF-PQ can
+    never silently diverge on tie-breaks or fold order."""
+    cent = _centroid_frame(centroids)
+    c_cells = _cell_assign(
         corpus.select(
             F.col(id_col), F.col(vec_col).alias("vec"),
             _norm(F.col(vec_col)).alias("vnorm"),
         ),
+        cent,
         id_col,
         1,
     )
@@ -538,11 +569,12 @@ def ivfpq_topk(
         codebooks, n_subspaces, subdim, id_col=id_col,
     ).join(c_cells.select(id_col, "cell_id"), id_col)
 
-    q_cells = assign_cells(
+    q_cells = _cell_assign(
         queries.select(
             F.col(id_col), F.col(vec_col).alias("vec"),
             _norm(F.col(vec_col)).alias("vnorm"),
         ),
+        cent,
         id_col,
         nprobe,
     ).select(F.col(id_col).alias("query_id"), "vec", "cell_id")
@@ -551,9 +583,7 @@ def ivfpq_topk(
         q_cells.select("query_id", "vec").distinct(),
         n_subspaces, subdim, id_col="query_id",
     )
-    lut = qsv.join(F.broadcast(codebooks), "m").select(
-        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
-    )
+    lut = _pq_lut(qsv, codebooks)
     # Restrict the ADC join to (query, probed cell) pairs: codes carry
     # cell_id, the probe list is tiny and joins broadcast.
     probes = q_cells.select("query_id", "cell_id")
@@ -563,29 +593,7 @@ def ivfpq_topk(
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    per_pair = scored.groupBy("query_id", "neighbor_id").agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "val"))),
-                lambda s: s["val"],
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        ).alias("score_raw")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_raw"), F.asc("neighbor_id")
-    )
-    return (
-        per_pair.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("score_raw", 6).alias("score"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _adc_rank(scored, k)
 
 
 def label_centroids(

@@ -20,6 +20,13 @@ from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Schemes whose hrefs can never name a file in this listing. Path-ful
+# schemes (http/https/ftp/file) keep contributing their basename.
+_NON_FILE_SCHEMES = frozenset(
+    {"mailto", "javascript", "tel", "data", "about", "news", "urn"}
+)
+
+
 class _ListingParser(HTMLParser):
     """Collects <a href> values via the stdlib HTML parser — the
     bs4-grade path (reference sync_and_fetch.py:49-81 uses
@@ -50,11 +57,16 @@ def parse_directory_listing(html: str) -> list[str]:
     p.feed(html)
     out = []
     for href in p.hrefs:
-        if href.startswith(("?", "#")) or re.match(r"^[a-zA-Z][\w+.-]*:", href):
-            # sort links, fragments, mailto:/javascript:/ftp: schemes —
-            # http(s) absolute URLs are still handled below via basename
-            if not href.startswith(("http:", "https:")):
-                continue
+        if href.startswith(("?", "#")):
+            continue
+        # Only a KNOWN non-file scheme disqualifies an href. A bare
+        # colon prefix must NOT: relative filenames legally contain
+        # colons ("backup-12:30:00.tar" in an index is a file, not a
+        # URI), and treating every "<token>:" as a scheme would
+        # silently drop them from the manifest.
+        m = re.match(r"^([a-zA-Z][\w+.-]*):", href)
+        if m and m.group(1).lower() in _NON_FILE_SCHEMES:
+            continue
         path = href.split("#", 1)[0].split("?", 1)[0]
         name = path.rsplit("/", 1)[-1] if not path.endswith("/") else ""
         if name and name not in ("..", "."):

@@ -170,12 +170,14 @@ def test_multimodal_decode_schema_and_determinism(docs):
 
 
 def test_decoder_hook_dispatch():
-    """library_decode is the real-decoder hook: with no media libs in
-    this container it must raise a clear NotImplementedError naming the
-    missing library, and best_decoder falls back to fake_decode."""
+    """library_decode raises a clear error naming the missing library
+    for undecodable formats; best_decoder returns hybrid_decode, which
+    REALLY decodes decodable bytes (stdlib PNG/WAV even without
+    PIL/soundfile) and falls back to deterministic fake dimensions for
+    everything else — so pipelines get real dims wherever possible."""
     import pytest as _pytest
 
-    from blspark.ext.multimodal import best_decoder, library_decode
+    from blspark.ext.multimodal import best_decoder, hybrid_decode, library_decode
 
     try:
         import PIL  # noqa: F401
@@ -184,14 +186,15 @@ def test_decoder_hook_dispatch():
     except ImportError:
         have_pil = False
 
-    if have_pil:
-        assert best_decoder() is library_decode
-    else:
-        assert best_decoder() is fake_decode
+    assert best_decoder() is hybrid_decode
+    if not have_pil:
         with _pytest.raises(NotImplementedError, match="pillow"):
             library_decode(b"xx", "image")
     with _pytest.raises(NotImplementedError):
         library_decode(b"xx", "video")
+    # undecodable bytes -> deterministic fake dims; real PNG -> real dims
+    assert hybrid_decode(b"xx", "image") == fake_decode(b"xx", "image")
+    assert hybrid_decode(_make_png(4, 4, 3), "image") == (4, 4, 3)
 
 
 def _make_png(width: int, height: int, channels: int = 3) -> bytes:

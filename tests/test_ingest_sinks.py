@@ -58,6 +58,8 @@ GNARLY_HTML = """
 <a href="mailto:admin@example.com">contact</a>
 <a href="javascript:void(0)">js link</a>
 <a href="?C=M;O=D">sort by date</a>
+<a href="backup-12:30:00.tar">colon-in-name file</a>
+<a href="tel:+1555">phone</a>
 <a href="../">Parent Directory</a>
 <a href="nested/dir/">a subdir</a>
 <a name="anchor-no-href">no href at all</a>
@@ -70,7 +72,8 @@ def test_parse_directory_listing_gnarly_pages():
     sync_and_fetch.py:49-81): unquoted/whitespace/multiline/uppercase
     attribute forms parse; entities decode; query strings and fragments
     strip; mailto/javascript/sort/parent/subdir links are excluded;
-    absolute http(s) URLs contribute their basename."""
+    absolute http(s) URLs contribute their basename; relative
+    filenames containing colons are FILES, not URI schemes."""
     assert parse_directory_listing(GNARLY_HTML) == [
         "unquoted.txt",
         "spaced.csv",
@@ -79,6 +82,7 @@ def test_parse_directory_listing_gnarly_pages():
         "download.tsv",
         "page.html",
         "remote.bin",
+        "backup-12:30:00.tar",
     ]
 
 

@@ -259,7 +259,7 @@ def test_boilerplate_strip_planted(spark):
     # so df==3 DOES meet the absolute floor and strips there too;
     # make it 2 docs so it stays below the floor
     rows = rows + [
-        (100, "keep me alone{0} x{0}".format(i), "en", "srcB", 0)
+        (100 + i, "keep me alone{0} x{0}".format(i), "en", "srcB", 0)
         for i in range(2)
     ]
     df = spark.createDataFrame(
@@ -279,6 +279,10 @@ def test_boilerplate_strip_planted(spark):
     # the two xx-yy docs keep everything (df=2 < 3)
     for i in (8, 9):
         assert out[i]["n_kept"] == out[i]["n_segments"]
+    # the below-threshold source survives untouched: srcB's shared
+    # "keep me" segment has df=2 < the absolute floor of 3
+    for i in (100, 101):
+        assert out[i]["n_kept"] == out[i]["n_segments"] > 0
 
 
 def test_pq_encode_stateless_matches_aggregate_encode(spark):
