@@ -114,3 +114,37 @@ def test_report_on_arrival_trigger(spark, tmp_path):
     assert round(results[0]["population_stats"].first()["mean_population"], 2) == (
         322069808.00
     )
+
+
+def test_cli_main_list_query_oracle_sync(spark, tmp_path, capsys):
+    """The `python -m blspark` surface routes through the same library
+    code: list prints the registry, query runs one, oracle prints SQL,
+    sync converges a mirror, report degrades gracefully on an empty
+    data dir."""
+    from blspark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q2_best_year" in out and "x_similarity_pq_checked" in out
+
+    assert main(["oracle", "q2_best_year"]) == 0
+    assert "series_key" in capsys.readouterr().out
+    assert main(["oracle", "nope"]) == 2
+
+    assert main([
+        "query", "q_distinct_sorted", "--sf-dir", "/root/testdata/sf0.001",
+        "--limit", "3",
+    ]) == 0
+    assert main(["query", "definitely_not_registered"]) == 2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f.txt").write_text("hello")
+    assert main(["sync", str(src), str(tmp_path / "mirror")]) == 0
+    assert (tmp_path / "mirror" / "f.txt").read_text() == "hello"
+    assert '"insert": 1' in capsys.readouterr().out
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["report", str(empty)]) == 0
+    assert "skipped" in capsys.readouterr().out
