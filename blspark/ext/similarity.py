@@ -314,7 +314,17 @@ def pq_encode(
     This is the PQ compression step — at 64 dims x float32 a vector is
     256 bytes; 8 subspace codes are 8 bytes (32x). The codes frame is
     what a 100 TB corpus persists; raw vectors are only re-read for
-    exact re-ranking of the final candidates."""
+    exact re-ranking of the final candidates.
+
+    Plan choice, measured: the explode + broadcast-join + aggregate
+    argmin here beats inlining the whole argmin as one per-row
+    expression (``pq_encode_stateless``) 3x at sf0.1 (1.27 vs 3.83 s
+    on the PQ query) — the inlined form re-evaluates M x ks slice+fold
+    subtrees inside ONE interpreted higher-order expression per row,
+    while this shape keeps each fold a small per-row expression and
+    pays only an (id, m)-keyed shuffle of tiny rows. The stateless
+    form exists for Structured Streaming, where append-mode encode
+    cannot aggregate (equality of the two is property-tested)."""
     return pq_assign(
         pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col),
         codebooks,
