@@ -355,3 +355,25 @@ def test_pq_index_layout_partition_prunes(spark, tmp_path):
     # and the data actually restricts to the probed cells
     got_cells = {r["cell_id"] for r in scan.select("cell_id").distinct().collect()}
     assert got_cells <= set(probed)
+
+
+def test_pq_small_corpus_and_offset_ids(spark):
+    """Degenerate shapes stay sound: a corpus smaller than n_codes
+    trains a smaller codebook and still encodes every vector; offset
+    id ranges (min id >= n_codes) train correctly — codes are numbered
+    by rank, not id value."""
+    rows = [(1000 + i, [float(i + j) for j in range(8)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    # n_codes=4 > corpus size 3: codebook has <= 3 codes per subspace
+    cb = pq_train_codebooks(df, 2, 4, 4)
+    per_m = {r["m"] for r in cb.collect()}
+    assert per_m == {0, 1}
+    codes = pq_encode(df, cb, 2, 4)
+    assert codes.count() == 3 * 2  # every vector still encoded everywhere
+    got = {r["code"] for r in codes.collect()}
+    assert got and all(0 <= c < 3 for c in got)
+
+    # offset ids: seeds come from the 2 lowest ids, codes are 0/1
+    cb2 = pq_train_codebooks(df, 2, 4, 2)
+    assert {r["code"] for r in cb2.collect()} <= {0, 1}
