@@ -31,7 +31,7 @@ def cmd_list(args) -> int:
     for name, q in registry().items():
         if args.tag and args.tag not in q.tags:
             continue
-        doc = (q.doc or "").split(". ")[0][:100]
+        doc = " ".join((q.doc or "").split()).split(". ")[0][:100]
         mark = "bench " if q.bench else ""
         print(f"{name:38s} {mark}{doc}")
     return 0

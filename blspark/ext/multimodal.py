@@ -172,13 +172,20 @@ def library_decode(content: bytes, modality: str) -> tuple[int, int, int]:
 def hybrid_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     """Real decode when the content is decodable (PIL/soundfile when
     installed, the stdlib PNG/WAV decoders otherwise), deterministic
-    ``fake_decode`` for everything else (synthetic fixtures, formats
-    with no available decoder). Content-addressed, so still fully
-    deterministic — and actual PNG/WAV bytes get REAL dimensions in
-    environments with no media libraries."""
+    ``fake_decode`` for everything else — including CORRUPT media: a
+    truncated PNG raises struct.error, a bad IDAT zlib.error, a garbage
+    RIFF chunk RuntimeError, soundfile its own LibsndfileError — so the
+    fallback catches broadly rather than enumerating decoder internals;
+    one corrupt blob must degrade to fake dims, not kill the job.
+
+    Determinism caveat: output is deterministic GIVEN the environment's
+    decoder set, but a format only PIL handles (e.g. JPEG) yields real
+    dims where PIL is installed and fake dims where it is not — on a
+    cluster with heterogeneous executor images, pin an explicit decoder
+    (``library_decode`` or ``fake_decode``) instead of this hook."""
     try:
         return library_decode(content, modality)
-    except (NotImplementedError, ValueError, OSError):
+    except Exception:
         return fake_decode(content, modality)
 
 

@@ -297,10 +297,9 @@ def pq_train_codebooks(
             lambda s: s["c"],
         ).alias("cw")
     )
-    rows = [(r["m"], r["code"], list(r["cw"])) for r in cb.collect()]
-    return vecs.sparkSession.createDataFrame(
-        sorted(rows), "m int, code int, cw array<double>"
-    )
+    from blspark.ops import local_relation
+
+    return local_relation(cb, "m int, code int, cw array<double>")
 
 
 def pq_encode(

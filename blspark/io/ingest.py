@@ -17,14 +17,16 @@ import re
 import time
 from collections.abc import Callable
 from html.parser import HTMLParser
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Schemes whose hrefs can never name a file in this listing. Path-ful
-# schemes (http/https/ftp/file) keep contributing their basename.
-_NON_FILE_SCHEMES = frozenset(
-    {"mailto", "javascript", "tel", "data", "about", "news", "urn"}
-)
+# Path-ful schemes whose absolute URLs still contribute a file basename;
+# every OTHER RFC-3986-valid scheme prefix (mailto:, sms:, geo:, magnet:,
+# javascript:, ...) marks a non-file link and is skipped — an allowlist,
+# not a blocklist, so novel schemes can't leak garbage into the manifest.
+_PATH_SCHEMES = frozenset({"http", "https", "ftp", "ftps", "file"})
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
 
 
 class _ListingParser(HTMLParser):
@@ -59,16 +61,20 @@ def parse_directory_listing(html: str) -> list[str]:
     for href in p.hrefs:
         if href.startswith(("?", "#")):
             continue
-        # Only a KNOWN non-file scheme disqualifies an href. A bare
-        # colon prefix must NOT: relative filenames legally contain
-        # colons ("backup-12:30:00.tar" in an index is a file, not a
-        # URI), and treating every "<token>:" as a scheme would
-        # silently drop them from the manifest.
-        m = re.match(r"^([a-zA-Z][\w+.-]*):", href)
-        if m and m.group(1).lower() in _NON_FILE_SCHEMES:
+        # RFC 3986: anything matching "scheme:" is a URI reference with
+        # a scheme, and only the path-ful allowlist contributes a file
+        # basename. Filenames containing colons are NOT lost by this
+        # rule: a well-formed index percent-encodes them in the href
+        # ("backup-12%3A30%3A00.tar"), so they classify as files and
+        # the unquote below restores the real name. A literal unencoded
+        # colon href is genuinely ambiguous and parses as its scheme,
+        # per the RFC.
+        m = _SCHEME_RE.match(href)
+        if m and m.group(1).lower() not in _PATH_SCHEMES:
             continue
         path = href.split("#", 1)[0].split("?", 1)[0]
         name = path.rsplit("/", 1)[-1] if not path.endswith("/") else ""
+        name = unquote(name)
         if name and name not in ("..", "."):
             out.append(name)
     return out

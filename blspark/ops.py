@@ -115,3 +115,16 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if est_splits < target:
         return df.repartition(target)
     return df
+
+
+def local_relation(df: DataFrame, schema: str) -> DataFrame:
+    """Materialize a METADATA-SIZED frame as a local relation: collect,
+    sort for a deterministic row order, rebuild with an explicit
+    schema. Severs lineage so every downstream branch reuses the rows
+    instead of re-executing the producing subtree — with NO
+    cache-manager entry (a persist() inside a lazy plan builder would
+    leak past the function's lifetime; extensions3 convention). Only
+    for frames bounded by construction (codebooks, centroids, seed
+    lists) — never for data-sized frames."""
+    rows = sorted(tuple(r) for r in df.collect())
+    return df.sparkSession.createDataFrame(rows, schema)

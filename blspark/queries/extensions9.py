@@ -294,13 +294,10 @@ def x_similarity_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |labels| rows; corpus- and query-side cell assignment both
     # reference it — materialize as a local relation so the
-    # per-position centroid aggregate (a corpus-scan subtree) runs
-    # once, with no cache-manager entry to leak (extensions3's
-    # no-persist-in-plan-builders convention)
-    cents = spark.createDataFrame(
-        sorted((r["cell_id"], list(r["centroid"])) for r in cents_lazy.collect()),
-        "cell_id int, centroid array<double>",
-    )
+    # per-position centroid aggregate (a corpus-scan subtree) runs once
+    from blspark.ops import local_relation
+
+    cents = local_relation(cents_lazy, "cell_id int, centroid array<double>")
     cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return ivfpq_topk(

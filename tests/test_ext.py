@@ -448,3 +448,24 @@ def test_multimodal_arrow_path_matches_pandas_path(spark):
     a = sorted(map(tuple, decode_features_arrow(media).collect()))
     b = sorted(map(tuple, decode_features_checked(media).collect()))
     assert len(a) == 100 and a == b
+
+
+def test_hybrid_decode_corrupt_media_degrades_not_raises():
+    """Corrupt-but-magic-bearing media (truncated PNG -> struct.error,
+    bad IDAT -> zlib.error, garbage RIFF -> wave's RuntimeError) must
+    degrade to deterministic fake dims, never kill the job."""
+    import struct
+
+    from blspark.ext.multimodal import fake_decode, hybrid_decode
+
+    trunc_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR\x00\x00"
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0) + b"crcc"
+        + struct.pack(">I", 4) + b"IDATjunkcrcc"
+    )
+    bad_riff = b"RIFF\x10\x00\x00\x00WAVEgarbagechunks!!"
+    assert hybrid_decode(trunc_png, "image") == fake_decode(trunc_png, "image")
+    assert hybrid_decode(bad_idat, "image") == fake_decode(bad_idat, "image")
+    assert hybrid_decode(bad_riff, "audio") == fake_decode(bad_riff, "audio")

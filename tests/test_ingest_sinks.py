@@ -58,8 +58,12 @@ GNARLY_HTML = """
 <a href="mailto:admin@example.com">contact</a>
 <a href="javascript:void(0)">js link</a>
 <a href="?C=M;O=D">sort by date</a>
-<a href="backup-12:30:00.tar">colon-in-name file</a>
+<a href="backup-12%3A30%3A00.tar">percent-encoded colon file</a>
 <a href="tel:+1555">phone</a>
+<a href="sms:+15551234">sms link</a>
+<a href="geo:40.1,-70.2">geo link</a>
+<a href="magnet:?xt=urn:btih:abc">magnet link</a>
+<a href="name%20with%20space.txt">encoded space</a>
 <a href="../">Parent Directory</a>
 <a href="nested/dir/">a subdir</a>
 <a name="anchor-no-href">no href at all</a>
@@ -72,8 +76,10 @@ def test_parse_directory_listing_gnarly_pages():
     sync_and_fetch.py:49-81): unquoted/whitespace/multiline/uppercase
     attribute forms parse; entities decode; query strings and fragments
     strip; mailto/javascript/sort/parent/subdir links are excluded;
-    absolute http(s) URLs contribute their basename; relative
-    filenames containing colons are FILES, not URI schemes."""
+    absolute http(s) URLs contribute their basename; every OTHER
+    scheme (tel/sms/geo/magnet/...) is skipped via the path-scheme
+    allowlist; percent-encoded names (the form well-formed indexes emit
+    for colons and spaces) decode to the real filename."""
     assert parse_directory_listing(GNARLY_HTML) == [
         "unquoted.txt",
         "spaced.csv",
@@ -83,6 +89,7 @@ def test_parse_directory_listing_gnarly_pages():
         "page.html",
         "remote.bin",
         "backup-12:30:00.tar",
+        "name with space.txt",
     ]
 
 
