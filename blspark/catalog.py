@@ -96,8 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     # registry), but the driver row is the hard signal and it was
     # 4-5 rounds stale for these. r1-stale first (42), then the
     # r2-stale extension ops, then r2-stale core queries; the 50-slot
-    # budget signs the top 50 this round, the remaining 26 rotate up
-    # next round.
+    # budget signs the top 50 this round (42 r1-stale + the 5 new
+    # round-7 ops + 3 r2-stale); the remaining 31 rotate up next round.
     # r1-stale (42):
     "q1_population_stats",
     "q2_best_year",
