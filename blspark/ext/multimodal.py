@@ -20,6 +20,9 @@ hundred MB.
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -169,14 +172,37 @@ def library_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
 
 
+# The exception types a DECODE failure can legitimately raise (ADVICE
+# r7: catch these, not bare Exception, so genuine bugs — TypeError,
+# MemoryError, AttributeError — propagate instead of silently yielding
+# fake dims): struct.error (truncated PNG header), zlib.error (bad
+# IDAT), wave.Error + EOFError (bad WAV), ValueError (dimension/frame
+# checks), NotImplementedError (no decoder for the format here),
+# OSError (PIL's UnidentifiedImageError subclasses it), RuntimeError
+# (soundfile's LibsndfileError subclasses it).
+DECODE_FALLBACK_ERRORS: tuple[type[BaseException], ...] = (
+    ValueError,
+    struct.error,
+    zlib.error,
+    wave.Error,
+    EOFError,
+    NotImplementedError,
+    OSError,
+    RuntimeError,
+)
+
+
 def hybrid_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     """Real decode when the content is decodable (PIL/soundfile when
     installed, the stdlib PNG/WAV decoders otherwise), deterministic
     ``fake_decode`` for everything else — including CORRUPT media: a
     truncated PNG raises struct.error, a bad IDAT zlib.error, a garbage
-    RIFF chunk RuntimeError, soundfile its own LibsndfileError — so the
-    fallback catches broadly rather than enumerating decoder internals;
-    one corrupt blob must degrade to fake dims, not kill the job.
+    RIFF chunk RuntimeError, soundfile its own LibsndfileError — one
+    corrupt blob must degrade to fake dims, not kill the job. Only the
+    known decode-error types (``DECODE_FALLBACK_ERRORS``) degrade;
+    anything else (TypeError, MemoryError, …) is a bug and propagates.
+    For a measurable fallback rate use ``hybrid_decode_flagged`` /
+    ``decode_features_observed``.
 
     Determinism caveat: output is deterministic GIVEN the environment's
     decoder set, but a format only PIL handles (e.g. JPEG) yields real
@@ -185,8 +211,23 @@ def hybrid_decode(content: bytes, modality: str) -> tuple[int, int, int]:
     (``library_decode`` or ``fake_decode``) instead of this hook."""
     try:
         return library_decode(content, modality)
-    except Exception:
+    except DECODE_FALLBACK_ERRORS:
         return fake_decode(content, modality)
+
+
+def hybrid_decode_flagged(
+    content: bytes, modality: str
+) -> tuple[int, int, int, bool]:
+    """``hybrid_decode`` with the fallback made observable: returns
+    (width, height, n_channels, fell_back). Callers aggregate the flag
+    into a fake-dimension rate — at 100 TB a silent 30% fallback is a
+    corrupted-corpus signal, not a convenience (ADVICE r7)."""
+    try:
+        w, h, c = library_decode(content, modality)
+        return w, h, c, False
+    except DECODE_FALLBACK_ERRORS:
+        w, h, c = fake_decode(content, modality)
+        return w, h, c, True
 
 
 def best_decoder() -> Callable[[bytes, str], tuple[int, int, int]]:
@@ -239,6 +280,42 @@ def decode_features(
             yield out
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+OBSERVED_SCHEMA = (
+    "id long, modality string, n_bytes long, sha1 string, "
+    "width int, height int, n_channels int, decode_fallback boolean"
+)
+
+
+def decode_features_observed(media: DataFrame) -> DataFrame:
+    """``decode_features`` on the hybrid path with the fallback rate
+    made measurable: adds a ``decode_fallback`` boolean column (True =
+    the real decoder raised a known decode error and the deterministic
+    fake dims were used). ``df.agg(avg(col("decode_fallback").cast
+    ("int")))`` is the corpus' fake-dimension rate — the observability
+    ADVICE r7 asked for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = [
+                hybrid_decode_flagged(c, m)
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "sha1": [hashlib.sha1(c).hexdigest() for c in pdf["content"]],
+                    "width": [d[0] for d in dec],
+                    "height": [d[1] for d in dec],
+                    "n_channels": [d[2] for d in dec],
+                    "decode_fallback": [d[3] for d in dec],
+                }
+            )
+
+    return media.mapInPandas(run, schema=OBSERVED_SCHEMA)
 
 
 def fake_decode_sha256(content: bytes) -> tuple[str, int, int, int, int, int]:

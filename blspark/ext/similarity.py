@@ -215,11 +215,35 @@ def pq_subvectors(
 ) -> DataFrame:
     """Split each vector into ``n_subspaces`` contiguous subvectors of
     ``subdim`` dims: (id, m, sv). Map-side explode — n_subspaces rows
-    per vector, each carrying only a subdim-length slice."""
+    per vector, each carrying only a subdim-length slice.
+
+    Vector length is VALIDATED row-wise (``raise_error`` when
+    size(vec) != n_subspaces*subdim): a short or ragged vector would
+    otherwise slice to short/empty subvectors whose zip_with distances
+    come out null, silently mis-encoding or dropping the vector from
+    every argmin downstream (ADVICE r7). The check is a per-row
+    conditional inside the same projection — no extra scan or
+    shuffle."""
+    expected = n_subspaces * subdim
+    checked = F.when(
+        F.size(F.col(vec_col)) == expected, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pq_subvectors: expected vector length {expected} "
+                    f"({n_subspaces} subspaces x {subdim} dims), got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     return df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m"),
-        F.col(vec_col).alias("_v"),
+        checked.alias("_v"),
     ).select(
         id_col,
         "m",
@@ -275,12 +299,22 @@ def pq_train_codebooks(
     from blspark.catalog import davg
 
     sv = pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col)
-    seeds = (
-        vecs.select(F.col(id_col)).orderBy(id_col).limit(n_codes)
-    )
-    w = Window.orderBy(id_col)  # n_codes rows — single-task is fine
-    seed_codes = seeds.select(
-        id_col, (F.row_number().over(w) - 1).cast("int").alias("code")
+    # Seed list: the n_codes LOWEST ids, code = rank in id order. The
+    # frame is n_codes rows (metadata-sized by construction), so build
+    # it as a local relation — orderBy().limit() plans as
+    # TakeOrderedAndProject (no full sort), and enumerating driver-side
+    # replaces the global row_number window that would otherwise warn
+    # about (and genuinely plan) a single-partition WindowExec
+    # (VERDICT r7 item 4: the bench tail must stay clean enough that a
+    # REAL unpartitioned window on a corpus-sized frame is visible).
+    id_type = dict(vecs.dtypes)[id_col]
+    seed_ids = [
+        r[0]
+        for r in vecs.select(F.col(id_col)).orderBy(id_col).limit(n_codes).collect()
+    ]
+    seed_codes = vecs.sparkSession.createDataFrame(
+        list(zip(seed_ids, range(len(seed_ids)))),
+        f"{id_col} {id_type}, code int",
     )
     init = sv.join(F.broadcast(seed_codes), id_col).select(
         "m", "code", F.col("sv").alias("cw")
@@ -383,23 +417,33 @@ def _pq_lut(qsv: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+def _adc_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFrame:
     """Per-pair ordered ADC fold + top-k rank — the determinism-critical
-    device shared by ``pq_adc_topk`` and ``ivfpq_topk`` (one copy, so a
-    numeric-policy fix can never diverge the two): the M per-subspace
-    values fold in subspace order (collect, sort by m, sequential
-    aggregate), matching DuckDB's ``list_sum(list(val ORDER BY m))`` —
-    never an unordered double SUM. ``scored`` must carry
-    (query_id, neighbor_id, m, val)."""
+    device shared by ``pq_adc_topk``, ``ivfpq_topk`` and
+    ``ivfpq_residual_topk`` (one copy, so a numeric-policy fix can
+    never diverge them): the M per-subspace values fold in subspace
+    order (collect, sort by m, sequential aggregate), matching DuckDB's
+    ``list_sum(list(val ORDER BY m))`` — never an unordered double SUM.
+    ``scored`` must carry (query_id, neighbor_id, m, val).
+
+    ``base_col``: optional column holding a per-(query, neighbor)
+    CONSTANT additive term (residual IVF-PQ's dot(query, centroid) —
+    each neighbor lives in exactly one cell, so the value is constant
+    within the group). It is added AFTER the fold completes
+    (``fold + base``, one commutative addition — the same association
+    DuckDB's ``list_sum(...) + min(base)`` evaluates), never folded in,
+    which would change the association and drift last-ulp."""
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "val"))),
+            lambda s: s["val"],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    score = fold + F.min(base_col) if base_col is not None else fold
     per_pair = scored.groupBy("query_id", "neighbor_id").agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "val"))),
-                lambda s: s["val"],
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        ).alias("score_raw")
+        score.alias("score_raw")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_raw"), F.asc("neighbor_id")
@@ -603,6 +647,95 @@ def ivfpq_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _adc_rank(scored, k)
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    n_codes: int,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the classic FAISS refinement:
+    PQ codes quantize ``vec - centroid[cell]`` instead of the raw
+    vector. Residuals concentrate near the origin with far less
+    variance than raw vectors (the cell already explains the coarse
+    position), so the same codebook budget spends its codewords on the
+    fine structure — markedly better codes at identical storage.
+
+    Scoring uses the inner-product decomposition
+    ``dot(q, x) ~ dot(q, centroid[cell]) + dot(q, residual_hat)``:
+    the first term is ONE scalar per (query, probed cell), computed on
+    the broadcast centroid frame; the second is the standard ADC fold
+    over the residual-trained LUT (raw query subvectors against
+    residual codewords — no query-side residual needed for the fold).
+    Cell assignment, codebook training, the LUT build, and the ordered
+    fold are the SAME helpers the whole IVF/PQ family shares
+    (``_cell_assign`` / ``pq_train_codebooks`` / ``_pq_lut`` /
+    ``_adc_rank``); the centroid term rides ``_adc_rank``'s
+    ``base_col``.
+
+    Scale shape: identical to ``ivfpq_topk`` — centroids, codebooks,
+    probe list, and LUT broadcast; the only corpus-sized frames are the
+    residual encode (one scan + (id, m)-keyed argmin) and the ADC scan
+    over |probed cells| x M one-byte codes. Because training happens
+    here, this function re-scans the corpus for encode exactly as
+    ``ivfpq_topk`` does; production trains once and persists codes.
+
+    Returns (query_id, neighbor_id, score, rank) — score is the
+    approximate inner product, comparable to ``ivfpq_topk``'s."""
+    cent = _centroid_frame(centroids)
+    c_cells = _cell_assign(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        1,
+    )
+    resid = c_cells.join(F.broadcast(cent), "cell_id").select(
+        F.col(id_col),
+        "cell_id",
+        F.zip_with("vec", "cvec", lambda a, b: a - b).alias("vec"),
+    )
+    cb = pq_train_codebooks(resid, n_subspaces, subdim, n_codes, id_col=id_col)
+    codes = pq_encode(resid, cb, n_subspaces, subdim, id_col=id_col).join(
+        resid.select(id_col, "cell_id"), id_col
+    )
+
+    q_cells = _cell_assign(
+        queries.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        nprobe,
+    )
+    # per (query, probed cell): the coarse term dot(q, centroid)
+    probes = q_cells.join(F.broadcast(cent), "cell_id").select(
+        F.col(id_col).alias("query_id"),
+        "cell_id",
+        _dot(F.col("vec"), F.col("cvec")).alias("cell_dot"),
+    )
+    qsv = pq_subvectors(
+        queries.select(id_col, F.col(vec_col).alias("vec")),
+        n_subspaces, subdim, id_col=id_col,
+    ).select(F.col(id_col).alias("query_id"), "m", "sv")
+    lut = _pq_lut(qsv, cb)
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_rank(scored, k, base_col="cell_dot")
 
 
 def label_centroids(

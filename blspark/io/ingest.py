@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import re
 import time
 from collections.abc import Callable
@@ -27,6 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 # not a blocklist, so novel schemes can't leak garbage into the manifest.
 _PATH_SCHEMES = frozenset({"http", "https", "ftp", "ftps", "file"})
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
+# Real-world URI schemes are (near-)pure alpha (mailto, javascript,
+# magnet, tel, data, web+app). A "scheme" token carrying digits, dots,
+# or dashes — "backup-12:30:00.tar" in a hand-rolled index that didn't
+# percent-encode the colon — is far likelier a filename; Apache/nginx
+# autoindex always percent-encode, so this only fires on hand-written
+# pages (ADVICE r7: don't silently lose those files).
+_FILENAME_SHAPED_SCHEME = re.compile(r"[0-9.\-]")
+
+_log = logging.getLogger(__name__)
 
 
 class _ListingParser(HTMLParser):
@@ -63,14 +73,23 @@ def parse_directory_listing(html: str) -> list[str]:
             continue
         # RFC 3986: anything matching "scheme:" is a URI reference with
         # a scheme, and only the path-ful allowlist contributes a file
-        # basename. Filenames containing colons are NOT lost by this
-        # rule: a well-formed index percent-encodes them in the href
-        # ("backup-12%3A30%3A00.tar"), so they classify as files and
-        # the unquote below restores the real name. A literal unencoded
-        # colon href is genuinely ambiguous and parses as its scheme,
-        # per the RFC.
+        # basename. Filenames containing colons are mostly NOT lost by
+        # this rule: a well-formed index percent-encodes them in the
+        # href ("backup-12%3A30%3A00.tar"), so they classify as files
+        # and the unquote below restores the real name. A literal
+        # unencoded colon href parses as its scheme per the RFC — but
+        # when that "scheme" token is filename-shaped (digits/dots/
+        # dashes: "backup-12:30:00.tar"), a hand-rolled index that
+        # forgot to encode is far likelier than a novel URI scheme, so
+        # it falls through as a file. Genuinely skipped hrefs are
+        # logged so losses are observable.
         m = _SCHEME_RE.match(href)
-        if m and m.group(1).lower() not in _PATH_SCHEMES:
+        if (
+            m
+            and m.group(1).lower() not in _PATH_SCHEMES
+            and not _FILENAME_SHAPED_SCHEME.search(m.group(1))
+        ):
+            _log.debug("parse_directory_listing: skipping non-file href %r", href)
             continue
         path = href.split("#", 1)[0].split("?", 1)[0]
         name = path.rsplit("/", 1)[-1] if not path.endswith("/") else ""

@@ -41,6 +41,20 @@ _D2Q = (
 )
 
 
+# Codebook seeding, id-ROBUST (VERDICT r7 item 3): codes are numbered
+# by RANK among the n_codes lowest ids — mirroring the library's
+# pq_train_codebooks (ext/similarity.py) — never by id VALUE, so
+# offset/sharded id ranges (min id >= n_codes) train identically.
+_PQ_SEED_SQL = f"""seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM vecs ORDER BY vec_id LIMIT {_PQ_KS}
+),
+init AS MATERIALIZED (
+  SELECT s.m, d.code, s.sv AS cw
+  FROM sv s JOIN seeds d ON s.vec_id = d.vec_id
+)"""
+
+
 def _pq_assign_sql(cb: str, keep_sv: bool) -> str:
     d2 = _D2Q.format(a="s.sv", b="c.cw")
     sv = ", sv" if keep_sv else ""
@@ -59,19 +73,11 @@ def _pq_assign_sql(cb: str, keep_sv: bool) -> str:
 # with the per-query LUT -> ADC scores. PQ_CHECKED ranks the scores
 # directly; the re-rank query takes a longer shortlist and re-scores
 # exactly.
-_PQ_CODES_CHAIN = f"""
-WITH vecs AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-),
-sv AS MATERIALIZED (
-  SELECT vec_id, t.m,
-         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
-  FROM vecs, range(0, {_PQ_M}) t(m)
-),
-init AS MATERIALIZED (
-  SELECT m, CAST(vec_id AS INT) AS code, sv AS cw
-  FROM sv WHERE vec_id < {_PQ_KS}
-),
+# Training tail (seeds -> init -> one Lloyd round -> codebooks ->
+# codes), agnostic to WHAT ``sv`` slices — raw vectors (the PQ chain)
+# or residuals (the residual IVF-PQ oracle). One copy, so the training
+# arithmetic can never diverge between the two.
+_PQ_TRAIN_SQL = f"""{_PQ_SEED_SQL},
 a0 AS MATERIALIZED ({_pq_assign_sql("init", keep_sv=True)}),
 cb AS MATERIALIZED (
   SELECT m, code, list(c ORDER BY pos) AS cw FROM (
@@ -81,6 +87,17 @@ cb AS MATERIALIZED (
   GROUP BY m, code
 ),
 codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)})"""
+
+_PQ_CODES_CHAIN = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+{_PQ_TRAIN_SQL}"""
 
 _PQ_CHAIN = f"""{_PQ_CODES_CHAIN},
 lut AS MATERIALIZED (
@@ -178,12 +195,26 @@ def x_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORMQ = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 
-def _cell_assign_sql(src: str, id_out: str, probes: int, id_filter: str = "") -> str:
+def _cell_assign_sql(
+    src: str,
+    id_out: str,
+    probes: int,
+    id_filter: str = "",
+    extra_expr: str = "",
+    extra_name: str = "",
+) -> str:
+    """``extra_expr``/``extra_name``: optional extra column projected
+    alongside the cell assignment (residual IVF-PQ carries
+    dot(query, centroid) out of the probe step). Ranking stays by
+    cosine — identical to the library's ``_cell_assign`` — regardless
+    of what rides along."""
     cs = _DOTQ.format(a=f"{src}.vec", b="c.cvec")
     nn = f"({_NORMQ.format(a=f'{src}.vec')} * {_NORMQ.format(a='c.cvec')})"
+    inner = f", {extra_expr} AS {extra_name}" if extra_name else ""
+    outer = f", {extra_name}" if extra_name else ""
     return f"""
-  SELECT {id_out}, cell_id FROM (
-    SELECT {src}.vec_id AS {id_out}, c.cell_id,
+  SELECT {id_out}, cell_id{outer} FROM (
+    SELECT {src}.vec_id AS {id_out}, c.cell_id{inner},
            ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
              ORDER BY {cs} / {nn} DESC, c.cell_id ASC) AS r
     FROM vecs {src}, cents c {id_filter}) t
@@ -191,8 +222,12 @@ def _cell_assign_sql(src: str, id_out: str, probes: int, id_filter: str = "") ->
 """
 
 
-IVFPQ_CHECKED_ORACLE = f"""
-WITH vecs AS MATERIALIZED (
+# Shared IVF prefix: vecs + the deterministic label-mean centroid
+# device (ROUND(AVG, 6) per position — the x_similarity_ivf_checked
+# convention) + the corpus cell assignment. One copy serves both the
+# plain and the residual IVF-PQ oracles, so the cell geometry can
+# never silently diverge between them.
+_IVF_PREFIX_SQL = f"""vecs AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
 cm AS MATERIALIZED (
@@ -203,7 +238,10 @@ cm AS MATERIALIZED (
 cents AS MATERIALIZED (
   SELECT label AS cell_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY label
 ),
-cassign AS MATERIALIZED ({_cell_assign_sql("v", "vec_id", 1)}),
+cassign AS MATERIALIZED ({_cell_assign_sql("v", "vec_id", 1)})"""
+
+IVFPQ_CHECKED_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
 qprobe AS MATERIALIZED ({_cell_assign_sql(
     "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
 sv AS MATERIALIZED (
@@ -211,19 +249,7 @@ sv AS MATERIALIZED (
          vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
   FROM vecs, range(0, {_PQ_M}) t(m)
 ),
-init AS MATERIALIZED (
-  SELECT m, CAST(vec_id AS INT) AS code, sv AS cw
-  FROM sv WHERE vec_id < {_PQ_KS}
-),
-a0 AS MATERIALIZED ({_pq_assign_sql("init", keep_sv=True)}),
-cb AS MATERIALIZED (
-  SELECT m, code, list(c ORDER BY pos) AS cw FROM (
-    SELECT a.m, a.code, t.i AS pos, {o_davg(f"a.sv[t.i + 1]")} AS c
-    FROM a0 a, range(0, {_PQ_SUBDIM}) t(i)
-    GROUP BY a.m, a.code, t.i) s
-  GROUP BY m, code
-),
-codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)}),
+{_PQ_TRAIN_SQL},
 codesc AS MATERIALIZED (
   SELECT k.vec_id, k.m, k.code, a.cell_id
   FROM codes k JOIN cassign a ON k.vec_id = a.vec_id
@@ -253,6 +279,33 @@ WHERE rank <= {_PQ_K}
 """
 
 
+def _det_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic label-mean centroids (ROUND(avg, 6) per position —
+    the x_similarity_ivf_checked device), MATERIALIZED as a local
+    relation: |labels| rows; corpus- and query-side cell assignment
+    both reference it, so the per-position aggregate (a corpus-scan
+    subtree) must run once, not per branch. Shared by the plain and
+    residual IVF-PQ queries — one copy of the cell geometry."""
+    from blspark.ops import local_relation
+
+    per_pos = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+    )
+    cents_lazy = (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+    return local_relation(cents_lazy, "cell_id int, centroid array<double>")
+
+
 @register(
     "x_similarity_ivfpq_checked",
     bench=True,
@@ -277,27 +330,7 @@ def x_similarity_ivfpq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    per_pos = (
-        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("col"), 6).alias("m"))
-    )
-    cents_lazy = (
-        per_pos.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("cell_id"), "centroid")
-    )
-    # |labels| rows; corpus- and query-side cell assignment both
-    # reference it — materialize as a local relation so the
-    # per-position centroid aggregate (a corpus-scan subtree) runs once
-    from blspark.ops import local_relation
-
-    cents = local_relation(cents_lazy, "cell_id int, centroid array<double>")
+    cents = _det_centroids(emb)
     cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return ivfpq_topk(

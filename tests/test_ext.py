@@ -469,3 +469,51 @@ def test_hybrid_decode_corrupt_media_degrades_not_raises():
     assert hybrid_decode(trunc_png, "image") == fake_decode(trunc_png, "image")
     assert hybrid_decode(bad_idat, "image") == fake_decode(bad_idat, "image")
     assert hybrid_decode(bad_riff, "audio") == fake_decode(bad_riff, "audio")
+
+
+def test_hybrid_decode_flagged_and_bug_propagation():
+    """The flagged variant reports fell_back truthfully (real PNG ->
+    False + real dims; corrupt PNG -> True + fake dims), and a genuine
+    BUG-class error (TypeError from non-bytes content) propagates
+    instead of silently degrading (ADVICE r7: narrow except)."""
+    import pytest
+
+    from blspark.ext.multimodal import (
+        fake_decode,
+        hybrid_decode,
+        hybrid_decode_flagged,
+    )
+
+    good = _make_png(4, 4, 3)
+    assert hybrid_decode_flagged(good, "image") == (4, 4, 3, False)
+    corrupt = b"\x89PNG\r\n\x1a\nnot-really-a-png"
+    w, h, c = fake_decode(corrupt, "image")
+    assert hybrid_decode_flagged(corrupt, "image") == (w, h, c, True)
+    with pytest.raises(TypeError):
+        hybrid_decode(None, "image")  # bug-class error must NOT degrade
+    with pytest.raises(TypeError):
+        hybrid_decode_flagged(None, "image")
+
+
+def test_decode_features_observed_fallback_rate(spark):
+    """decode_features_observed emits a decode_fallback flag per row:
+    real PNG/WAV rows False, undecodable text rows True — the corpus
+    fake-dimension rate is one avg() away."""
+    from blspark.ext.multimodal import decode_features_observed
+
+    rows = [
+        (1, bytearray(_make_png(4, 4, 3)), "image"),
+        (2, bytearray(b"not an image at all"), "image"),
+        (3, bytearray(_make_wav(8, 1)), "audio"),
+        (4, bytearray(b"junk audio bytes"), "audio"),
+    ]
+    media = spark.createDataFrame(
+        rows, "id long, content binary, modality string"
+    )
+    got = {r["id"]: r for r in decode_features_observed(media).collect()}
+    assert got[1]["decode_fallback"] is False
+    assert got[1]["width"] == 4 and got[1]["height"] == 4
+    assert got[2]["decode_fallback"] is True
+    assert got[3]["decode_fallback"] is False
+    assert got[3]["width"] == 8 and got[3]["n_channels"] == 1
+    assert got[4]["decode_fallback"] is True

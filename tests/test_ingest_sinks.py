@@ -59,6 +59,9 @@ GNARLY_HTML = """
 <a href="javascript:void(0)">js link</a>
 <a href="?C=M;O=D">sort by date</a>
 <a href="backup-12%3A30%3A00.tar">percent-encoded colon file</a>
+<a href="backup-07:15:00.tar">unencoded colon, hand-rolled index</a>
+<a href="v2.0:release.zip">digit-dot pseudo-scheme file</a>
+<a href="web+custom:payload">plus-scheme link</a>
 <a href="tel:+1555">phone</a>
 <a href="sms:+15551234">sms link</a>
 <a href="geo:40.1,-70.2">geo link</a>
@@ -79,7 +82,11 @@ def test_parse_directory_listing_gnarly_pages():
     absolute http(s) URLs contribute their basename; every OTHER
     scheme (tel/sms/geo/magnet/...) is skipped via the path-scheme
     allowlist; percent-encoded names (the form well-formed indexes emit
-    for colons and spaces) decode to the real filename."""
+    for colons and spaces) decode to the real filename; an UNENCODED
+    colon in a filename-shaped token (digits/dots/dashes before the
+    colon — hand-rolled indexes) is kept as a file rather than dropped
+    as a pseudo-scheme (ADVICE r7), while alpha/plus schemes
+    (web+custom:) still skip."""
     assert parse_directory_listing(GNARLY_HTML) == [
         "unquoted.txt",
         "spaced.csv",
@@ -89,6 +96,8 @@ def test_parse_directory_listing_gnarly_pages():
         "page.html",
         "remote.bin",
         "backup-12:30:00.tar",
+        "backup-07:15:00.tar",
+        "v2.0:release.zip",
         "name with space.txt",
     ]
 

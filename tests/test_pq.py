@@ -377,3 +377,73 @@ def test_pq_small_corpus_and_offset_ids(spark):
     # offset ids: seeds come from the 2 lowest ids, codes are 0/1
     cb2 = pq_train_codebooks(df, 2, 4, 2)
     assert {r["code"] for r in cb2.collect()} <= {0, 1}
+
+
+def test_pq_subvectors_rejects_ragged_vectors(spark):
+    """A vector whose length != n_subspaces*subdim must raise a clear
+    error, not silently slice short/empty subvectors that drop out of
+    downstream argmins (ADVICE r7)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from blspark.ext.similarity import pq_subvectors
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 5)], "vec_id long, vec array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="expected vector length 8"):
+        pq_subvectors(bad, 2, 4).collect()
+    # the clean subset still slices fine through the same expression
+    ok = pq_subvectors(bad.filter("vec_id = 1"), 2, 4).collect()
+    assert len(ok) == 2 and all(len(r["sv"]) == 4 for r in ok)
+
+
+def test_pq_oracles_id_robust_on_offset_ids(spark, tmp_path):
+    """The PQ-family ORACLES seed codebooks by rank-of-lowest-ids, not
+    id value (VERDICT r7 item 3): on a fixture where the former seed
+    ids (0..3) are displaced to the top of the id range, the lowest
+    ids become 4..7 and both engines must still agree. The old
+    ``WHERE vec_id < 4`` oracle seeding would find NO seeds here and
+    silently diverge."""
+    import duckdb
+
+    from blspark.catalog import registry
+    from tests.conftest import SF_ORACLE
+    from tests.test_oracle import _row_multiset
+
+    # Fixture: displace ids < 4 beyond the max id; queries (10..14)
+    # and all other ids keep their values, so only SEEDING shifts.
+    src = f"{SF_ORACLE}/embeddings.parquet"
+    fix = tmp_path / "embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT CASE WHEN vec_id < 4 THEN vec_id + 1000000 ELSE vec_id END
+                   AS vec_id,
+                 * EXCLUDE (vec_id)
+          FROM read_parquet('{src}')
+        ) TO '{fix}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{fix}')"
+    )
+
+    qs = registry()
+    for name in (
+        "x_similarity_pq_checked",
+        "x_similarity_ivfpq_checked",
+        "x_similarity_pq_rerank",
+    ):
+        q = qs[name]
+        sdf = q.spark_fn(spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.execute(q.oracle)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+        assert srows, f"{name}: empty result on offset-id fixture"
+        assert len(srows) == len(drows), f"{name}: row count mismatch"
+        assert _row_multiset(srows, sdf.columns) == _row_multiset(
+            drows, dcols
+        ), f"{name}: value mismatch on offset-id fixture"

@@ -160,3 +160,108 @@ def test_newest_key_lexicographic(spark):
         newest_key(df, "population_data_", ".json")
         == "population_data_20241231_235959.json"
     )
+
+
+class _FlakyFS:
+    """Duck-typed pyarrow-FileSystem wrapper that raises OSError on the
+    first N mutating calls per process, then delegates — simulating a
+    transient object-store error (the reference retries uploads ×3 with
+    linear backoff, sync_and_fetch.py:120-131)."""
+
+    def __init__(self, inner, fail_first: int = 1):
+        self._inner = inner
+        self._fails_left = fail_first
+
+    def _maybe_fail(self):
+        if self._fails_left > 0:
+            self._fails_left -= 1
+            raise OSError("injected transient failure")
+
+    def create_dir(self, path, recursive=True):
+        return self._inner.create_dir(path, recursive=recursive)
+
+    def get_file_info(self, path):
+        return self._inner.get_file_info(path)
+
+    def open_input_stream(self, path):
+        return self._inner.open_input_stream(path)
+
+    def open_output_stream(self, path):
+        self._maybe_fail()
+        return self._inner.open_output_stream(path)
+
+    def delete_file(self, path):
+        self._maybe_fail()
+        return self._inner.delete_file(path)
+
+
+def test_apply_mirror_fs_retries_transient_errors(spark, tmp_path):
+    """A destination filesystem that fails the first mutating call per
+    worker still converges: each per-file copy/delete is wrapped in
+    with_retries (linear ×3), so one transient error never fails the
+    partition. Counts and final mirror state are unchanged vs a healthy
+    run."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from blspark.sync import apply_mirror_fs
+
+    # The wrapper class lives in this test module, which executors can't
+    # import — serialize it by value instead.
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    try:
+        from pyarrow import fs as pafs
+
+        src = tmp_path / "remote"
+        dst = tmp_path / "mirror"
+        src.mkdir()
+        dst.mkdir()
+        (src / "a.txt").write_text("alpha")
+        (src / "b.txt").write_text("beta")
+        (dst / "b.txt").write_text("BETA-OLD")
+        (dst / "c.txt").write_text("gamma")
+
+        remote = file_manifest(spark, str(src))
+        mirror = file_manifest(spark, str(dst))
+        # single partition so every action hits the SAME flaky instance
+        plan = classify_mirror(remote, mirror).coalesce(1)
+
+        flaky = _FlakyFS(pafs.LocalFileSystem(), fail_first=2)
+        counts = apply_mirror_fs(
+            plan,
+            str(src),
+            (flaky, str(dst)),
+            retry_backoff_s=0.0,
+        )
+        assert counts == {"insert": 1, "update": 1, "skip": 0, "delete": 1}
+        assert (dst / "a.txt").read_text() == "alpha"
+        assert (dst / "b.txt").read_text() == "beta"
+        assert not (dst / "c.txt").exists()
+    finally:
+        cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
+
+
+def test_apply_mirror_fs_relative_path_resolved_on_driver(spark, tmp_path, monkeypatch):
+    """A bare relative dst root must be resolved against the DRIVER's
+    cwd before the closure ships (ADVICE r7): chdir after building the
+    plan, then apply — files must land under the original cwd."""
+    from blspark.sync import apply_mirror_fs
+
+    src = tmp_path / "remote"
+    dst = tmp_path / "mirror"
+    elsewhere = tmp_path / "elsewhere"
+    src.mkdir()
+    dst.mkdir()
+    elsewhere.mkdir()
+    (src / "a.txt").write_text("alpha")
+
+    remote = file_manifest(spark, str(src))
+    mirror = file_manifest(spark, str(dst))
+    plan = classify_mirror(remote, mirror)
+
+    monkeypatch.chdir(tmp_path)
+    counts = apply_mirror_fs(plan, str(src), "mirror")
+    assert counts["insert"] == 1
+    assert (dst / "a.txt").read_text() == "alpha"
+    assert not (elsewhere / "a.txt").exists()
