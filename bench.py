@@ -100,6 +100,7 @@ def main() -> None:
         "x_similarity_pq_checked", "x_similarity_ivfpq_checked",
         "x_similarity_pq_rerank", "x_text_boilerplate_strip",
     )
+    R8_SET = R7_SET + ("x_similarity_ivfpq_residual",)
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
     LSH_SET = (
@@ -110,11 +111,13 @@ def main() -> None:
         label: round(sum(timings[n] for n in names if n in timings), 3)
         for label, names in (
             ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
-            ("r7_25", R7_SET),
+            ("r7_25", R7_SET), ("r8_26", R8_SET),
         )
     }
     subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)
     subtotals["cold_r5_21"] = round(sum(cold[n] for n in R5_SET if n in cold), 3)
+    subtotals["cold_r7_25"] = round(sum(cold[n] for n in R7_SET if n in cold), 3)
+    subtotals["cold_r8_26"] = round(sum(cold[n] for n in R8_SET if n in cold), 3)
     subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET if n in cold), 3)
     print(
         json.dumps(

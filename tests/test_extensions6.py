@@ -124,3 +124,28 @@ def test_topk_merge_equals_direct(spark):
         .collect()
     ]
     assert got == direct
+
+
+def test_cooccurrence_pair_clamp_bounds_pathological_doc(spark):
+    """The per-doc pairing clamp is real: a doc with 200 distinct
+    tokens contributes at most C(64, 2) pairs (the 64 lexicographically
+    smallest tokens), not C(200, 2) — the explicit O(M^2) bound the
+    operator's scale story rests on. Checked through the same pairing
+    expressions the query uses."""
+    from blspark.queries.extensions6 import _MAX_PAIR_TOKS
+
+    text = " ".join(f"tok{i:04d}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    dp = docs.select(
+        "doc_id", F.explode(F.slice(toks, 1, _MAX_PAIR_TOKS)).alias("tok")
+    )
+    a, b = dp.alias("a"), dp.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.tok") < F.col("b.tok")),
+    ).count()
+    assert n_pairs == _MAX_PAIR_TOKS * (_MAX_PAIR_TOKS - 1) // 2
+    kept = {r["tok"] for r in dp.collect()}
+    assert kept == {f"tok{i:04d}" for i in range(_MAX_PAIR_TOKS)}

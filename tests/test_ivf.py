@@ -106,3 +106,53 @@ def test_lsh_multiprobe_recall_monotone(spark):
     assert recalls[1] > 0  # single-probe floor on test data
     for lo, hi in ((1, 3), (3, 5)):
         assert recalls[hi] >= recalls[lo] - 1e-9  # monotone in probes
+
+
+def test_cell_assign_agg_path_matches_brute_force(spark):
+    """The probes==1 hash-aggregate argmin (min over (-sim, cell_id)
+    structs — map-side combinable) must pick exactly the cell the
+    rank-window rule picks: max cosine, tie-break lowest cell_id.
+    Checked against a driver-side brute force over the real
+    embeddings."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    cent = _centroid_frame(cents)
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in _cell_assign(
+            vecs.select("vec_id", "vec", _norm(F.col("vec")).alias("vnorm")),
+            cent,
+            "vec_id",
+            1,
+        ).collect()
+    }
+
+    import math
+
+    cmap = {r["cell_id"]: r["cvec"] for r in cent.collect()}
+    for r in vecs.collect():
+        v = r["vec"]
+        nv = math.sqrt(sum(x * x for x in v))
+        best = min(
+            (
+                (
+                    -sum(x * y for x, y in zip(v, c))
+                    / (nv * math.sqrt(sum(x * x for x in c))),
+                    cid,
+                )
+                for cid, c in cmap.items()
+            )
+        )[1]
+        assert got[r["vec_id"]] == best, r["vec_id"]
