@@ -86,6 +86,102 @@ def cosine_topk(
     )
 
 
+def sq8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "vec"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization (the FAISS SQ8 shape, and the
+    vector form of x_embed_quantize's per-element output): per vector,
+    scale = max|x|/127, code_i = floor(x_i/scale + 0.5) in [-127, 127].
+    4x storage/bandwidth vs float32 — at 100 TB of embeddings, the scan
+    reads a quarter of the bytes and the hot inner loop is integer
+    multiply-add. Zero-vector rows (scale 0) quantize to all-zero codes
+    with scale 0 — they carry no direction, every score is 0.
+
+    floor(x + 0.5), never round(): half-even vs half-up rounding
+    differs between engines; floor is bit-deterministic in IEEE double.
+    Returns (id, qvec array<int>, scale double)."""
+    maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.when(
+                scale > 0, F.floor(x / scale + F.lit(0.5)).cast("int")
+            ).otherwise(F.lit(0)),
+        ).alias("qvec"),
+        F.when(scale > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product over int-code arrays — EXACT (int64
+    accumulation; 64 dims x 127^2 maxes far below 2^63), so unlike the
+    float folds there is no association concern at all."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate top-k by inner product over SQ8 codes — the scalar-
+    quantization rung of the compression ladder (PQ quantizes
+    subVECTORS against a trained codebook; SQ8 quantizes each SCALAR
+    against the vector's own range — no training, better fidelity,
+    less compression). Score decomposes exactly:
+
+        dot(x_hat, q_hat) = scale_x * scale_q * idot(qv_x, qv_q)
+
+    where idot is an EXACT int64 sum — the whole corpus-side inner
+    loop is integer multiply-add on a quarter of the bytes, with ONE
+    double multiply per (query, neighbor) pair at the end. Plan shape
+    mirrors cosine_topk: quantization is map-side in the same stage as
+    the scan, queries broadcast, no shuffle until the per-query top-k.
+    Returns (query_id, neighbor_id, score, iprod, rank); score is the
+    reconstructed inner product (6 dp), iprod the exact integer dot.
+    """
+    c = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    q = sq8_quantize(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _idot(F.col("nq"), F.col("qq")).alias("iprod"),
+        (F.col("nscale") * F.col("qscale")).alias("ss"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("iprod") * F.col("ss")), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("iprod") * F.col("ss"), 6).alias("score"),
+            "iprod",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     hyperplanes: list[list[float]],

@@ -386,6 +386,78 @@ def x_similarity_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQ8 scalar-quantization ANN (the other FAISS compression workhorse)
+# ---------------------------------------------------------------------------
+
+_SQ8_K = 5
+
+SQ8_CHECKED_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+qz AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(vec, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
+              ELSE list_transform(vec, x -> 0) END AS qvec,
+         CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(n.qvec, q.qvec),
+              x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS iprod,
+         n.scale * q.scale AS ss
+  FROM qz n, qz q
+  WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id,
+       ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_similarity_sq8_checked",
+    oracle=SQ8_CHECKED_ORACLE,
+    doc="Scalar-quantization (SQ8) ANN with a full SQL oracle — the "
+    "OTHER compression rung next to PQ (completing the FAISS ladder: "
+    "brute -> LSH -> IVF -> SQ8 -> PQ -> IVF-PQ -> rerank): each "
+    "element quantizes against its vector's own range (scale = "
+    "max|x|/127, code = floor(x/scale + 0.5) in [-127, 127]) — no "
+    "training, 4x fewer bytes scanned, and the inner product "
+    "decomposes EXACTLY as scale_n * scale_q * idot(codes) where idot "
+    "is an int64 sum with no float-association concern at all (the "
+    "one fully-exact score core in the ANN family; the only doubles "
+    "are the two per-vector scales). Plan shape mirrors cosine_topk: "
+    "map-side quantization fused into the scan, broadcast queries, "
+    "one per-query top-k window. At 100 TB this is the drop-in when "
+    "PQ's codebook recall floor is too lossy: 4x compression with "
+    "near-exact ranking instead of 32x with trained codes. "
+    "ext/similarity.sq8_quantize / sq8_topk; tests/test_pq.py proves "
+    "exactness on lattice data + the |x - x_hat| <= scale/2 "
+    "reconstruction bound.",
+)
+def x_similarity_sq8_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return sq8_topk(vecs, queries, k=_SQ8_K)
+
+
+# ---------------------------------------------------------------------------
 # PQ quality evaluation (recall contract vs exact ground truth)
 # ---------------------------------------------------------------------------
 

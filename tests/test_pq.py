@@ -539,3 +539,68 @@ def test_ivfpq_residual_zero_centroid_equals_plain_adc(spark):
     assert {tuple(r) for r in res.collect()} == {
         tuple(r) for r in plain.collect()
     }
+
+
+def test_sq8_exact_on_lattice_data(spark):
+    """Vectors whose elements are exact integer multiples of their own
+    scale reconstruct PERFECTLY (code*scale == x), so SQ8 top-k must
+    equal the exact inner-product ranking bit-for-bit — the sharp
+    no-quantization-error equivalence."""
+    from blspark.ext.similarity import sq8_topk
+
+    # elements are k * s with k in [-127, 127] -> scale = 127s/127 = s
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        s = 0.25 * (1 + i % 3)
+        vec = [s * rng.randint(-126, 126) for _ in range(15)] + [s * 127.0]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in sq8_topk(df, queries, k=4).collect()
+    }
+    data = dict(rows)
+    for q in range(5):
+        dots = sorted(
+            (
+                (sum(x * y for x, y in zip(data[q], v)), -i, i)
+                for i, v in data.items()
+                if i != q
+            ),
+            reverse=True,
+        )
+        for rank in range(1, 5):
+            d, _, i = dots[rank - 1]
+            nid, score = got[(q, rank)]
+            assert nid == i, (q, rank)
+            assert score == pytest.approx(d, abs=1e-6)
+
+
+def test_sq8_reconstruction_bound_and_zero_vectors(spark):
+    """|x - code*scale| <= scale/2 for every element (the defining
+    property of round-to-nearest scalar quantization), codes stay in
+    [-127, 127], and a zero vector quantizes to all-zero codes with
+    scale 0 instead of dividing by zero."""
+    from blspark.ext.similarity import sq8_quantize
+
+    vecs = _vecs(spark).limit(50).union(
+        spark.createDataFrame(
+            [(9999, [0.0] * 64)], "vec_id long, vec array<double>"
+        )
+    )
+    rows = {r["vec_id"]: r for r in sq8_quantize(vecs).collect()}
+    data = {r["vec_id"]: r["vec"] for r in vecs.collect()}
+    z = rows[9999]
+    assert z["scale"] == 0.0 and set(z["qvec"]) == {0}
+    for vid, r in rows.items():
+        if vid == 9999:
+            continue
+        s = r["scale"]
+        assert s > 0
+        for x, c in zip(data[vid], r["qvec"]):
+            assert -127 <= c <= 127
+            assert abs(x - c * s) <= s / 2 + 1e-12, (vid, x, c)
