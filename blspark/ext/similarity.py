@@ -182,6 +182,85 @@ def sq8_topk(
     )
 
 
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_tokens: int,
+    token_dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents and
+    queries are MULTI-vector representations (n_tokens token vectors of
+    token_dim dims, sliced from the packed vector column — the layout a
+    real ColBERT index ships), and
+
+        score(q, d) = sum_i max_j dot(q_token_i, d_token_j)
+
+    — each query token finds its best-matching document token, and the
+    per-token maxima sum. This is a different FAMILY from single-vector
+    ANN: the interaction happens per token pair at query time, which is
+    what makes late interaction robust to polysemy (one of q's tokens
+    can match d's third sentence while another matches its title).
+
+    Determinism: every pairwise dot is the sequential-fold ``_dot``;
+    MAX is a pure selection (no accumulation error); the final sum over
+    the query's n_tokens maxima folds in token order (collect, sort,
+    sequential aggregate — DuckDB's ``list_sum(list(best ORDER BY
+    qm))``).
+
+    Scale shape: query token vectors broadcast (Q x n_tokens rows); the
+    corpus token explode is map-side in the scan's stage; the
+    (query, doc, query_token) MAX and the (query, doc) ordered sum are
+    both hash aggregates with map-side partials — the only shuffle of
+    corpus-sized data is (query, doc)-keyed rows of one double. At
+    100 TB, compose with an IVF/LSH candidate filter in front (score
+    only shortlisted docs) exactly like pq_rerank_topk's fetch stage.
+    Returns (query_id, neighbor_id, score, rank)."""
+    d_tok = pq_subvectors(
+        corpus, n_tokens, token_dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), "m", "sv")
+    q_tok = pq_subvectors(
+        queries, n_tokens, token_dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("m").alias("qm"),
+             F.col("sv").alias("qsv"))
+    best = (
+        d_tok.join(
+            F.broadcast(q_tok), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id", "neighbor_id", "qm",
+            _dot(F.col("sv"), F.col("qsv")).alias("dp"),
+        )
+        .groupBy("query_id", "neighbor_id", "qm")
+        .agg(F.max("dp").alias("best"))
+    )
+    scored = best.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qm", "best"))),
+                lambda s: s["best"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("score_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     hyperplanes: list[list[float]],

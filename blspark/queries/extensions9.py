@@ -458,6 +458,77 @@ def x_similarity_sq8_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT MaxSim over multi-vector reps)
+# ---------------------------------------------------------------------------
+
+_MS_K = 5
+
+MAXSIM_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+qsv AS MATERIALIZED (
+  SELECT vec_id, m, sv FROM sv WHERE vec_id >= 10 AND vec_id < 15
+),
+pair AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.m AS qm,
+         MAX({_DOTQ.format(a="d.sv", b="q.sv")}) AS best
+  FROM sv d, qsv q
+  WHERE d.vec_id <> q.vec_id
+  GROUP BY q.vec_id, d.vec_id, q.m
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(best ORDER BY qm)) AS score_raw
+  FROM pair GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_MS_K}
+"""
+
+
+@register(
+    "x_retrieval_maxsim",
+    oracle=MAXSIM_ORACLE,
+    doc="ColBERT-style late-interaction retrieval (MaxSim) with a full "
+    "SQL oracle — a different retrieval FAMILY from single-vector ANN: "
+    "documents and queries are MULTI-vector token representations "
+    "(here the 8x8-dim slices of the packed embedding — the layout a "
+    "real ColBERT index ships), and score = sum over query tokens of "
+    "the best-matching document token dot product; each query token "
+    "independently finds its match, which is what makes late "
+    "interaction robust where one pooled vector washes detail out. "
+    "Determinism: per-pair dots are ordered folds, MAX is pure "
+    "selection, the final per-query-token sum folds in token order. "
+    "Plan: query tokens broadcast; corpus token explode map-side; the "
+    "(query, doc, qtoken) MAX and the (query, doc) ordered sum are "
+    "hash aggregates with map-side partials — one corpus-sized "
+    "shuffle of single-double rows. At 100 TB compose with an IVF/LSH "
+    "candidate stage in front, like pq_rerank_topk's fetch. "
+    "ext/similarity.maxsim_topk; tests/test_pq.py pins the "
+    "planted-best-token property and self-exclusion.",
+)
+def x_retrieval_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return maxsim_topk(vecs, queries, _PQ_M, _PQ_SUBDIM, k=_MS_K)
+
+
+# ---------------------------------------------------------------------------
 # PQ quality evaluation (recall contract vs exact ground truth)
 # ---------------------------------------------------------------------------
 

@@ -213,3 +213,20 @@ def test_boilerplate_strip_broadcasts_manifest(spark):
     plan = _plan(spark, "x_text_boilerplate_strip")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_residual_sq8_eval_plans_no_cartesian_broadcast_smalls(spark):
+    """Round-8 additions keep the family's plan contract: no cartesian
+    products; the metadata-sized frames (centroids, codebooks, LUT,
+    probes, shortlist, queries) join as broadcasts; and SQ8's only
+    corpus join is the broadcast-queries NLJ (cosine_topk's shape)
+    with a WindowGroupLimit partial top-k before the exchange."""
+    for name in ("x_similarity_ivfpq_residual", "x_pq_eval"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    plan = _plan(spark, "x_similarity_sq8_checked")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # partial top-k pushed below the exchange
+    # exactly one shuffle: the per-query top-k
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2

@@ -604,3 +604,80 @@ def test_sq8_reconstruction_bound_and_zero_vectors(spark):
         for x, c in zip(data[vid], r["qvec"]):
             assert -127 <= c <= 127
             assert abs(x - c * s) <= s / 2 + 1e-12, (vid, x, c)
+
+
+def test_maxsim_planted_best_token_and_properties(spark):
+    """MaxSim semantics pinned on planted data: (1) a document sharing
+    ONE strong token with the query outranks a document with several
+    weak matches only if its max wins per token — score equals the
+    hand-computed sum of per-query-token best dots; (2) every query
+    returns exactly k ranked rows excluding itself."""
+    from blspark.ext.similarity import maxsim_topk
+
+    # 2 tokens x 2 dims (dim 4 packed). Query tokens: e1, e2.
+    def pack(*toks):
+        out = []
+        for t in toks:
+            out += t
+        return out
+
+    e1, e2, z = [10.0, 0.0], [0.0, 10.0], [0.0, 0.0]
+    rows = [
+        (0, pack(e1, e2)),            # the query
+        (1, pack(e1, z)),             # strong match on token 1 only
+        (2, pack([3.0, 0.0], [0.0, 3.0])),  # moderate on both
+        (3, pack(z, [0.0, 7.0])),     # strong on token 2 only
+        (4, pack([-5.0, 0.0], z)),    # anti-match
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    got = {
+        r["neighbor_id"]: (r["score"], r["rank"])
+        for r in maxsim_topk(df, queries, 2, 2, k=4).collect()
+    }
+    assert 0 not in got  # self excluded
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    data = dict(rows)
+    for nid, (score, _rank) in got.items():
+        d = data[nid]
+        toks = [d[0:2], d[2:4]]
+        expect = max(dot(e1, t) for t in toks) + max(dot(e2, t) for t in toks)
+        assert score == pytest.approx(expect, abs=1e-6), nid
+    # doc1: max(100, 0) + max(0, 0) = 100; doc3: 0 + 70 = 70;
+    # doc2: 30 + 30 = 60; doc4: max(-50, 0)=0 + 0 = 0
+    assert [n for n, (_s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] \
+        == [1, 3, 2, 4]
+
+
+def test_maxsim_position_invariance_beats_pooled(spark):
+    """The property late interaction exists for: a document whose
+    matching content sits at the WRONG token position scores ZERO
+    under the pooled single-vector dot (position-aligned sum) but wins
+    under MaxSim (each query token scans ALL document tokens). The
+    pooled ranking and the MaxSim ranking provably disagree here, and
+    MaxSim finds the true match."""
+    from blspark.ext.similarity import maxsim_topk
+
+    q = [10.0, 0.0, 0.0, 10.0]          # tokens [10,0], [0,10]
+    doc_misplaced = [0.0, 12.0, 0.0, 0.0]  # the [0,12] content at slot 1
+    doc_allround = [5.0, 5.0, 5.0, 5.0]
+    df = spark.createDataFrame(
+        [(0, q), (1, doc_misplaced), (2, doc_allround)],
+        "vec_id long, vec array<double>",
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+    ms = {
+        r["neighbor_id"]: (r["rank"], r["score"])
+        for r in maxsim_topk(df, queries, 2, 2, k=2).collect()
+    }
+    # pooled dots: misplaced = 0 (content at the wrong slot), allround
+    # = 100 -> pooled ranks allround first. MaxSim: misplaced = 0 +
+    # max(dot([0,10],[0,12]), 0) = 120 > allround = 50 + 50 = 100.
+    pooled_mis = sum(a * b for a, b in zip(q, doc_misplaced))
+    pooled_all = sum(a * b for a, b in zip(q, doc_allround))
+    assert pooled_mis < pooled_all          # pooled gets it wrong
+    assert ms[1] == (1, 120.0)              # MaxSim gets it right
+    assert ms[2] == (2, 100.0)
