@@ -91,19 +91,20 @@ def register(
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
     # -- Round-8 rotation (VERDICT r7 item 1): finish hard-signal
-    # freshness. First-time driver checks for the four round-8
+    # freshness. First-time driver checks for the five round-8
     # operators outrank stale refresh (budget policy above), then the
     # 31 r2-stale queries, then the 30 r3-stale — the 50-slot budget
-    # signs 4 new + 31 r2 + 15 r3 this round, leaving 15 r3-stale +
+    # signs 5 new + 31 r2 + 14 r3 this round, leaving 16 r3-stale +
     # 43 r4-stale (listed next, in order) to lead the round-9
     # rotation; after that no driver row is ever older than ~4
     # rounds. All queries are locally green every run
     # (tests/test_oracle.py re-differentials the full registry).
-    # round-8 first-timers (4):
+    # round-8 first-timers (5):
     "x_pq_eval",
     "x_similarity_ivfpq_residual",
     "x_similarity_sq8_checked",
     "x_retrieval_maxsim",
+    "x_retrieval_maxsim_pruned",
     # r2-stale (31):
     "q_conditional_agg",
     "q_funnel_conversion",

@@ -190,6 +190,7 @@ def maxsim_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ColBERT-style late-interaction retrieval (MaxSim): documents and
     queries are MULTI-vector representations (n_tokens token vectors of
@@ -217,6 +218,14 @@ def maxsim_topk(
     corpus-sized data is (query, doc)-keyed rows of one double. At
     100 TB, compose with an IVF/LSH candidate filter in front (score
     only shortlisted docs) exactly like pq_rerank_topk's fetch stage.
+    ``candidates``: optional (query_id, neighbor_id) frame restricting
+    which pairs are scored — the 100 TB shape: an IVF/LSH stage
+    produces the candidate set, MaxSim scores ONLY those pairs instead
+    of the full cross product (``maxsim_pruned_topk`` wires the IVF
+    version). With candidates, the corpus token frame joins them on
+    neighbor_id (an equi-join that prunes before any query pairing);
+    without, every (doc, query) pair is scored.
+
     Returns (query_id, neighbor_id, score, rank)."""
     d_tok = pq_subvectors(
         corpus, n_tokens, token_dim, id_col=id_col, vec_col=vec_col
@@ -225,11 +234,18 @@ def maxsim_topk(
         queries, n_tokens, token_dim, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("query_id"), F.col("m").alias("qm"),
              F.col("sv").alias("qsv"))
-    best = (
-        d_tok.join(
+    if candidates is not None:
+        paired = d_tok.join(
+            candidates.select("query_id", "neighbor_id"), "neighbor_id"
+        ).join(
+            F.broadcast(q_tok), "query_id"
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+    else:
+        paired = d_tok.join(
             F.broadcast(q_tok), F.col("neighbor_id") != F.col("query_id")
         )
-        .select(
+    best = (
+        paired.select(
             "query_id", "neighbor_id", "qm",
             _dot(F.col("sv"), F.col("qsv")).alias("dp"),
         )
@@ -258,6 +274,55 @@ def maxsim_topk(
             F.round("score_raw", 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def maxsim_pruned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_tokens: int,
+    token_dim: int,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF-pruned MaxSim — late interaction at corpus scale: the IVF
+    stage (the SAME ``_cell_assign`` rule the whole family shares)
+    produces (query, probed cell) pairs; only documents in a query's
+    probed cells get the full token-level MaxSim scoring. At 100 TB the
+    expensive O(n_tokens^2) interaction runs on |probed cells|/|cells|
+    of the corpus, and with ``nprobe == |cells|`` the restriction is
+    vacuous — results equal plain ``maxsim_topk`` (property-tested).
+    Candidates are (query, doc) pairs from an equi-join on cell_id —
+    broadcast probe list against the cell-assigned corpus, no cross
+    product anywhere."""
+    cent = _centroid_frame(centroids)
+    c_cells = _cell_assign(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        1,
+    ).select(F.col(id_col).alias("neighbor_id"), "cell_id")
+    probes = _cell_assign(
+        queries.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        nprobe,
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    candidates = c_cells.join(F.broadcast(probes), "cell_id").select(
+        "query_id", "neighbor_id"
+    )
+    return maxsim_topk(
+        corpus, queries, n_tokens, token_dim, k=k,
+        id_col=id_col, vec_col=vec_col, candidates=candidates,
     )
 
 

@@ -528,6 +528,71 @@ def x_retrieval_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(vecs, queries, _PQ_M, _PQ_SUBDIM, k=_MS_K)
 
 
+MAXSIM_PRUNED_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+qsv AS MATERIALIZED (
+  SELECT vec_id, m, sv FROM sv WHERE vec_id >= 10 AND vec_id < 15
+),
+pair AS (
+  SELECT p.query_id, d.vec_id AS neighbor_id, q.m AS qm,
+         MAX({_DOTQ.format(a="d.sv", b="q.sv")}) AS best
+  FROM sv d
+  JOIN cassign a ON d.vec_id = a.vec_id
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN qsv q ON q.vec_id = p.query_id
+  WHERE d.vec_id <> p.query_id
+  GROUP BY p.query_id, d.vec_id, q.m
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(best ORDER BY qm)) AS score_raw
+  FROM pair GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_MS_K}
+"""
+
+
+@register(
+    "x_retrieval_maxsim_pruned",
+    oracle=MAXSIM_PRUNED_ORACLE,
+    doc="IVF-pruned MaxSim — late-interaction retrieval AT SCALE, the "
+    "composition x_retrieval_maxsim's doc promises: the IVF stage "
+    "(same deterministic label-mean cells and _cell_assign rule the "
+    "whole family shares) restricts the O(n_tokens^2) token "
+    "interaction to documents in each query's nprobe=2 probed cells — "
+    "at 100 TB the expensive stage runs on |probed|/|cells| of the "
+    "corpus. Candidate pairs come from an equi-join on cell_id "
+    "(broadcast probe list, no cross product); the MaxSim arithmetic "
+    "is shared verbatim with the unpruned query, and with nprobe == "
+    "|cells| results equal plain maxsim_topk (property-tested). "
+    "ext/similarity.maxsim_pruned_topk.",
+)
+def x_retrieval_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import maxsim_pruned_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return maxsim_pruned_topk(
+        vecs, queries, cents, _PQ_M, _PQ_SUBDIM, k=_MS_K, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ quality evaluation (recall contract vs exact ground truth)
 # ---------------------------------------------------------------------------

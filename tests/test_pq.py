@@ -681,3 +681,48 @@ def test_maxsim_position_invariance_beats_pooled(spark):
     assert pooled_mis < pooled_all          # pooled gets it wrong
     assert ms[1] == (1, 120.0)              # MaxSim gets it right
     assert ms[2] == (2, 100.0)
+
+
+def test_maxsim_pruned_full_probe_equals_unpruned(spark):
+    """With nprobe == |cells| the IVF restriction is vacuous: pruned
+    MaxSim must return exactly the plain MaxSim result — the candidate
+    stage prunes and does nothing else. And at nprobe=1, every
+    neighbor must live in its query's single probed cell."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        label_centroids,
+        maxsim_pruned_topk,
+        maxsim_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    n_cells = cents.count()
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    full = maxsim_pruned_topk(
+        vecs, queries, cents, 8, 8, k=3, nprobe=n_cells
+    )
+    plain = maxsim_topk(vecs, queries, 8, 8, k=3)
+    assert {tuple(r) for r in full.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+    pruned = maxsim_pruned_topk(vecs, queries, cents, 8, 8, k=3, nprobe=1)
+    cent = _centroid_frame(cents)
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in _cell_assign(
+            vecs.select("vec_id", "vec", _norm(F.col("vec")).alias("vnorm")),
+            cent, "vec_id", 1,
+        ).select("vec_id", "cell_id").collect()
+    }
+    for r in pruned.collect():
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
