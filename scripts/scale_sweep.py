@@ -484,11 +484,56 @@ def bench_ivfpq_residual(spark, factor: int) -> float:
     return dt
 
 
+def bench_sq8(spark, factor: int) -> float:
+    """SQ8 quantize + brute inner-product top-k at growing corpus size:
+    map-side quantization, broadcast queries, WindowGroupLimit partial
+    top-k — should track the corpus scan linearly."""
+    from blspark.ext.similarity import sq8_topk
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = sq8_topk(vecs, queries, k=5).count()
+    dt = time.perf_counter() - t0
+    print(f"  sq8 x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_maxsim_pruned(spark, factor: int) -> float:
+    """IVF-pruned MaxSim at growing corpus size: the token-interaction
+    stage only touches probed cells, so wall time should grow with the
+    probed fraction of the corpus, linearly."""
+    from blspark.ext.similarity import label_centroids, maxsim_pruned_topk
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = maxsim_pruned_topk(vecs, queries, cents, 8, 8, k=5, nprobe=2).count()
+    dt = time.perf_counter() - t0
+    print(f"  maxsim_pruned x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
     "ivfpq": bench_ivfpq,
     "ivfpq_residual": bench_ivfpq_residual,
+    "sq8": bench_sq8,
+    "maxsim_pruned": bench_maxsim_pruned,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

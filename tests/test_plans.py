@@ -221,7 +221,11 @@ def test_residual_sq8_eval_plans_no_cartesian_broadcast_smalls(spark):
     probes, shortlist, queries) join as broadcasts; and SQ8's only
     corpus join is the broadcast-queries NLJ (cosine_topk's shape)
     with a WindowGroupLimit partial top-k before the exchange."""
-    for name in ("x_similarity_ivfpq_residual", "x_pq_eval"):
+    for name in (
+        "x_similarity_ivfpq_residual",
+        "x_pq_eval",
+        "x_retrieval_maxsim_pruned",
+    ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
