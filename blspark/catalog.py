@@ -90,68 +90,23 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-8 rotation (VERDICT r7 item 1): finish hard-signal
-    # freshness. First-time driver checks for the five round-8
-    # operators outrank stale refresh (budget policy above), then the
-    # 31 r2-stale queries, then the 30 r3-stale — the 50-slot budget
-    # signs 5 new + 31 r2 + 14 r3 this round, leaving 16 r3-stale +
-    # 43 r4-stale (listed next, in order) to lead the round-9
-    # rotation; after that no driver row is ever older than ~4
-    # rounds. All queries are locally green every run
-    # (tests/test_oracle.py re-differentials the full registry).
-    # round-8 first-timers (5):
-    "x_pq_eval",
-    "x_similarity_ivfpq_residual",
-    "x_similarity_sq8_checked",
-    "x_retrieval_maxsim",
-    "x_retrieval_maxsim_pruned",
-    # r2-stale (31):
-    "q_conditional_agg",
-    "q_funnel_conversion",
-    "q_large_orders",
-    "q_nation_pairs_volume",
-    "q_ntile_deciles",
-    "q_regional_revenue",
-    "q_returned_items",
-    "q_sync_classify",
-    "x_embed_quantize",
-    "x_multimodal_framesample",
-    "x_multimodal_metadata",
-    "x_pack_sequences",
-    "x_pagerank_iters",
-    "x_quality_filter_quantile",
-    "x_quality_gopher_rules",
-    "x_sample_quality_weighted",
-    "x_sample_split",
-    "x_sample_stratified",
-    "x_select_token_budget",
-    "x_shard_assign",
-    "x_sketch_accuracy_checked",
-    "x_skew_salted_join",
-    "x_text_chunk_windows",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_ngram_freq",
-    "x_text_normalize",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
-    "x_udaf_weighted_stats",
-    # r3-stale (30; budget boundary falls after the 17th):
-    "q_customer_order_distribution",
-    "q_disjunctive_filter_revenue",
-    "q_events_interval_join",
-    "q_events_session_window",
-    "q_events_sessionize",
-    "q_forecast_revenue",
-    "q_grouping_sets",
-    "q_idle_rich_customers",
-    "q_important_parts",
-    "q_linestatus_priority_counts",
-    "q_min_cost_supplier",
-    "q_order_priority_check",
-    "q_promo_revenue",
-    "q_promotion_suppliers",
+    # -- Round-9 rotation (VERDICT r8 item 1): finish hard-signal
+    # freshness. First-time driver checks for the round-9 operators
+    # outrank stale refresh (budget policy above), then the 16
+    # r3-stale queries, then the 30 alphabetically-first r4-stale —
+    # the 50-slot budget signs 4 new + 16 r3 + 30 r4 this round,
+    # leaving 13 r4-stale (listed next, in order) to close out in
+    # round 10; after that no driver signature is ever older than
+    # ~4 rounds, permanently. Recomputed programmatically from
+    # CORRECTNESS_r01..r08.json (latest round per query). All
+    # queries are locally green every run (tests/test_oracle.py
+    # re-differentials the full registry).
+    # round-9 first-timers (4):
+    "x_similarity_ivf_sq8",
+    "x_retrieval_maxsim_ragged",
+    "x_sq8_eval",
+    "x_maxsim_eval",
+    # r3-stale (16):
     "q_shipping_priority",
     "q_small_quantity_revenue",
     "q_supplier_part_counts",
@@ -168,7 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_tfidf_keywords",
     "x_variant_json",
-    # r4-stale (43; round-9 rotation together with the r3 remainder):
+    # r4-stale, first 30 (inside the round-9 budget):
     "q_market_share",
     "q_product_profit",
     "q_recursive_closure",
@@ -199,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_hll_partial_merge",
     "x_lm_bigram_score",
     "x_lsh_eval",
+    # r4-stale remainder, 13 (lead the round-10 rotation):
     "x_mad_outliers",
     "x_minhash_est_accuracy",
     "x_mix_epochs",
