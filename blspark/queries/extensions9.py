@@ -233,21 +233,26 @@ def _cell_assign_sql(
 
 # Shared IVF prefix: vecs + the deterministic label-mean centroid
 # device (ROUND(AVG, 6) per position — the x_similarity_ivf_checked
-# convention) + the corpus cell assignment. One copy serves both the
-# plain and the residual IVF-PQ oracles, so the cell geometry can
-# never silently diverge between them.
-_IVF_PREFIX_SQL = f"""vecs AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+# convention) + the corpus cell assignment. One copy serves the plain
+# and residual IVF-PQ oracles AND (filtered to the fixed eval sample)
+# the extensions10 recall contracts, so the cell geometry can never
+# silently diverge between them.
+def _ivf_prefix_sql(vec_filter: str = "") -> str:
+    return f"""vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings {vec_filter}
 ),
 cm AS MATERIALIZED (
   SELECT label, t.i AS pos, ROUND(AVG(embedding[t.i + 1]::DOUBLE), 6) AS m
-  FROM embeddings, range(0, 64) t(i)
+  FROM embeddings, range(0, 64) t(i) {vec_filter}
   GROUP BY label, t.i
 ),
 cents AS MATERIALIZED (
   SELECT label AS cell_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY label
 ),
 cassign AS MATERIALIZED ({_cell_assign_sql("v", "vec_id", 1)})"""
+
+
+_IVF_PREFIX_SQL = _ivf_prefix_sql()
 
 IVFPQ_CHECKED_ORACLE = f"""
 WITH {_IVF_PREFIX_SQL},

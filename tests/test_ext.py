@@ -471,6 +471,45 @@ def test_hybrid_decode_corrupt_media_degrades_not_raises():
     assert hybrid_decode(bad_riff, "audio") == fake_decode(bad_riff, "audio")
 
 
+def test_hybrid_decode_decompression_bomb_degrades(monkeypatch):
+    """A bomb-dimensioned PNG (hostile IHDR claiming ~10^10 pixels over
+    a tiny IDAT) must degrade to fake dims BEFORE any pixel inflation
+    (ADVICE r8): the stdlib path refuses it at PIL's 2x
+    MAX_IMAGE_PIXELS envelope, and PIL's own DecompressionBombError
+    (a bare-Exception subclass, not OSError) is in the fallback set
+    wherever pillow is installed."""
+    import struct
+    import zlib
+
+    from blspark.ext import multimodal as mm
+    from blspark.ext.multimodal import fake_decode, hybrid_decode
+
+    # a real (tiny) IDAT so only the bomb guard can reject it
+    idat = zlib.compress(b"\x00\x01")
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0) + b"crcc"
+        + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"crcc"
+    )
+    assert hybrid_decode(bomb, "image") == fake_decode(bomb, "image")
+
+    # whatever decoder raises PIL's DecompressionBombError (or the
+    # stdlib ValueError guard) must be caught by the fallback set
+    try:
+        from PIL.Image import DecompressionBombError as BombError
+    except ImportError:
+        BombError = None
+    if BombError is not None:
+        assert BombError in mm.DECODE_FALLBACK_ERRORS
+
+        def boom(content, modality):
+            raise BombError("Image size exceeds limit")
+
+        monkeypatch.setattr(mm, "library_decode", boom)
+        assert mm.hybrid_decode(bomb, "image") == fake_decode(bomb, "image")
+
+
 def test_hybrid_decode_flagged_and_bug_propagation():
     """The flagged variant reports fell_back truthfully (real PNG ->
     False + real dims; corrupt PNG -> True + fake dims), and a genuine

@@ -62,6 +62,11 @@ GNARLY_HTML = """
 <a href="backup-07:15:00.tar">unencoded colon, hand-rolled index</a>
 <a href="v2.0:release.zip">digit-dot pseudo-scheme file</a>
 <a href="web+custom:payload">plus-scheme link</a>
+<a href="chrome-extension://abcdef/x.js">dashed-alpha scheme</a>
+<a href="ms-word:ofe|u|file.docx">dashed-alpha scheme 2</a>
+<a href="view-source:page.html">dashed-alpha scheme 3</a>
+<a href="z39.50s:host/db">digit-bearing registered scheme (known casualty)</a>
+<a href="pr.data.0.Current:note.txt">digit-dot pseudo-scheme file 2</a>
 <a href="tel:+1555">phone</a>
 <a href="sms:+15551234">sms link</a>
 <a href="geo:40.1,-70.2">geo link</a>
@@ -86,7 +91,11 @@ def test_parse_directory_listing_gnarly_pages():
     colon in a filename-shaped token (digits/dots/dashes before the
     colon — hand-rolled indexes) is kept as a file rather than dropped
     as a pseudo-scheme (ADVICE r7), while alpha/plus schemes
-    (web+custom:) still skip."""
+    (web+custom:) still skip. ADVICE r9: filename-shaped now requires
+    a DIGIT in the token, so dashed-alpha registered schemes
+    (chrome-extension:, ms-word:, view-source:) skip correctly; the
+    digit-bearing z39.50* family is the documented casualty — kept as
+    a file, logged at debug."""
     assert parse_directory_listing(GNARLY_HTML) == [
         "unquoted.txt",
         "spaced.csv",
@@ -98,6 +107,8 @@ def test_parse_directory_listing_gnarly_pages():
         "backup-12:30:00.tar",
         "backup-07:15:00.tar",
         "v2.0:release.zip",
+        "db",  # z39.50s:host/db kept as file -> basename after the slash
+        "pr.data.0.Current:note.txt",
         "name with space.txt",
     ]
 
@@ -202,6 +213,19 @@ def test_with_retries_backoff():
 
     assert with_retries(flaky, attempts=3, backoff_s=1.0, sleep=sleeps.append) == "ok"
     assert sleeps == [1.0, 2.0]  # exponential
+
+    calls.clear()
+    lin_sleeps = []
+    assert (
+        with_retries(
+            flaky, attempts=3, backoff_s=5.0, exponential=False,
+            sleep=lin_sleeps.append,
+        )
+        == "ok"
+    )
+    # the reference's INCREASING linear policy: 5*(attempt+1)
+    # (sync_and_fetch.py:129)
+    assert lin_sleeps == [5.0, 10.0]
 
     with pytest.raises(IOError):
         with_retries(

@@ -156,3 +156,46 @@ def test_cell_assign_agg_path_matches_brute_force(spark):
             )
         )[1]
         assert got[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_cell_assign_zero_norm_paths_agree(spark):
+    """Degenerate (zero-norm) vectors and centroids (ADVICE r8): both
+    code paths must score a zero-norm pairing -inf. Before the guard,
+    the probes==1 argmin ordered the NULL sim FIRST (min over
+    (-sim, cell_id) structs puts NULL first), so a zero-norm CENTROID
+    silently won every finite vector's cell — while the probes>1
+    window (DESC, NULLS LAST) gave it to the best finite cell."""
+    from blspark.ext.similarity import _cell_assign, _centroid_frame, _norm
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),  # zero-norm vector
+            (1, [1.0, 0.0]),  # aligned with cell 2's centroid
+            (2, [0.0, 1.0]),  # aligned with cell 1's centroid
+        ],
+        "vec_id int, vec array<double>",
+    ).select("vec_id", "vec", _norm(F.col("vec")).alias("vnorm"))
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+        "cell_id int, centroid array<double>",
+    )
+    cent = _centroid_frame(cents)
+
+    # argmin path (probes=1): the zero-norm centroid (cell 0) must
+    # never win a finite vector; the zero-norm vector ties everywhere
+    # at -inf and falls back to the lowest cell_id
+    agg = {
+        r["vec_id"]: r["cell_id"]
+        for r in _cell_assign(vecs, cent, "vec_id", 1).collect()
+    }
+    assert agg == {0: 0, 1: 2, 2: 1}
+
+    # window path (probes=2): same ordering rule — the finite best
+    # cell leads, the zero-norm centroid ranks by tie-break only
+    by_id: dict[int, set[int]] = {}
+    for r in _cell_assign(vecs, cent, "vec_id", 2).collect():
+        by_id.setdefault(r["vec_id"], set()).add(r["cell_id"])
+    assert by_id[1] == {2, 0} or by_id[1] == {2, 1}
+    assert agg[1] in by_id[1] and agg[2] in by_id[2] and agg[0] in by_id[0]
+    # all sims equal (-inf) for the zero-norm vector: lowest two cells
+    assert by_id[0] == {0, 1}

@@ -726,3 +726,133 @@ def test_maxsim_pruned_full_probe_equals_unpruned(spark):
     }
     for r in pruned.collect():
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_ivf_sq8_full_probe_equals_plain_sq8(spark):
+    """With nprobe == |cells| the IVF restriction is vacuous: IVF-SQ8
+    must return exactly the plain sq8_topk result. And at nprobe=1,
+    every neighbor must live in its query's single probed cell."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        ivf_sq8_topk,
+        label_centroids,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    n_cells = cents.count()
+    queries = vecs.filter(F.col("vec_id") < 5)
+
+    full = ivf_sq8_topk(vecs, queries, cents, k=3, nprobe=n_cells)
+    plain = sq8_topk(vecs, queries, k=3)
+    assert {tuple(r) for r in full.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+    pruned = ivf_sq8_topk(vecs, queries, cents, k=3, nprobe=1)
+    cent = _centroid_frame(cents)
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in _cell_assign(
+            vecs.select("vec_id", "vec", _norm(F.col("vec")).alias("vnorm")),
+            cent, "vec_id", 1,
+        ).select("vec_id", "cell_id").collect()
+    }
+    for r in pruned.collect():
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_ragged_subvectors_counts_and_validation(spark):
+    """Each row yields exactly its claimed token count, every token is
+    the right slice, and a packed vector too short for its claim
+    raises instead of silently slicing short/empty tokens."""
+    from blspark.ext.similarity import ragged_subvectors
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)]), (2, [float(i) for i in range(4)])],
+        "vec_id int, vec array<double>",
+    )
+    ntok = F.when(F.col("vec_id") == 1, 4).otherwise(2)
+    rows = ragged_subvectors(df, 2, ntok).collect()
+    got = {(r["vec_id"], r["m"]): r["sv"] for r in rows}
+    assert len(got) == 6
+    assert got[(1, 0)] == [0.0, 1.0] and got[(1, 3)] == [6.0, 7.0]
+    assert got[(2, 1)] == [2.0, 3.0]
+
+    import pytest as _pytest
+
+    short = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "vec_id int, vec array<double>"
+    )
+    with _pytest.raises(Exception) as ei:
+        ragged_subvectors(short, 2, F.lit(3)).collect()
+    assert "too short" in str(ei.value)
+
+
+def test_ragged_maxsim_matches_fixed_width_special_case(spark):
+    """With a CONSTANT token count the ragged path must reproduce
+    maxsim_topk exactly (the fixed-width query is the special case of
+    the shared maxsim_tokens_topk core), and with genuinely ragged
+    counts every score still equals a driver-side brute force."""
+    from blspark.ext.similarity import (
+        maxsim_tokens_topk,
+        maxsim_topk,
+        ragged_subvectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 3)
+
+    d_tok = ragged_subvectors(vecs, 8, F.lit(8)).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "sv"
+    )
+    q_tok = ragged_subvectors(queries, 8, F.lit(8)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qsv"),
+    )
+    ragged = maxsim_tokens_topk(d_tok, q_tok, k=3)
+    fixed = maxsim_topk(vecs, queries, 8, 8, k=3)
+    assert {tuple(r) for r in ragged.collect()} == {
+        tuple(r) for r in fixed.collect()
+    }
+
+    # genuinely ragged: n_tok = 1 + vec_id % 8, brute-forced driver-side
+    ntok = F.col("vec_id") % 8 + 1
+    d_r = ragged_subvectors(vecs, 8, ntok).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "sv"
+    )
+    q_r = ragged_subvectors(queries, 8, ntok).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qsv"),
+    )
+    got = maxsim_tokens_topk(d_r, q_r, k=3).collect()
+
+    data = {r["vec_id"]: r["vec"] for r in vecs.collect()}
+
+    def toks(vid):
+        n = 1 + vid % 8
+        v = data[vid]
+        return [v[m * 8 : m * 8 + 8] for m in range(n)]
+
+    def maxsim(qid, did):
+        return sum(
+            max(sum(a * b for a, b in zip(qt, dt)) for dt in toks(did))
+            for qt in toks(qid)
+        )
+
+    for r in got:
+        want = maxsim(r["query_id"], r["neighbor_id"])
+        assert abs(r["score"] - want) < 1e-6, r
