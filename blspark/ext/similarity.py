@@ -677,6 +677,7 @@ def pq_train_codebooks(
     subdim: int,
     n_codes: int,
     id_col: str = "vec_id",
+    seed_id_source: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic product-quantization codebooks: per subspace, the
     ``n_codes`` codewords are seeded from the subvectors of the
@@ -695,7 +696,15 @@ def pq_train_codebooks(
     persist inside a lazy plan builder would leak past the function's
     lifetime — the extensions3 convention) and no cold-cache
     surprises. Measured at sf0.1: 1.72 -> 1.27 s on the PQ query vs
-    recompute-per-branch."""
+    recompute-per-branch.
+
+    NOTE this function is deliberately EAGER: the seed-id collect and
+    the codebook local_relation both execute at call time, so calling
+    it is "train now", not "add training to the plan" — plan-only
+    callers should not call it until they mean to pay for training.
+    Production trains once and persists the codes/codebooks; the
+    registered queries re-train per run on purpose (the bench charges
+    the full pipeline)."""
     from blspark.catalog import davg
 
     sv = pq_subvectors(vecs, n_subspaces, subdim, id_col=id_col)
@@ -707,10 +716,22 @@ def pq_train_codebooks(
     # about (and genuinely plan) a single-partition WindowExec
     # (VERDICT r7 item 4: the bench tail must stay clean enough that a
     # REAL unpartitioned window on a corpus-sized frame is visible).
-    id_type = dict(vecs.dtypes)[id_col]
+    # ``seed_id_source``: optional CHEAPER frame carrying the same id
+    # SET as ``vecs`` — the seed list only needs ids, so when ``vecs``
+    # is an expensive derivation that preserves ids 1:1 (the residual
+    # projection: corpus cell-assign + centroid join + subtraction),
+    # collecting the n_codes lowest ids from the underlying raw frame
+    # skips executing that whole subtree for a 4-row id list (VERDICT
+    # r9 item 5: at 100 TB the old shape paid an entire extra corpus
+    # pass at plan-construction time).
+    seed_frame = seed_id_source if seed_id_source is not None else vecs
+    id_type = dict(seed_frame.dtypes)[id_col]
     seed_ids = [
         r[0]
-        for r in vecs.select(F.col(id_col)).orderBy(id_col).limit(n_codes).collect()
+        for r in seed_frame.select(F.col(id_col))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
     ]
     seed_codes = vecs.sparkSession.createDataFrame(
         list(zip(seed_ids, range(len(seed_ids)))),
@@ -1104,7 +1125,13 @@ def ivfpq_residual_topk(
         "cell_id",
         F.zip_with("vec", "cvec", lambda a, b: a - b).alias("vec"),
     )
-    cb = pq_train_codebooks(resid, n_subspaces, subdim, n_codes, id_col=id_col)
+    cb = pq_train_codebooks(
+        resid, n_subspaces, subdim, n_codes, id_col=id_col,
+        # residual projection preserves ids 1:1 — seed from the raw
+        # corpus (one column-pruned scan) instead of executing the
+        # cell-assign + centroid-join + subtraction subtree for ids
+        seed_id_source=corpus.select(id_col),
+    )
     # cell_id comes from c_cells, not resid: re-deriving it through the
     # residual projection would re-execute the centroid join + zip_with
     # subtraction a third time just to read back a column c_cells

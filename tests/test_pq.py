@@ -856,3 +856,22 @@ def test_ragged_maxsim_matches_fixed_width_special_case(spark):
     for r in got:
         want = maxsim(r["query_id"], r["neighbor_id"])
         assert abs(r["score"] - want) < 1e-6, r
+
+
+def test_pq_train_codebooks_seed_source_equivalence(spark):
+    """seed_id_source is a pure optimization: training on a derived
+    frame while seeding ids from the cheaper underlying frame (same id
+    set) must produce bit-identical codebooks — and therefore identical
+    codes — to the default self-seeding path."""
+    vecs = _vecs(spark)
+    # a derived frame that preserves ids 1:1 (the residual shape)
+    derived = vecs.select(
+        "vec_id", F.transform("vec", lambda x: x * 2.0).alias("vec")
+    )
+    cb_self = pq_train_codebooks(derived, 8, 8, 4)
+    cb_src = pq_train_codebooks(
+        derived, 8, 8, 4, seed_id_source=vecs.select("vec_id")
+    )
+    assert sorted(map(tuple, cb_self.collect())) == sorted(
+        map(tuple, cb_src.collect())
+    )
