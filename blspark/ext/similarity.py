@@ -1027,7 +1027,37 @@ def ivfpq_topk(
     Cell assignment, the LUT build, and the ordered ADC fold are the
     SAME helpers ivf_topk/pq_adc_topk use (``_cell_assign``,
     ``_pq_lut``, ``_adc_rank``) — one copy each, so IVF and IVF-PQ can
-    never silently diverge on tie-breaks or fold order."""
+    never silently diverge on tie-breaks or fold order.
+
+    Split into ``ivfpq_build_index`` (the write-once corpus side) +
+    ``ivfpq_query`` (the per-batch query side) so production callers —
+    and the warm bench variant — can persist the codes frame and pay
+    the corpus scan once across query batches."""
+    codes = ivfpq_build_index(
+        corpus, centroids, codebooks, n_subspaces, subdim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_query(
+        codes, queries, centroids, codebooks, n_subspaces, subdim,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """The write-once corpus side of IVF-PQ: cell-assign every vector
+    (max cosine, the shared ``_cell_assign`` rule) and PQ-encode it —
+    (id, m, code, cell_id), M rows of one-byte codes per vector. This
+    frame IS the index a 100 TB deployment persists (partitioned by
+    cell_id for probe pruning — ``x_pq_index_layout`` demonstrates);
+    every query batch after that pays only ``ivfpq_query``."""
     cent = _centroid_frame(centroids)
     c_cells = _cell_assign(
         corpus.select(
@@ -1038,11 +1068,30 @@ def ivfpq_topk(
         id_col,
         1,
     )
-    codes = pq_encode(
+    return pq_encode(
         corpus.select(id_col, F.col(vec_col).alias("vec")),
         codebooks, n_subspaces, subdim, id_col=id_col,
     ).join(c_cells.select(id_col, "cell_id"), id_col)
 
+
+def ivfpq_query(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """The per-batch query side of IVF-PQ over a pre-built codes frame
+    (``ivfpq_build_index``'s output): probe the query's nprobe nearest
+    cells, build the broadcast LUT, and run the ADC join restricted to
+    (query, probed cell) pairs. No corpus vector — and no corpus-sized
+    computation besides the probed-cell code scan — is touched."""
+    cent = _centroid_frame(centroids)
     q_cells = _cell_assign(
         queries.select(
             F.col(id_col), F.col(vec_col).alias("vec"),

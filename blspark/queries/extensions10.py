@@ -33,6 +33,8 @@ from blspark.catalog import load_table, register
 from blspark.queries.extensions9 import (
     _DOTQ,
     _MS_K,
+    _PQ_K,
+    _PQ_KS,
     _PQ_M,
     _PQ_SUBDIM,
     _SQ8_K,
@@ -40,6 +42,7 @@ from blspark.queries.extensions9 import (
     _det_centroids,
     _ivf_prefix_sql,
     _IVF_PREFIX_SQL,
+    IVFPQ_CHECKED_ORACLE,
 )
 
 # ---------------------------------------------------------------------------
@@ -523,4 +526,69 @@ def x_maxsim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
             "ranks_ok",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warm IVF-PQ (amortized index — train once, persist codes, query many)
+# ---------------------------------------------------------------------------
+
+# The production ANN shape is train-once / encode-once / query-many:
+# codebooks and the codes frame are written once and every query batch
+# pays only the probed-cell ADC scan. The other registered PQ queries
+# deliberately charge TRAINING to every run (the bench prices the full
+# pipeline); this variant prices the steady state, so the bench
+# separates the two (VERDICT r9 item 8). The index is memoized per
+# sf_dir: first call (bench.py's COLD pass) trains + encodes +
+# localCheckpoints the codes frame (corpus-shaped but tiny — M int
+# codes per vector; a checkpoint, not a cache-manager entry, so
+# clearCache() between bench queries cannot drop it and it never
+# shadows another query's plan); warm passes reuse it.
+_WARM_IVFPQ_INDEX: dict[str, tuple] = {}
+
+
+def _ivfpq_warm_index(spark: SparkSession, sf_dir: str):
+    from blspark.ext.similarity import ivfpq_build_index, pq_train_codebooks
+
+    got = _WARM_IVFPQ_INDEX.get(sf_dir)
+    if got is not None:
+        return got
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)  # local relation — already train-once
+    cb = pq_train_codebooks(vecs, _PQ_M, _PQ_SUBDIM, _PQ_KS)  # eager
+    codes = ivfpq_build_index(
+        vecs, cents, cb, _PQ_M, _PQ_SUBDIM
+    ).localCheckpoint(eager=True)
+    _WARM_IVFPQ_INDEX[sf_dir] = (vecs, cents, cb, codes)
+    return _WARM_IVFPQ_INDEX[sf_dir]
+
+
+@register(
+    "x_similarity_ivfpq_warm",
+    bench=True,
+    oracle=IVFPQ_CHECKED_ORACLE,
+    doc="IVF-PQ against a PRE-BUILT index — the amortized production "
+    "shape (train once, persist codes, query many), result-identical "
+    "to x_similarity_ivfpq_checked (same oracle): the first call per "
+    "dataset trains the codebooks, cell-assigns and PQ-encodes the "
+    "corpus, and localCheckpoints the codes frame; every later call "
+    "pays ONLY the query side — probe the nprobe nearest cells, "
+    "broadcast the per-query LUT, ADC-join over the probed cells' "
+    "one-byte codes (ext/similarity.ivfpq_query). In bench.py the "
+    "cold pass therefore prices index construction and the warm "
+    "passes price steady-state query cost — the split a 100 TB "
+    "deployment actually experiences, where the codes frame is "
+    "written once (partitioned by cell_id) and query batches arrive "
+    "for months. ext/similarity.ivfpq_build_index / ivfpq_query.",
+)
+def x_similarity_ivfpq_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivfpq_query
+
+    vecs, cents, cb, codes = _ivfpq_warm_index(spark, sf_dir)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivfpq_query(
+        codes, queries, cents, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K, nprobe=2
     )

@@ -875,3 +875,33 @@ def test_pq_train_codebooks_seed_source_equivalence(spark):
     assert sorted(map(tuple, cb_self.collect())) == sorted(
         map(tuple, cb_src.collect())
     )
+
+
+def test_ivfpq_warm_matches_full_pipeline_and_memoizes(spark, monkeypatch):
+    """The warm variant must be result-identical to the train-per-run
+    IVF-PQ query (same oracle), and its second call must serve the
+    index from the memo — no retraining, no re-encode."""
+    from blspark.catalog import registry
+    from blspark.queries import extensions10 as x10
+
+    reg = registry()
+    x10._WARM_IVFPQ_INDEX.clear()
+    warm = reg["x_similarity_ivfpq_warm"].spark_fn(spark, SF)
+    full = reg["x_similarity_ivfpq_checked"].spark_fn(spark, SF)
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert SF in x10._WARM_IVFPQ_INDEX
+
+    # retraining on the second call would blow up here
+    import blspark.ext.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("warm query retrained the codebooks")
+
+    monkeypatch.setattr(sim, "pq_train_codebooks", boom)
+    again = reg["x_similarity_ivfpq_warm"].spark_fn(spark, SF)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, warm.collect())
+    )
+    x10._WARM_IVFPQ_INDEX.clear()
