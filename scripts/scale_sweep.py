@@ -527,13 +527,101 @@ def bench_maxsim_pruned(spark, factor: int) -> float:
     return dt
 
 
+def bench_ivf_sq8(spark, factor: int) -> float:
+    """IVF-pruned SQ8 at growing corpus size: cell assignment is a
+    map-side hash-agg argmin, the int64 scoring only touches probed
+    cells — both stages should track the corpus scan linearly."""
+    from blspark.ext.similarity import ivf_sq8_topk, label_centroids
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = ivf_sq8_topk(vecs, queries, cents, k=5, nprobe=2).count()
+    dt = time.perf_counter() - t0
+    print(f"  ivf_sq8 x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_maxsim_ragged(spark, factor: int) -> float:
+    """Ragged MaxSim at growing corpus size: the variable token counts
+    change per-row work but not the plan shape — token explode stays
+    map-side, the two hash aggregates keep map-side partials."""
+    from blspark.ext.similarity import maxsim_tokens_topk, ragged_subvectors
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    ntok = F.col("vec_id") % 8 + 1
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    d_tok = ragged_subvectors(vecs, 8, ntok).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "sv"
+    )
+    q_tok = ragged_subvectors(queries, 8, ntok).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("sv").alias("qsv"),
+    )
+    n = maxsim_tokens_topk(d_tok, q_tok, k=5).count()
+    dt = time.perf_counter() - t0
+    print(f"  maxsim_ragged x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_ivfpq_query_warm(spark, factor: int) -> float:
+    """The QUERY side of IVF-PQ over a pre-built index at growing
+    corpus size — index construction (train + encode + checkpoint)
+    happens OUTSIDE the timer, so this measures what a deployment pays
+    per query batch: probe + broadcast LUT + probed-cell ADC scan."""
+    from blspark.ext.similarity import (
+        ivfpq_build_index,
+        ivfpq_query,
+        label_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    cb = pq_train_codebooks(vecs, 8, 8, 4)
+    codes = ivfpq_build_index(vecs, cents, cb, 8, 8).localCheckpoint(
+        eager=True
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = ivfpq_query(codes, queries, cents, cb, 8, 8, k=3, nprobe=2).count()
+    dt = time.perf_counter() - t0
+    print(f"  ivfpq_query_warm x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
     "ivfpq": bench_ivfpq,
     "ivfpq_residual": bench_ivfpq_residual,
     "sq8": bench_sq8,
+    "ivf_sq8": bench_ivf_sq8,
     "maxsim_pruned": bench_maxsim_pruned,
+    "maxsim_ragged": bench_maxsim_ragged,
+    "ivfpq_query_warm": bench_ivfpq_query_warm,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

@@ -234,3 +234,44 @@ def test_residual_sq8_eval_plans_no_cartesian_broadcast_smalls(spark):
     assert "WindowGroupLimit" in plan  # partial top-k pushed below the exchange
     # exactly one shuffle: the per-query top-k
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_round10_family_plans_no_cartesian_broadcast_smalls(spark):
+    """Round-10 additions keep the family's plan contract: no cartesian
+    products anywhere; the metadata-sized frames (centroids, probe
+    lists, quantized queries, LUT) join as broadcasts; the corpus side
+    joins on cell_id / candidate keys only."""
+    for name in ("x_similarity_ivf_sq8", "x_maxsim_eval"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # the UNPRUNED shapes (ragged MaxSim's full pairing; sq8_eval's
+    # exact-baseline and sq8 scans) pair every (doc, query) by design —
+    # the broadcast-queries NLJ (cosine_topk's shape), never a
+    # cartesian; the candidate/pruned forms go through the hash join
+    for name in ("x_retrieval_maxsim_ragged", "x_sq8_eval"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_ivfpq_warm_plan_reads_checkpoint_not_training(spark):
+    """The warm IVF-PQ query's executed plan must read the pre-built
+    codes frame from the checkpoint (Scan ExistingRDD) — NOT re-derive
+    it: no PQ-encode argmin aggregate over the corpus and no
+    cell-assign subtree on the corpus side may appear in the per-batch
+    query plan. The only parquet scans are the query/probe side."""
+    from blspark.queries import extensions10 as x10
+
+    x10._WARM_IVFPQ_INDEX.clear()
+    try:
+        plan = _plan(spark, "x_similarity_ivfpq_warm")
+        assert "ExistingRDD" in plan  # codes served from the checkpoint
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # the index build runs once in _ivfpq_warm_index, not in this
+        # plan: a re-derivation would put the (id, m)-keyed encode
+        # argmin (partial_min(struct(d2, code))) into the query plan
+        assert "d2" not in plan
+    finally:
+        x10._WARM_IVFPQ_INDEX.clear()
