@@ -101,6 +101,7 @@ def main() -> None:
         "x_similarity_pq_rerank", "x_text_boilerplate_strip",
     )
     R8_SET = R7_SET + ("x_similarity_ivfpq_residual",)
+    R10_SET = R8_SET + ("x_similarity_ivf_sq8", "x_similarity_ivfpq_warm")
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
     LSH_SET = (
@@ -111,7 +112,7 @@ def main() -> None:
         label: round(sum(timings[n] for n in names if n in timings), 3)
         for label, names in (
             ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
-            ("r7_25", R7_SET), ("r8_26", R8_SET),
+            ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
         )
     }
     subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)
