@@ -1160,6 +1160,17 @@ def ivfpq_residual_topk(
     Returns (query_id, neighbor_id, score, rank) — score is the
     approximate inner product, comparable to ``ivfpq_topk``'s."""
     cent = _centroid_frame(centroids)
+    # Recompute-over-persist, deliberately: the cell assignment feeds
+    # three corpus-sized consumers (the residual projection inside the
+    # eager codebook collect, the encode scan, the codes cell_id join)
+    # and Catalyst reuses none of them — but materializing c_cells
+    # would checkpoint a RAW-VECTOR-bearing frame, i.e. write a full
+    # corpus copy to executor disks at 100 TB, to save two passes of
+    # per-cell dot products that column-pruned parquet re-scans price
+    # lower. Measured at sf0.1 (round-10 bisect session): checkpoint
+    # vs recompute is within host noise. Production splits this
+    # function anyway (train/encode once, persist the COMPRESSED
+    # codes — the ivfpq_build_index/ivfpq_query shape).
     c_cells = _cell_assign(
         corpus.select(
             F.col(id_col), F.col(vec_col).alias("vec"),
