@@ -102,12 +102,13 @@ _PRIORITY: tuple[str, ...] = (
     # programmatically from CORRECTNESS_r01..r09.json (latest round
     # per query). All queries are locally green every run
     # (tests/test_oracle.py re-differentials the full registry).
-    # round-10 first-timers (5):
+    # round-10 first-timers (6):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
     "x_maxsim_eval",
     "x_similarity_ivfpq_warm",
+    "x_ivf_sq8_eval",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -118,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 36 (inside the round-10 budget):
+    # r6-stale, first 35 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -154,8 +155,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_kcore_prune",
     "x_kmeans_checked",
     "x_kmeans_clusters",
+    # r6-stale remainder for round 11 (15):
     "x_label_knn_disagreement",
-    # r6-stale remainder for round 11 (14):
     "x_listagg_sorted",
     "x_mmr_rerank",
     "x_multimodal_decode",

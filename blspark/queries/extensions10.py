@@ -592,3 +592,133 @@ def x_similarity_ivfpq_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_query(
         codes, queries, cents, cb, _PQ_M, _PQ_SUBDIM, k=_PQ_K, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 pruning evaluation (pruned vs full scalar-quantized ranking)
+# ---------------------------------------------------------------------------
+
+_IS_TP_SQL = (
+    "SELECT COUNT(*) FROM pruned a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+_SQ8_RANKED_SQL = """
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS r
+    FROM {src}) t
+  WHERE r <= {k}
+"""
+
+IVF_SQ8_EVAL_ORACLE = f"""
+WITH {_ivf_prefix_sql(f"WHERE vec_id < {_SQ8_EVAL_N}")},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+{_SQ8_QZ_SQL},
+pscored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM cassign a
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN qz n ON n.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+pruned AS MATERIALIZED ({_SQ8_RANKED_SQL.format(src="pscored", k=_SQ8_K)}),
+fscored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM qz n, qz q
+  WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
+),
+exact AS MATERIALIZED ({_SQ8_RANKED_SQL.format(src="fscored", k=_SQ8_K)})
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM pruned) AS INT) AS n_pruned,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_IS_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_IS_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_IS_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_SQ8_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  (SELECT bool_and(n = {_SQ8_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM pruned GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_ivf_sq8_eval",
+    oracle=IVF_SQ8_EVAL_ORACLE,
+    doc="IVF-SQ8 pruning evaluation — completing the per-rung quality "
+    "matrix (x_lsh_eval: LSH candidates; x_pq_eval: ADC vs exact + "
+    "rerank; x_sq8_eval: SQ8 vs exact; x_maxsim_eval: MaxSim "
+    "pruning): nprobe=2 IVF-pruned SQ8 top-5 vs the FULL SQ8 top-5 "
+    "over the fixed 500-vector sample universe, isolating what the "
+    "CELL RESTRICTION alone costs (x_sq8_eval already prices the "
+    "quantization; this prices the pruning — together they decompose "
+    "the IVF,SQ8 index's quality budget exactly like maxsim_eval "
+    "does for late interaction). Deterministic contract row: counts, "
+    "true positives, recall in integer basis points, the scale-free "
+    "chance-relative floor (>= 10x random), per-query rank "
+    "cardinality. Sample-scale by design — the full-SQ8 baseline is "
+    "priced once for a sample; the pruned scan is what ships.",
+)
+def x_ivf_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivf_sq8_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SQ8_EVAL_N
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+
+    pruned = ivf_sq8_topk(vecs, queries, cents, k=_SQ8_K, nprobe=2)
+    full = sq8_topk(vecs, queries, k=_SQ8_K)
+
+    p = pruned.select("query_id", "neighbor_id")
+    exact = full.select("query_id", "neighbor_id")
+    tp = p.join(exact, ["query_id", "neighbor_id"])
+
+    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_pruned = p.agg(F.count("*").cast("int").alias("n_pruned"))
+    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
+    card = (
+        pruned.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and(
+                (F.col("n") == _SQ8_K) & (F.col("mr") == _SQ8_K)
+            ).alias("ranks_ok")
+        )
+    )
+    return (
+        n_queries.crossJoin(n_pruned)
+        .crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .crossJoin(n_corpus)
+        .crossJoin(card)
+        .select(
+            "n_queries",
+            "n_pruned",
+            "n_truth",
+            "n_tp",
+            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (
+                F.col("n_tp") * (F.col("n_corpus") - 1)
+                >= F.lit(10 * _SQ8_K) * F.col("n_truth")
+            ).alias("recall_ok"),
+            "ranks_ok",
+        )
+    )

@@ -905,3 +905,29 @@ def test_ivfpq_warm_matches_full_pipeline_and_memoizes(spark, monkeypatch):
         map(tuple, warm.collect())
     )
     x10._WARM_IVFPQ_INDEX.clear()
+
+
+def test_round10_eval_contracts_consistent(spark):
+    """The three round-10 recall contracts must be internally
+    consistent: cardinalities line up, recall_bp is the fixed-point
+    ratio, and every pinned floor holds. Runs at SF_ORACLE (sf0.01),
+    the scale the fixed 500-vector sample universe is designed for —
+    at sf0.001 the universe collapses to ~50 vectors and the 10x-
+    chance floor becomes structurally unsatisfiable (10*k/(N-1) >
+    100%), which is a property of the floor, not a defect."""
+    from blspark.catalog import registry
+    from tests.conftest import SF_ORACLE
+
+    reg = registry()
+    for name, extra in (
+        ("x_sq8_eval", ("recall_hi_ok",)),
+        ("x_maxsim_eval", ()),
+        ("x_ivf_sq8_eval", ()),
+    ):
+        r = reg[name].spark_fn(spark, SF_ORACLE).collect()[0]
+        assert 0 <= r.n_tp <= min(r.n_pruned if "n_pruned" in r else r.n_sq8,
+                                  r.n_truth), name
+        assert r.recall_bp == r.n_tp * 10000 // r.n_truth, name
+        assert r.recall_ok and r.ranks_ok, name
+        for f in extra:
+            assert getattr(r, f), (name, f)
