@@ -41,6 +41,15 @@ QUERIES = [
     "x_similarity_ivfpq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
+    # round-10 family: the SQ8 int64 core is exact by construction but
+    # its cell-pruned composition rides the same centroid means and
+    # argmin tie-breaks; ragged MaxSim folds per-query token maxima in
+    # qm order; the eval contracts hash counts and fixed-point ratios
+    "x_similarity_ivf_sq8",
+    "x_retrieval_maxsim_ragged",
+    "x_sq8_eval",
+    "x_maxsim_eval",
+    "x_ivf_sq8_eval",
 ]
 
 
