@@ -102,13 +102,14 @@ _PRIORITY: tuple[str, ...] = (
     # programmatically from CORRECTNESS_r01..r09.json (latest round
     # per query). All queries are locally green every run
     # (tests/test_oracle.py re-differentials the full registry).
-    # round-10 first-timers (6):
+    # round-10 first-timers (7):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
     "x_maxsim_eval",
     "x_similarity_ivfpq_warm",
     "x_ivf_sq8_eval",
+    "s_stream_index_sq8",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -119,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 35 (inside the round-10 budget):
+    # r6-stale, first 34 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -154,8 +155,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_incremental_agg_refresh",
     "x_kcore_prune",
     "x_kmeans_checked",
+    # r6-stale remainder for round 11 (16):
     "x_kmeans_clusters",
-    # r6-stale remainder for round 11 (15):
     "x_label_knn_disagreement",
     "x_listagg_sorted",
     "x_mmr_rerank",

@@ -726,3 +726,46 @@ def s_stream_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode_stateless(stream, cb_rows, 8, 8)
     name = run_available_now(codes, output_mode="append")
     return spark.table(name)
+
+
+def _sq8_stream_oracle() -> str:
+    from blspark.queries.extensions10 import _SQ8_QZ_SQL
+
+    return f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+{_SQ8_QZ_SQL}
+SELECT vec_id, CAST(t.i AS INT) AS pos, qvec[t.i + 1] AS q, scale
+FROM qz, range(0, 64) t(i)
+"""
+
+
+@register(
+    "s_stream_index_sq8",
+    oracle=_sq8_stream_oracle(),
+    doc="Streaming SQ8 index maintenance — the training-FREE "
+    "counterpart of s_stream_index_pq: each arriving embedding "
+    "quantizes against its OWN range (scale = max|x|/127, "
+    "floor(x/scale + 0.5)), so unlike PQ there is no offline "
+    "codebook at all — the encode is a pure per-row projection "
+    "(ext/similarity.sq8_quantize), trivially append-mode, no state "
+    "store, and arrivals can never drift from any trained artifact. "
+    "The appended (vec_id, pos, q, scale) rows are hash-checked "
+    "against the batch SQ8 quantization of the same corpus — "
+    "batch/stream encode parity, the property that makes incremental "
+    "4x-compressed index maintenance sound at 100 TB (encode only "
+    "arrivals; a full rebuild would produce byte-identical codes).",
+)
+def s_stream_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import sq8_quantize
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    codes = sq8_quantize(stream).select(
+        "vec_id", F.posexplode("qvec").alias("pos", "q"), "scale"
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "q", "scale")
+    name = run_available_now(codes, output_mode="append")
+    return spark.table(name)
