@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     # programmatically from CORRECTNESS_r01..r09.json (latest round
     # per query). All queries are locally green every run
     # (tests/test_oracle.py re-differentials the full registry).
-    # round-10 first-timers (7):
+    # round-10 first-timers (8):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ivfpq_warm",
     "x_ivf_sq8_eval",
     "s_stream_index_sq8",
+    "s_stream_index_ivf_sq8",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -120,7 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 34 (inside the round-10 budget):
+    # r6-stale, first 33 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -154,8 +155,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_histogram_quantile_merge",
     "x_incremental_agg_refresh",
     "x_kcore_prune",
+    # r6-stale remainder for round 11 (17):
     "x_kmeans_checked",
-    # r6-stale remainder for round 11 (16):
     "x_kmeans_clusters",
     "x_label_knn_disagreement",
     "x_listagg_sorted",

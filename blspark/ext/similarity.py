@@ -87,7 +87,10 @@ def cosine_topk(
 
 
 def sq8_quantize(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "vec"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric int8 scalar quantization (the FAISS SQ8 shape, and the
     vector form of x_embed_quantize's per-element output): per vector,
@@ -99,11 +102,14 @@ def sq8_quantize(
 
     floor(x + 0.5), never round(): half-even vs half-up rounding
     differs between engines; floor is bit-deterministic in IEEE double.
-    Returns (id, qvec array<int>, scale double)."""
+    Returns (id, *keep, qvec array<int>, scale double) — ``keep``
+    names extra input columns to carry through (the streaming IVF,SQ8
+    index keeps its cell_id)."""
     maxabs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = maxabs / F.lit(127.0)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.transform(
             F.col(vec_col),
             lambda x: F.when(
@@ -1227,6 +1233,50 @@ def ivfpq_residual_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _adc_rank(scored, k, base_col="cell_dot")
+
+
+def cell_assign_stateless(
+    df: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "vec",
+    out: str = "cell_id",
+) -> DataFrame:
+    """Nearest-cell assignment against a FROZEN centroid list as a pure
+    per-row expression — no aggregation, no state — so it runs
+    identically in batch and inside a Structured Streaming micro-batch
+    in append mode (the streaming-index-maintenance shape, the IVF
+    counterpart of ``pq_encode_stateless``). ``centroid_rows`` is the
+    collected (cell_id, centroid) list — metadata-sized, inlined as
+    literals (the expression equivalent of a broadcast).
+
+    Bit-identical to ``_cell_assign`` with probes=1: same max-cosine
+    rule, same ``array_min`` over (-sim, cell_id) structs (IEEE
+    negation is exact) with the lowest-cell tie-break, same -inf guard
+    for zero-norm pairings. Centroid norms are computed driver-side
+    with the SAME association the ``_norm`` fold uses (left-to-right
+    sum, then sqrt), so the division operands match to the last ulp.
+    Equality of the two paths is property-tested."""
+    import math
+
+    vnorm = _norm(F.col(vec_col))
+    cands = []
+    for cell_id, cvec in sorted(centroid_rows):
+        c = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
+        acc = 0.0
+        for x in cvec:  # left-to-right — _norm's fold order exactly
+            acc += float(x) * float(x)
+        cnorm = math.sqrt(acc)
+        denom = vnorm * F.lit(cnorm).cast("double")
+        sim = F.when(denom > 0, _dot(F.col(vec_col), c) / denom).otherwise(
+            F.lit(float("-inf"))
+        )
+        cands.append(
+            F.struct(
+                (-sim).alias("neg"),
+                F.lit(int(cell_id)).cast("int").alias("cell_id"),
+            )
+        )
+    return df.withColumn(out, F.array_min(F.array(*cands)).getField("cell_id"))
 
 
 def label_centroids(

@@ -769,3 +769,63 @@ def s_stream_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("pos").cast("int").alias("pos"), "q", "scale")
     name = run_available_now(codes, output_mode="append")
     return spark.table(name)
+
+
+def _ivf_sq8_stream_oracle() -> str:
+    from blspark.queries.extensions9 import _ivf_prefix_sql
+    from blspark.queries.extensions10 import _SQ8_QZ_SQL
+
+    return f"""
+WITH {_ivf_prefix_sql()},
+{_SQ8_QZ_SQL}
+SELECT a.vec_id, a.cell_id, CAST(t.i AS INT) AS pos,
+       z.qvec[t.i + 1] AS q, z.scale
+FROM cassign a
+JOIN qz z ON a.vec_id = z.vec_id
+CROSS JOIN range(0, 64) t(i)
+"""
+
+
+@register(
+    "s_stream_index_ivf_sq8",
+    oracle=_ivf_sq8_stream_oracle(),
+    doc="Streaming IVF,SQ8 index maintenance — the full index row per "
+    "arrival: nearest cell against FROZEN offline centroids via "
+    "cell_assign_stateless (a pure per-row argmin expression over "
+    "inlined centroid literals — bit-identical to the batch "
+    "_cell_assign rule, property-tested — the IVF counterpart of "
+    "pq_encode_stateless) composed with the training-free SQ8 "
+    "quantization, all in append mode with no state store. Appended "
+    "(vec_id, cell_id, pos, q, scale) rows hash-check against the "
+    "batch cell assignment + quantization of the same corpus — "
+    "batch/stream parity for BOTH index components, so incremental "
+    "maintenance of the 100 TB IVF,SQ8 index (encode only arrivals, "
+    "partition the sink by cell_id for probe pruning) provably "
+    "matches a full rebuild.",
+)
+def s_stream_index_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cell_assign_stateless, sq8_quantize
+    from blspark.queries.extensions9 import _det_centroids
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"]))
+        for r in _det_centroids(static).collect()
+    ]
+
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    assigned = cell_assign_stateless(stream, cent_rows)
+    codes = sq8_quantize(assigned, keep=("cell_id",)).select(
+        "vec_id",
+        "cell_id",
+        F.posexplode("qvec").alias("pos", "q"),
+        "scale",
+    ).select(
+        "vec_id", "cell_id",
+        F.col("pos").cast("int").alias("pos"), "q", "scale",
+    )
+    name = run_available_now(codes, output_mode="append")
+    return spark.table(name)

@@ -199,3 +199,49 @@ def test_cell_assign_zero_norm_paths_agree(spark):
     assert agg[1] in by_id[1] and agg[2] in by_id[2] and agg[0] in by_id[0]
     # all sims equal (-inf) for the zero-norm vector: lowest two cells
     assert by_id[0] == {0, 1}
+
+
+def test_cell_assign_stateless_matches_aggregate_path(spark):
+    """The per-row frozen-centroid expression (streaming index shape)
+    must assign exactly the cell the batch aggregate argmin assigns —
+    on the real embeddings AND on degenerate zero-norm input."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        cell_assign_stateless,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    agg = {
+        r["vec_id"]: r["cell_id"]
+        for r in _cell_assign(
+            vecs.select("vec_id", "vec", _norm(F.col("vec")).alias("vnorm")),
+            _centroid_frame(cents), "vec_id", 1,
+        ).collect()
+    }
+    rows = [(r["cell_id"], list(r["centroid"])) for r in cents.collect()]
+    stateless = {
+        r["vec_id"]: r["cell_id"]
+        for r in cell_assign_stateless(vecs, rows).collect()
+    }
+    assert stateless == agg
+
+    degenerate = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id int, vec array<double>"
+    )
+    dcents = [(0, [0.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])]
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in cell_assign_stateless(degenerate, dcents).collect()
+    }
+    # zero-norm vector -> all -inf -> lowest cell; zero-norm centroid
+    # never beats a finite match (the _cell_assign guard, same rule)
+    assert got == {0: 0, 1: 2}
