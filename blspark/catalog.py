@@ -90,13 +90,15 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-10 rotation (VERDICT r9 items 1+4): the four round-10
-    # first-timers (the completed SQ8/MaxSim families — implemented
-    # THIS round in queries/extensions10.py, unlike the r9 phantom
-    # listing) hold the first-time-ORACLE slots, then the 9 remaining
-    # r4-stale queries close out the r4 era, then the 37
+    # -- Round-10 rotation (VERDICT r9 items 1+4): the eight round-10
+    # first-timers (the four completed SQ8/MaxSim operators the r9
+    # phantom listing promised — implemented THIS round in
+    # queries/extensions10.py — plus the warm IVF-PQ variant, the two
+    # pruning/recall contracts, and the streaming SQ8/IVF-SQ8 index
+    # pair) hold the first-time-ORACLE slots, then the 9 remaining
+    # r4-stale queries close out the r4 era, then the 33
     # alphabetically-first r6-stale — the 50-slot budget signs
-    # 4 new + 9 r4 + 37 r6 this round, leaving 13 r6-stale (listed
+    # 8 new + 9 r4 + 33 r6 this round, leaving 17 r6-stale (listed
     # next, in order) for round 11; after that the oldest signature is
     # r7, permanently inside the ~4-round window. Recomputed
     # programmatically from CORRECTNESS_r01..r09.json (latest round

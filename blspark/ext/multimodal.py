@@ -91,9 +91,23 @@ def _decode_png_stdlib(content: bytes) -> tuple[int, int, int]:
             f"PNG decompression bomb: {width}x{height} exceeds "
             f"{_MAX_PIXELS} pixels (PIL's 2x MAX_IMAGE_PIXELS envelope)"
         )
-    raw = zlib.decompress(b"".join(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bound the inflate by the DECLARED size, not just the declared
+    # dimensions: a 1x1 header over an IDAT that inflates to gigabytes
+    # would otherwise materialize the whole output before the length
+    # check could reject it. decompressobj(max_length=expected+1)
+    # consumes input only until the output cap, so a small-dims/
+    # huge-IDAT bomb allocates at most expected+1 bytes.
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError(
+            "PNG decompression bomb: pixel data exceeds declared "
+            f"{width}x{height}x{ch} dimensions"
+        )
+    raw += d.flush()
+    if len(raw) != expected:
         raise ValueError("PNG pixel data truncated")
     # Unfilter (types 0-4 per the PNG spec) to prove the pixels decode.
     prev = bytearray(stride)

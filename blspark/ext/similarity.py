@@ -153,10 +153,16 @@ def sq8_topk(
     mirrors cosine_topk: quantization is map-side in the same stage as
     the scan, queries broadcast, no shuffle until the per-query top-k.
     ``candidates``: optional (query_id, neighbor_id) frame restricting
-    which pairs are scored (``ivf_sq8_topk`` supplies the IVF probe
-    set) — with candidates, the quantized corpus joins them on
-    neighbor_id (an equi-join that prunes before any query pairing);
-    without, every (corpus, query) pair is scored.
+    which pairs are scored — with candidates, the quantized corpus
+    joins them on neighbor_id (an equi-join that prunes before any
+    query pairing); without, every (corpus, query) pair is scored.
+    PRECONDITION: candidate pairs must be UNIQUE — a duplicated
+    (query, neighbor) row scores twice and occupies two top-k ranks
+    (multi-band LSH candidate sets must be distinct()ed first; IVF
+    cell joins are unique by construction, one cell per neighbor).
+    Note ``ivf_sq8_topk`` no longer routes through this path — it
+    joins the probe list on cell_id directly, which avoids a
+    corpus-sized candidates shuffle at scale.
     Returns (query_id, neighbor_id, score, iprod, rank); score is the
     reconstructed inner product (6 dp), iprod the exact integer dot.
     """
@@ -180,6 +186,15 @@ def sq8_topk(
         paired = c.join(
             F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
         )
+    return _sq8_rank(paired, k)
+
+
+def _sq8_rank(paired: DataFrame, k: int) -> DataFrame:
+    """The SQ8 scoring + top-k tail shared by ``sq8_topk`` and
+    ``ivf_sq8_topk`` (one copy, so the exact int64 core and the
+    rank/tie-break rules can never diverge between the plain and the
+    cell-pruned paths). ``paired`` must carry (query_id, neighbor_id,
+    nq, nscale, qq, qscale)."""
     scored = paired.select(
         "query_id",
         "neighbor_id",
@@ -213,18 +228,78 @@ def ivf_sq8_topk(
 ) -> DataFrame:
     """IVF-pruned SQ8 — the FAISS ``IVF,SQ8`` index shape: the IVF
     stage (the SAME ``_cell_assign`` rule the whole family shares)
-    produces (query, probed cell) candidate pairs; only documents in a
-    query's ``nprobe`` nearest cells get the SQ8 integer-dot scoring.
-    Where IVF-PQ prunes WHICH vectors are scored AND compresses 32x
-    with trained codes, IVF-SQ8 keeps the training-free 4x codes with
-    near-exact ranking — the drop-in when PQ's codebook recall floor
-    is too lossy but a full scan is too expensive. At 100 TB the
-    quantized scan touches |probed cells|/|cells| of the corpus, and
-    with ``nprobe == |cells|`` the restriction is vacuous — results
-    equal plain ``sq8_topk`` (property-tested). Candidates come from
-    an equi-join on cell_id (broadcast probe list against the
-    cell-assigned corpus, no cross product anywhere); the scoring
-    arithmetic is shared verbatim with ``sq8_topk``."""
+    restricts the SQ8 integer-dot scoring to each query's ``nprobe``
+    nearest cells. Where IVF-PQ prunes WHICH vectors are scored AND
+    compresses 32x with trained codes, IVF-SQ8 keeps the
+    training-free 4x codes with near-exact ranking — the drop-in when
+    PQ's codebook recall floor is too lossy but a full scan is too
+    expensive. With ``nprobe == |cells|`` the restriction is vacuous —
+    results equal plain ``sq8_topk`` (property-tested).
+
+    Plan shape — ONE corpus pass, ZERO corpus-sized join shuffles:
+    quantization rides the cell-assigned frame (``sq8_quantize`` with
+    cell_id carried through), and the (probe, quantized-query) list —
+    Q x nprobe rows — joins it as a BROADCAST on cell_id, so the
+    corpus side never exchanges for the pairing (an earlier draft
+    routed a (query, neighbor) candidates frame through ``sq8_topk``,
+    which shuffled the corpus on neighbor_id — at 100 TB that shuffle
+    IS the query cost). Scoring and ranking are ``_sq8_rank``, shared
+    verbatim with ``sq8_topk``; pairs are unique by construction
+    (each neighbor lives in exactly one cell)."""
+    cent = _centroid_frame(centroids)
+    c_cells = _cell_assign(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        1,
+    )
+    cq = sq8_quantize(c_cells, id_col=id_col, vec_col="vec", keep=("cell_id",)).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    probes = _cell_assign(
+        queries.select(
+            F.col(id_col), F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        nprobe,
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    qz = sq8_quantize(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    probe_q = probes.join(qz, "query_id")
+    paired = cq.join(F.broadcast(probe_q), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _sq8_rank(paired, k)
+
+
+def _ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(query_id, neighbor_id) candidate pairs from the shared IVF
+    rule: corpus cell-assigned at probes=1, queries at ``nprobe``,
+    equi-joined on cell_id with the probe list broadcast. Pairs are
+    UNIQUE by construction (each neighbor lives in exactly one cell).
+    The ONE copy of candidate construction for consumers that score
+    arbitrary pair sets (``maxsim_pruned_topk``); operators whose
+    scoring frame can carry cell_id directly (``ivf_sq8_topk``,
+    ``ivfpq_query``) skip the pair frame and broadcast-join their
+    probe list on cell_id instead."""
     cent = _centroid_frame(centroids)
     c_cells = _cell_assign(
         corpus.select(
@@ -244,12 +319,8 @@ def ivf_sq8_topk(
         id_col,
         nprobe,
     ).select(F.col(id_col).alias("query_id"), "cell_id")
-    candidates = c_cells.join(F.broadcast(probes), "cell_id").select(
+    return c_cells.join(F.broadcast(probes), "cell_id").select(
         "query_id", "neighbor_id"
-    )
-    return sq8_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-        candidates=candidates,
     )
 
 
@@ -321,7 +392,11 @@ def ragged_subvectors(
     width special case). ``n_tokens_col`` is a per-row expression for
     the token count; row i yields tokens m = 0..n-1, each the
     ``token_dim``-length slice at m*token_dim. Map-side explode — n
-    rows per vector, each carrying only its slice; no shuffle.
+    rows per vector, each carrying only its slice; no shuffle. A row
+    with n <= 0 (an EMPTY document) yields ZERO token rows — guarded
+    explicitly, because ``sequence(0, n-1)`` with n=0 would otherwise
+    generate the DESCENDING sequence [0, -1] and fabricate two
+    phantom tokens (m=-1 slicing from the END of the packed vector).
 
     The packed vector is VALIDATED row-wise (raise_error when
     size(vec) < n*token_dim — pq_subvectors' device): a short vector
@@ -341,9 +416,12 @@ def ragged_subvectors(
             )
         )
     )
+    ms = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return df.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), n - 1)).alias("m"),
+        F.explode(ms).alias("m"),
         checked.alias("_v"),
     ).select(
         id_col,
@@ -431,28 +509,10 @@ def maxsim_pruned_topk(
     vacuous — results equal plain ``maxsim_topk`` (property-tested).
     Candidates are (query, doc) pairs from an equi-join on cell_id —
     broadcast probe list against the cell-assigned corpus, no cross
-    product anywhere."""
-    cent = _centroid_frame(centroids)
-    c_cells = _cell_assign(
-        corpus.select(
-            F.col(id_col), F.col(vec_col).alias("vec"),
-            _norm(F.col(vec_col)).alias("vnorm"),
-        ),
-        cent,
-        id_col,
-        1,
-    ).select(F.col(id_col).alias("neighbor_id"), "cell_id")
-    probes = _cell_assign(
-        queries.select(
-            F.col(id_col), F.col(vec_col).alias("vec"),
-            _norm(F.col(vec_col)).alias("vnorm"),
-        ),
-        cent,
-        id_col,
-        nprobe,
-    ).select(F.col(id_col).alias("query_id"), "cell_id")
-    candidates = c_cells.join(F.broadcast(probes), "cell_id").select(
-        "query_id", "neighbor_id"
+    product anywhere (``_ivf_candidates`` — the shared construction,
+    pairs unique by one-cell-per-neighbor)."""
+    candidates = _ivf_candidates(
+        corpus, queries, centroids, nprobe, id_col=id_col, vec_col=vec_col
     )
     return maxsim_topk(
         corpus, queries, n_tokens, token_dim, k=k,

@@ -37,9 +37,15 @@ _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
 # so this only fires on hand-written pages (ADVICE r7: don't silently
 # lose those files; ADVICE r9: digits only — dots/dashes alone no
 # longer count, so dashed-alpha schemes skip correctly. Known
-# casualty: the digit-bearing z39.50* scheme family classifies as a
-# filename — the kept-as-file branch logs, so the loss is
-# observable).
+# casualties, both logged: the digit-bearing z39.50* scheme family
+# classifies as a filename (kept-as-file branch logs), and the
+# INVERSE — a digit-free dashed/dotted filename with an unencoded
+# colon ("final-draft:notes.txt") now parses as a scheme and is
+# skipped (skip branch logs). The digit rule trades the second for
+# the first: registered dashed-alpha schemes are common on real
+# pages; digit-free colon-bearing filenames in hand-rolled indexes
+# are rarer than timestamped/versioned ones, and a percent-encoding
+# index loses nothing either way).
 _FILENAME_SHAPED_SCHEME = re.compile(r"[0-9]")
 
 _log = logging.getLogger(__name__)

@@ -213,6 +213,67 @@ def x_retrieval_maxsim_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_tokens_topk(d_tok, q_tok, k=_MS_K)
 
 
+
+
+def _recall_contract(
+    vecs: DataFrame,
+    queries: DataFrame,
+    approx_ranked: DataFrame,
+    exact_pairs: DataFrame,
+    n_col: str,
+    k: int,
+    extra=None,
+) -> DataFrame:
+    """The ONE copy of the fixed-sample recall contract-row builder
+    shared by x_sq8_eval / x_maxsim_eval / x_ivf_sq8_eval (a floor or
+    fixed-point-ratio change must happen here, nowhere else):
+    ``approx_ranked`` is the family's ranked output (carries rank),
+    ``exact_pairs`` the ground-truth (query_id, neighbor_id) pairs,
+    ``n_col`` the name of the approx-count column in the contract row
+    (n_sq8 / n_pruned), ``extra`` an optional callable mapping the
+    joined 1-row frame to additional contract columns (x_sq8_eval's
+    recall_hi_ok)."""
+    a = approx_ranked.select("query_id", "neighbor_id")
+    tp = a.join(exact_pairs, ["query_id", "neighbor_id"])
+
+    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_approx = a.agg(F.count("*").cast("int").alias(n_col))
+    n_truth = exact_pairs.agg(F.count("*").cast("int").alias("n_truth"))
+    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
+    card = (
+        approx_ranked.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
+        .agg(
+            F.bool_and((F.col("n") == k) & (F.col("mr") == k)).alias(
+                "ranks_ok"
+            )
+        )
+    )
+    joined = (
+        n_queries.crossJoin(n_approx)
+        .crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .crossJoin(n_corpus)
+        .crossJoin(card)
+    )
+    cols = [
+        F.col("n_queries"),
+        F.col(n_col),
+        F.col("n_truth"),
+        F.col("n_tp"),
+        F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
+        (
+            F.col("n_tp") * (F.col("n_corpus") - 1)
+            >= F.lit(10 * k) * F.col("n_truth")
+        ).alias("recall_ok"),
+    ]
+    if extra is not None:
+        cols += extra(joined)
+    cols.append(F.col("ranks_ok"))
+    return joined.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # SQ8 quality evaluation (recall contract vs exact ground truth)
 # ---------------------------------------------------------------------------
@@ -333,46 +394,13 @@ def x_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    a = approx.select("query_id", "neighbor_id")
-    tp = a.join(exact, ["query_id", "neighbor_id"])
-
-    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
-    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
-    n_sq8 = a.agg(F.count("*").cast("int").alias("n_sq8"))
-    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
-    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
-    card = (
-        approx.groupBy("query_id")
-        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
-        .agg(
-            F.bool_and(
-                (F.col("n") == _SQ8_K) & (F.col("mr") == _SQ8_K)
-            ).alias("ranks_ok")
-        )
-    )
-    return (
-        n_queries.crossJoin(n_sq8)
-        .crossJoin(n_truth)
-        .crossJoin(n_tp)
-        .crossJoin(n_corpus)
-        .crossJoin(card)
-        .select(
-            "n_queries",
-            "n_sq8",
-            "n_truth",
-            "n_tp",
-            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
-                "recall_bp"
-            ),
-            (
-                F.col("n_tp") * (F.col("n_corpus") - 1)
-                >= F.lit(10 * _SQ8_K) * F.col("n_truth")
-            ).alias("recall_ok"),
+    return _recall_contract(
+        vecs, queries, approx, exact, "n_sq8", _SQ8_K,
+        extra=lambda j: [
             F.expr(
                 f"CAST(n_tp * 10000 div n_truth AS BIGINT) >= {_SQ8_HI_FLOOR}"
-            ).alias("recall_hi_ok"),
-            "ranks_ok",
-        )
+            ).alias("recall_hi_ok")
+        ],
     )
 
 
@@ -488,45 +516,8 @@ def x_maxsim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = maxsim_topk(vecs, queries, _PQ_M, _PQ_SUBDIM, k=_MS_K)
 
-    p = pruned.select("query_id", "neighbor_id")
     exact = full.select("query_id", "neighbor_id")
-    tp = p.join(exact, ["query_id", "neighbor_id"])
-
-    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
-    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
-    n_pruned = p.agg(F.count("*").cast("int").alias("n_pruned"))
-    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
-    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
-    card = (
-        pruned.groupBy("query_id")
-        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
-        .agg(
-            F.bool_and(
-                (F.col("n") == _MS_K) & (F.col("mr") == _MS_K)
-            ).alias("ranks_ok")
-        )
-    )
-    return (
-        n_queries.crossJoin(n_pruned)
-        .crossJoin(n_truth)
-        .crossJoin(n_tp)
-        .crossJoin(n_corpus)
-        .crossJoin(card)
-        .select(
-            "n_queries",
-            "n_pruned",
-            "n_truth",
-            "n_tp",
-            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
-                "recall_bp"
-            ),
-            (
-                F.col("n_tp") * (F.col("n_corpus") - 1)
-                >= F.lit(10 * _MS_K) * F.col("n_truth")
-            ).alias("recall_ok"),
-            "ranks_ok",
-        )
-    )
+    return _recall_contract(vecs, queries, pruned, exact, "n_pruned", _MS_K)
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +541,13 @@ _WARM_IVFPQ_INDEX: dict[str, tuple] = {}
 def _ivfpq_warm_index(spark: SparkSession, sf_dir: str):
     from blspark.ext.similarity import ivfpq_build_index, pq_train_codebooks
 
-    got = _WARM_IVFPQ_INDEX.get(sf_dir)
+    # keyed by (session, dataset): a memoized DataFrame/checkpoint is
+    # bound to the SparkSession that built it — serving it to a LATER
+    # session in the same process (test fixtures stop and recreate
+    # sessions) would raise "SparkContext has been shut down" or read
+    # a checkpoint RDD that no longer exists
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _WARM_IVFPQ_INDEX.get(key)
     if got is not None:
         return got
     emb = load_table(spark, sf_dir, "embeddings")
@@ -562,8 +559,8 @@ def _ivfpq_warm_index(spark: SparkSession, sf_dir: str):
     codes = ivfpq_build_index(
         vecs, cents, cb, _PQ_M, _PQ_SUBDIM
     ).localCheckpoint(eager=True)
-    _WARM_IVFPQ_INDEX[sf_dir] = (vecs, cents, cb, codes)
-    return _WARM_IVFPQ_INDEX[sf_dir]
+    _WARM_IVFPQ_INDEX[key] = (vecs, cents, cb, codes)
+    return _WARM_IVFPQ_INDEX[key]
 
 
 @register(
@@ -597,11 +594,6 @@ def x_similarity_ivfpq_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-SQ8 pruning evaluation (pruned vs full scalar-quantized ranking)
 # ---------------------------------------------------------------------------
-
-_IS_TP_SQL = (
-    "SELECT COUNT(*) FROM pruned a JOIN exact e "
-    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
-)
 
 _SQ8_RANKED_SQL = """
   SELECT query_id, neighbor_id FROM (
@@ -640,10 +632,10 @@ SELECT
         WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
   CAST((SELECT COUNT(*) FROM pruned) AS INT) AS n_pruned,
   CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
-  CAST(({_IS_TP_SQL}) AS INT) AS n_tp,
-  CAST(({_IS_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+  CAST(({_MS_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_MS_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
        AS BIGINT) AS recall_bp,
-  ({_IS_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+  ({_MS_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
     >= 10 * {_SQ8_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
   (SELECT bool_and(n = {_SQ8_K}) FROM (
      SELECT query_id, COUNT(*) AS n FROM pruned GROUP BY query_id) t)
@@ -683,42 +675,5 @@ def x_ivf_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = ivf_sq8_topk(vecs, queries, cents, k=_SQ8_K, nprobe=2)
     full = sq8_topk(vecs, queries, k=_SQ8_K)
 
-    p = pruned.select("query_id", "neighbor_id")
     exact = full.select("query_id", "neighbor_id")
-    tp = p.join(exact, ["query_id", "neighbor_id"])
-
-    n_corpus = vecs.agg(F.count("*").alias("n_corpus"))
-    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
-    n_pruned = p.agg(F.count("*").cast("int").alias("n_pruned"))
-    n_truth = exact.agg(F.count("*").cast("int").alias("n_truth"))
-    n_tp = tp.agg(F.count("*").cast("int").alias("n_tp"))
-    card = (
-        pruned.groupBy("query_id")
-        .agg(F.count("*").alias("n"), F.max("rank").alias("mr"))
-        .agg(
-            F.bool_and(
-                (F.col("n") == _SQ8_K) & (F.col("mr") == _SQ8_K)
-            ).alias("ranks_ok")
-        )
-    )
-    return (
-        n_queries.crossJoin(n_pruned)
-        .crossJoin(n_truth)
-        .crossJoin(n_tp)
-        .crossJoin(n_corpus)
-        .crossJoin(card)
-        .select(
-            "n_queries",
-            "n_pruned",
-            "n_truth",
-            "n_tp",
-            F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias(
-                "recall_bp"
-            ),
-            (
-                F.col("n_tp") * (F.col("n_corpus") - 1)
-                >= F.lit(10 * _SQ8_K) * F.col("n_truth")
-            ).alias("recall_ok"),
-            "ranks_ok",
-        )
-    )
+    return _recall_contract(vecs, queries, pruned, exact, "n_pruned", _SQ8_K)

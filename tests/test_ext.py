@@ -556,3 +556,26 @@ def test_decode_features_observed_fallback_rate(spark):
     assert got[3]["decode_fallback"] is False
     assert got[3]["width"] == 8 and got[3]["n_channels"] == 1
     assert got[4]["decode_fallback"] is True
+
+
+def test_png_small_dims_huge_idat_bomb_degrades():
+    """The bomb guard must bound the INFLATE, not just the declared
+    dimensions: a 1x1 header over an IDAT that decompresses to far
+    more than 1 pixel's worth of data must degrade to fake dims with
+    at most declared-size+1 bytes materialized — never inflate the
+    whole stream first."""
+    import struct
+    import zlib
+
+    from blspark.ext.multimodal import fake_decode, hybrid_decode
+
+    # declares 1x1 grayscale (stride 1, expected 2 bytes) but the IDAT
+    # inflates to ~10 MB of zeros
+    idat = zlib.compress(b"\x00" * 10_000_000)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0) + b"crcc"
+        + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"crcc"
+    )
+    assert hybrid_decode(bomb, "image") == fake_decode(bomb, "image")

@@ -67,6 +67,7 @@ GNARLY_HTML = """
 <a href="view-source:page.html">dashed-alpha scheme 3</a>
 <a href="z39.50s:host/db">digit-bearing registered scheme (known casualty)</a>
 <a href="pr.data.0.Current:note.txt">digit-dot pseudo-scheme file 2</a>
+<a href="final-draft:notes.txt">digit-free colon filename (documented casualty: skipped)</a>
 <a href="tel:+1555">phone</a>
 <a href="sms:+15551234">sms link</a>
 <a href="geo:40.1,-70.2">geo link</a>
@@ -94,8 +95,9 @@ def test_parse_directory_listing_gnarly_pages():
     (web+custom:) still skip. ADVICE r9: filename-shaped now requires
     a DIGIT in the token, so dashed-alpha registered schemes
     (chrome-extension:, ms-word:, view-source:) skip correctly; the
-    digit-bearing z39.50* family is the documented casualty — kept as
-    a file, logged at debug."""
+    digit-bearing z39.50* family is a documented casualty — kept as
+    a file; the INVERSE casualty (digit-free "final-draft:notes.txt"
+    now skips as a scheme) is likewise documented and logged."""
     assert parse_directory_listing(GNARLY_HTML) == [
         "unquoted.txt",
         "spaced.csv",

@@ -891,7 +891,7 @@ def test_ivfpq_warm_matches_full_pipeline_and_memoizes(spark, monkeypatch):
     assert sorted(map(tuple, warm.collect())) == sorted(
         map(tuple, full.collect())
     )
-    assert SF in x10._WARM_IVFPQ_INDEX
+    assert any(k[1] == SF for k in x10._WARM_IVFPQ_INDEX)
 
     # retraining on the second call would blow up here
     import blspark.ext.similarity as sim
@@ -931,3 +931,24 @@ def test_round10_eval_contracts_consistent(spark):
         assert r.recall_ok and r.ranks_ok, name
         for f in extra:
             assert getattr(r, f), (name, f)
+
+
+def test_ragged_subvectors_zero_tokens_yields_no_rows(spark):
+    """n_tokens <= 0 (an empty document) must yield ZERO token rows —
+    sequence(0, n-1) with n=0 would otherwise produce the descending
+    [0, -1] and fabricate two phantom tokens, one sliced from the END
+    of the packed vector."""
+    from blspark.ext.similarity import ragged_subvectors
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)]), (2, [1.0, 2.0])],
+        "vec_id int, vec array<double>",
+    )
+    ntok = F.when(F.col("vec_id") == 1, 4).otherwise(0)
+    rows = ragged_subvectors(df, 2, ntok).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append((r["m"], r["sv"]))
+    assert sorted(by_id) == [1]          # doc 2 contributes nothing
+    assert sorted(m for m, _ in by_id[1]) == [0, 1, 2, 3]
+    assert not any(m < 0 for m, _ in by_id[1])
