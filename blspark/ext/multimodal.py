@@ -107,7 +107,12 @@ def _decode_png_stdlib(content: bytes) -> tuple[int, int, int]:
             f"{width}x{height}x{ch} dimensions"
         )
     raw += d.flush()
-    if len(raw) != expected:
+    # d.eof: the plain zlib.decompress call this replaced raised on an
+    # incomplete stream (deflate payload present, adler32 trailer cut
+    # off); the capped decompressobj form returns the payload without
+    # complaint, so completeness must be asserted explicitly or a
+    # truncated file reports as a successful real decode
+    if len(raw) != expected or not d.eof:
         raise ValueError("PNG pixel data truncated")
     # Unfilter (types 0-4 per the PNG spec) to prove the pixels decode.
     prev = bytearray(stride)

@@ -1318,7 +1318,13 @@ def cell_assign_stateless(
     Equality of the two paths is property-tested."""
     import math
 
-    vnorm = _norm(F.col(vec_col))
+    # the row's norm is hoisted into one materialized column and
+    # REFERENCED per centroid candidate — inlining the interpreted
+    # 64-element fold into every struct would evaluate it |cells|
+    # times per row in the streaming hot path (the cosine_topk
+    # hoisting lesson; measured 2x there)
+    vn = f"__{out}_vnorm"
+    with_n = df.withColumn(vn, _norm(F.col(vec_col)))
     cands = []
     for cell_id, cvec in sorted(centroid_rows):
         c = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
@@ -1326,7 +1332,7 @@ def cell_assign_stateless(
         for x in cvec:  # left-to-right — _norm's fold order exactly
             acc += float(x) * float(x)
         cnorm = math.sqrt(acc)
-        denom = vnorm * F.lit(cnorm).cast("double")
+        denom = F.col(vn) * F.lit(cnorm).cast("double")
         sim = F.when(denom > 0, _dot(F.col(vec_col), c) / denom).otherwise(
             F.lit(float("-inf"))
         )
@@ -1336,7 +1342,9 @@ def cell_assign_stateless(
                 F.lit(int(cell_id)).cast("int").alias("cell_id"),
             )
         )
-    return df.withColumn(out, F.array_min(F.array(*cands)).getField("cell_id"))
+    return with_n.withColumn(
+        out, F.array_min(F.array(*cands)).getField("cell_id")
+    ).drop(vn)
 
 
 def label_centroids(

@@ -545,8 +545,14 @@ def _ivfpq_warm_index(spark: SparkSession, sf_dir: str):
     # bound to the SparkSession that built it — serving it to a LATER
     # session in the same process (test fixtures stop and recreate
     # sessions) would raise "SparkContext has been shut down" or read
-    # a checkpoint RDD that no longer exists
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # a checkpoint RDD that no longer exists. Entries of dead sessions
+    # are evicted on sight (they can never be served again), so the
+    # memo holds at most the LIVE session's datasets — no unbounded
+    # growth across session restarts.
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _WARM_IVFPQ_INDEX if k[0] != app]:
+        del _WARM_IVFPQ_INDEX[stale]
+    key = (app, sf_dir)
     got = _WARM_IVFPQ_INDEX.get(key)
     if got is not None:
         return got

@@ -579,3 +579,31 @@ def test_png_small_dims_huge_idat_bomb_degrades():
         + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"crcc"
     )
     assert hybrid_decode(bomb, "image") == fake_decode(bomb, "image")
+
+
+def test_png_truncated_adler_trailer_degrades():
+    """A PNG whose IDAT deflate payload is complete but whose adler32
+    trailer is cut off must still degrade to fake dims: the capped
+    decompressobj path returns the payload without complaint, so
+    stream completeness (d.eof) is asserted explicitly."""
+    import struct
+    import zlib
+
+    from blspark.ext.multimodal import fake_decode, hybrid_decode
+
+    full = zlib.compress(b"\x00\x01")  # 1x1 gray: filter byte + pixel
+    trunc = full[:-4]  # strip the adler32 trailer
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0) + b"crcc"
+        + struct.pack(">I", len(trunc)) + b"IDAT" + trunc + b"crcc"
+    )
+    assert hybrid_decode(png, "image") == fake_decode(png, "image")
+    intact = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0) + b"crcc"
+        + struct.pack(">I", len(full)) + b"IDAT" + full + b"crcc"
+    )
+    assert hybrid_decode(intact, "image") == (1, 1, 1)  # real decode

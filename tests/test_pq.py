@@ -952,3 +952,34 @@ def test_ragged_subvectors_zero_tokens_yields_no_rows(spark):
     assert sorted(by_id) == [1]          # doc 2 contributes nothing
     assert sorted(m for m, _ in by_id[1]) == [0, 1, 2, 3]
     assert not any(m < 0 for m, _ in by_id[1])
+
+
+def test_sq8_candidates_restriction_and_parity(spark):
+    """The sq8_topk candidates branch (generic pair restriction, the
+    maxsim-style API): with the FULL unique pair set results equal the
+    plain path exactly, and with a restricted set only listed pairs
+    are scored."""
+    from blspark.ext.similarity import sq8_topk
+
+    vecs = _vecs(spark)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    ids = [r["vec_id"] for r in vecs.select("vec_id").collect()]
+    qids = [i for i in ids if i < 3]
+
+    full_pairs = spark.createDataFrame(
+        [(q, n) for q in qids for n in ids if n != q],
+        "query_id long, neighbor_id long",
+    )
+    via_cand = sq8_topk(vecs, queries, k=3, candidates=full_pairs)
+    plain = sq8_topk(vecs, queries, k=3)
+    assert sorted(map(tuple, via_cand.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    allowed = sorted(i for i in ids if i % 2 == 0)[:5]
+    sub = spark.createDataFrame(
+        [(q, n) for q in qids for n in allowed if n != q],
+        "query_id long, neighbor_id long",
+    )
+    got = sq8_topk(vecs, queries, k=3, candidates=sub).collect()
+    assert got and all(r["neighbor_id"] in allowed for r in got)
