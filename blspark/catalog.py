@@ -95,16 +95,17 @@ _PRIORITY: tuple[str, ...] = (
     # phantom listing promised — implemented THIS round in
     # queries/extensions10.py — plus the warm IVF-PQ variant, the two
     # pruning/recall contracts, and the streaming SQ8/IVF-SQ8 index
-    # pair) hold the first-time-ORACLE slots, then the 9 remaining
-    # r4-stale queries close out the r4 era, then the 33
-    # alphabetically-first r6-stale — the 50-slot budget signs
-    # 8 new + 9 r4 + 33 r6 this round, leaving 17 r6-stale (listed
-    # next, in order) for round 11; after that the oldest signature is
-    # r7, permanently inside the ~4-round window. Recomputed
-    # programmatically from CORRECTNESS_r01..r09.json (latest round
-    # per query). All queries are locally green every run
-    # (tests/test_oracle.py re-differentials the full registry).
-    # round-10 first-timers (8):
+    # pair, and the cell-blocked mutual-kNN graph) hold the
+    # first-time-ORACLE slots, then the 9 remaining r4-stale queries
+    # close out the r4 era, then the 32 alphabetically-first r6-stale
+    # — the 50-slot budget signs 9 new + 9 r4 + 32 r6 this round,
+    # leaving 18 r6-stale (listed next, in order) for round 11; after
+    # that the oldest signature is r7, permanently inside the
+    # ~4-round window. Recomputed programmatically from
+    # CORRECTNESS_r01..r09.json (latest round per query). All queries
+    # are locally green every run (tests/test_oracle.py
+    # re-differentials the full registry).
+    # round-10 first-timers (9):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -113,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_ivf_sq8_eval",
     "s_stream_index_sq8",
     "s_stream_index_ivf_sq8",
+    "x_knn_graph",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -123,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 33 (inside the round-10 budget):
+    # r6-stale, first 32 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -156,8 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_group_split",
     "x_histogram_quantile_merge",
     "x_incremental_agg_refresh",
+    # r6-stale remainder for round 11 (18):
     "x_kcore_prune",
-    # r6-stale remainder for round 11 (17):
     "x_kmeans_checked",
     "x_kmeans_clusters",
     "x_label_knn_disagreement",

@@ -664,6 +664,96 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Cell-blocked k-nearest-neighbor GRAPH: every corpus vector's
+    exact-cosine top-``k`` among its own IVF cell's members, plus a
+    mutual-kNN flag (edge (a, b) is mutual iff (b, a) is also a top-k
+    edge) — the sparsified graph that SemDeDup-style semantic dedup
+    and graph clustering build on (x_dedup_semantic consumes exactly
+    this pair structure; here the edges themselves are the product).
+
+    Scale shape — and why this is NOT just cosine_topk with
+    queries=corpus: the query-set operators broadcast a metadata-sized
+    query frame against the corpus scan. Here BOTH sides are the
+    corpus, so neither is broadcastable at 100 TB and a broadcast-NLJ
+    (or worse, a cross product) is off the table. The feasible plan is
+    the cell-bucketed self-equi-join: one cell-assignment pass per
+    side (map-side hash-agg argmin, centroids broadcast — the
+    ``_cell_assign`` probes=1 shape), then a shuffle on cell_id where
+    the quadratic pairing term is bounded by CELL size, never corpus
+    size — the same lever that makes embedding dedup feasible
+    (x_dedup_semantic's docstring). The assignment subtree is
+    recomputed for each self-join branch rather than persisted (the
+    residual IVF-PQ convention: never materialize a corpus-sized
+    cache; recompute is one extra scan of a columnar source). The
+    mutual flag joins the edge list (|corpus| x k rows, id/float
+    columns only) to itself on the reversed (src, dst) pair — a keyed
+    hash join on a compact frame, no further corpus scan. Each node
+    lives in exactly one cell, so (src, dst) edges are unique by
+    construction and the reverse join cannot fan out.
+
+    Returns (src_id, dst_id, cosine, rank, mutual); nodes in a cell
+    of size < k + 1 emit cell_size - 1 edges.
+    """
+    cent = _centroid_frame(centroids)
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("src_id"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "src_id",
+        1,
+    )
+    a = assigned.select(
+        "src_id",
+        F.col("vec").alias("avec"),
+        F.col("vnorm").alias("anorm"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col("src_id").alias("dst_id"),
+        F.col("vec").alias("bvec"),
+        F.col("vnorm").alias("bnorm"),
+        "cell_id",
+    )
+    scored = (
+        a.join(b, "cell_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                _dot(F.col("avec"), F.col("bvec"))
+                / (F.col("anorm") * F.col("bnorm"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("dst_id"))
+    edges = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.lit(True).alias("rev_hit"),
+    )
+    return edges.join(rev, ["src_id", "dst_id"], "left").select(
+        "src_id",
+        "dst_id",
+        F.round("cos_raw", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+        F.coalesce("rev_hit", F.lit(False)).alias("mutual"),
+    )
+
+
 def _d2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

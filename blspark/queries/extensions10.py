@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from blspark.catalog import load_table, register
 from blspark.queries.extensions9 import (
     _DOTQ,
+    _NORMQ,
     _MS_K,
     _PQ_K,
     _PQ_KS,
@@ -683,3 +684,60 @@ def x_ivf_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = full.select("query_id", "neighbor_id")
     return _recall_contract(vecs, queries, pruned, exact, "n_pruned", _SQ8_K)
+
+
+# ---------------------------------------------------------------------------
+# Cell-blocked k-NN graph (mutual-kNN sparsifier)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+# Full SQL oracle over the shared IVF prefix (vecs/cents/cassign — the
+# ONE copy of the cell geometry, extensions9): norms hoisted once per
+# node, within-cell self-join, exact-cosine top-k per src, mutual flag
+# via a reversed-pair self-join of the edge list.
+KNN_GRAPH_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+sized AS MATERIALIZED (
+  SELECT a.vec_id, a.cell_id, v.vec,
+         {_NORMQ.format(a='v.vec')} AS nrm
+  FROM cassign a JOIN vecs v ON a.vec_id = v.vec_id
+),
+ranked AS MATERIALIZED (
+  SELECT src_id, dst_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+              ORDER BY cos_raw DESC, dst_id ASC) AS INT) AS rank
+  FROM (
+    SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+           {_DOTQ.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) AS cos_raw
+    FROM sized a JOIN sized b
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id) t
+),
+edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= {_KNN_K})
+SELECT e.src_id, e.dst_id, ROUND(e.cos_raw, 6) AS cosine, e.rank,
+       (m.src_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges m
+  ON m.src_id = e.dst_id AND m.dst_id = e.src_id
+"""
+
+
+@register(
+    "x_knn_graph",
+    oracle=KNN_GRAPH_ORACLE,
+    doc="Cell-blocked k-nearest-neighbor GRAPH with a mutual-kNN flag "
+    "— the corpus-vs-corpus shape none of the query-set top-k "
+    "operators exercise: both join sides are the corpus, so nothing "
+    "is broadcastable at 100 TB and the feasible plan is the "
+    "cell-bucketed self-equi-join (quadratic term bounded by cell "
+    "size, the x_dedup_semantic lever) over the family's shared "
+    "deterministic label-mean cells. Every node emits its exact-"
+    "cosine top-3 within its cell plus mutual = (reverse edge also "
+    "top-3) — the standard sparsifier SemDeDup / graph-clustering "
+    "pipelines consume. Full hash-checked oracle on the shared IVF "
+    "prefix. ext/similarity.knn_graph.",
+)
+def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, _det_centroids(emb), k=_KNN_K)

@@ -612,6 +612,43 @@ def bench_ivfpq_query_warm(spark, factor: int) -> float:
     return dt
 
 
+def bench_knn_graph(spark, factor: int) -> float:
+    """Cell-blocked kNN graph at growing corpus size, with the cell
+    count growing by the FAISS nlist ~ sqrt(N) rule (labels re-keyed
+    across isqrt(factor) replica groups): flat centroid routing costs
+    N * nlist and within-cell pairing costs N * (N / nlist), so
+    sqrt(N) cells balances both at N^1.5 — the honest asymptote for
+    IVF-blocked all-corpus kNN (a fixed cell count sends pairing
+    quadratic; cells ~ N sends routing quadratic — measured 6.8x at
+    x4 before this reshape). Run with square factors (1 4 16); the
+    bound to hold is factor^1.5 (8 at x4, 64 at x16)."""
+    import math
+
+    from blspark.ext.similarity import knn_graph, label_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    if factor > 1:
+        s = math.isqrt(factor)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
+        emb = (
+            emb.select("*", rep)
+            .withColumn(
+                "vec_id",
+                F.col("vec_id") + F.col("_rep").cast("long") * 10_000_000,
+            )
+            .withColumn("label", F.col("label") + (F.col("_rep") % s) * 1000)
+            .drop("_rep")
+        )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    t0 = time.perf_counter()
+    n = knn_graph(emb, cents, k=3).count()
+    dt = time.perf_counter() - t0
+    print(f"  knn_graph x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -622,6 +659,7 @@ BENCHES = {
     "maxsim_pruned": bench_maxsim_pruned,
     "maxsim_ragged": bench_maxsim_ragged,
     "ivfpq_query_warm": bench_ivfpq_query_warm,
+    "knn_graph": bench_knn_graph,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

@@ -1,0 +1,94 @@
+"""knn_graph (cell-blocked mutual-kNN graph) properties: exact edges
+on a constructed two-cell frame; complete-graph degeneration when k
+covers the cell; mutual-flag symmetry; rank density."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.ext.similarity import knn_graph, label_centroids
+from tests.conftest import SF_SMOKE
+
+
+def _tiny(spark):
+    """Two well-separated cells: axis-ish vectors near e1 and near e2.
+    Cosines inside each cell are hand-checkable."""
+    rows = [
+        # cell A (near [1, 0, 0, 0])
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [1.0, 0.1, 0.0, 0.0], "a"),
+        (2, [1.0, 0.0, 0.1, 0.0], "a"),
+        # cell B (near [0, 1, 0, 0])
+        (3, [0.0, 1.0, 0.0, 0.0], "b"),
+        (4, [0.1, 1.0, 0.0, 0.0], "b"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    cents = label_centroids(emb).withColumn(
+        "cell_id",
+        F.when(F.col("cell_id") == "a", 0).otherwise(1).cast("int"),
+    )
+    return emb, cents
+
+
+def test_knn_graph_tiny_exact_edges_and_mutual(spark):
+    emb, cents = _tiny(spark)
+    out = {
+        (r["src_id"], r["dst_id"]): (r["rank"], r["mutual"])
+        for r in knn_graph(emb, cents, k=1).collect()
+    }
+    # cell A: 0's nearest is 1 or 2 (equal cosine 1/sqrt(1.01),
+    # tie-break lowest dst) -> 1; 1's nearest is 0 (cos 1/sqrt(1.01)
+    # beats cos(1,2) = 1/1.01); 2's nearest is 0 likewise.
+    # cell B: 3 <-> 4 trivially mutual.
+    assert set(out) == {(0, 1), (1, 0), (2, 0), (3, 4), (4, 3)}
+    assert out[(0, 1)] == (1, True)
+    assert out[(1, 0)] == (1, True)
+    assert out[(2, 0)] == (1, False)  # 0's top-1 is 1, not 2
+    assert out[(3, 4)] == (1, True)
+    assert out[(4, 3)] == (1, True)
+
+
+def test_knn_graph_k_covering_cell_is_complete_and_all_mutual(spark):
+    """With k >= max cell size - 1 the within-cell graph is complete,
+    so every node emits exactly cell_size - 1 edges and EVERY edge is
+    mutual (the reverse pair is always present)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    # cell sizes are implied by the learned assignment, so derive the
+    # bound from the graph itself: run with a k far above any cell size
+    n = emb.count()
+    edges = knn_graph(emb, cents, k=n).collect()
+    assert all(r["mutual"] for r in edges)
+    deg = {}
+    for r in edges:
+        deg[r["src_id"]] = deg.get(r["src_id"], 0) + 1
+    # complete within cells: degree of every member of a cell is equal
+    # (cell_size - 1), and summing (deg + 1) over distinct degrees'
+    # node sets recovers the corpus
+    assert sum(deg.values()) == len(edges)
+    assert set(deg) == {r["src_id"] for r in edges}
+    # ranks are dense 1..deg per src
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r["src_id"], []).append(r["rank"])
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, deg[s] + 1))
+
+
+def test_knn_graph_mutual_flag_matches_reverse_membership(spark):
+    """mutual == (reversed pair is an edge), checked both directions."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    rows = knn_graph(emb, cents, k=3).collect()
+    pairs = {(r["src_id"], r["dst_id"]) for r in rows}
+    for r in rows:
+        assert r["mutual"] == ((r["dst_id"], r["src_id"]) in pairs)
+    # and per-src edge count never exceeds k
+    cnt = {}
+    for r in rows:
+        cnt[r["src_id"]] = cnt.get(r["src_id"], 0) + 1
+    assert max(cnt.values()) <= 3

@@ -50,6 +50,10 @@ QUERIES = [
     "x_sq8_eval",
     "x_maxsim_eval",
     "x_ivf_sq8_eval",
+    # the kNN graph's cosine ranks ride the same centroid means and
+    # per-pair ordered folds; the mutual flag must not flip with how
+    # edge rows land in partitions
+    "x_knn_graph",
 ]
 
 

@@ -255,6 +255,20 @@ def test_round10_family_plans_no_cartesian_broadcast_smalls(spark):
         assert "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_knn_graph_self_join_keyed_not_broadcast(spark):
+    """The corpus-vs-corpus kNN graph must pair rows through a KEYED
+    join on cell_id (sort-merge / shuffled-hash) — at 100 TB neither
+    self-join side is broadcastable, so a broadcast of the corpus (or
+    a cartesian) is a scale regression. The only broadcast-NLJs are
+    the metadata-sized centroid crossJoins (the _cell_assign shape),
+    and the per-src top-k pushes a WindowGroupLimit partial below the
+    exchange."""
+    plan = _plan(spark, "x_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_ivfpq_warm_plan_reads_checkpoint_not_training(spark):
     """The warm IVF-PQ query's executed plan must read the pre-built
     codes frame from the checkpoint (Scan ExistingRDD) — NOT re-derive
