@@ -723,6 +723,7 @@ FROM edges e LEFT JOIN edges m
 
 @register(
     "x_knn_graph",
+    bench=True,
     oracle=KNN_GRAPH_ORACLE,
     doc="Cell-blocked k-nearest-neighbor GRAPH with a mutual-kNN flag "
     "— the corpus-vs-corpus shape none of the query-set top-k "
