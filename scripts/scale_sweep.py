@@ -621,7 +621,16 @@ def bench_knn_graph(spark, factor: int) -> float:
     IVF-blocked all-corpus kNN (a fixed cell count sends pairing
     quadratic; cells ~ N sends routing quadratic — measured 6.8x at
     x4 before this reshape). Run with square factors (1 4 16); the
-    bound to hold is factor^1.5 (8 at x4, 64 at x16)."""
+    bound to hold is factor^1.5 (8 at x4, 64 at x16).
+
+    The replica groups must differ in VECTOR CONTENT, not just label:
+    group centroids averaged from identical vector multisets come out
+    (near-)bitwise equal, and cell assignment is a cosine argmax over
+    centroids — identical centroids would tie-break the whole corpus
+    into the original cells and silently restore the quadratic
+    pairing this sweep exists to rule out. Each replica group gets a
+    large distinct offset on dimension 0, so its centroid is robustly
+    separated and its rows robustly route back to it."""
     import math
 
     from blspark.ext.similarity import knn_graph, label_centroids
@@ -630,6 +639,8 @@ def bench_knn_graph(spark, factor: int) -> float:
     if factor > 1:
         s = math.isqrt(factor)
         rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
+        vec = F.col("embedding").cast("array<double>")
+        grp = (F.col("_rep") % s).cast("double")
         emb = (
             emb.select("*", rep)
             .withColumn(
@@ -637,6 +648,13 @@ def bench_knn_graph(spark, factor: int) -> float:
                 F.col("vec_id") + F.col("_rep").cast("long") * 10_000_000,
             )
             .withColumn("label", F.col("label") + (F.col("_rep") % s) * 1000)
+            .withColumn(
+                "embedding",
+                F.concat(
+                    F.array(F.element_at(vec, 1) + grp * F.lit(10.0)),
+                    F.slice(vec, 2, F.size(vec) - 1),
+                ),
+            )
             .drop("_rep")
         )
     cents = label_centroids(emb).select(

@@ -56,19 +56,41 @@ def test_knn_graph_k_covering_cell_is_complete_and_all_mutual(spark):
     cents = label_centroids(emb).withColumn(
         "cell_id", F.col("cell_id").cast("int")
     )
-    # cell sizes are implied by the learned assignment, so derive the
-    # bound from the graph itself: run with a k far above any cell size
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        with_double_vec,
+    )
+
     n = emb.count()
     edges = knn_graph(emb, cents, k=n).collect()
     assert all(r["mutual"] for r in edges)
     deg = {}
     for r in edges:
         deg[r["src_id"]] = deg.get(r["src_id"], 0) + 1
-    # complete within cells: degree of every member of a cell is equal
-    # (cell_size - 1), and summing (deg + 1) over distinct degrees'
-    # node sets recovers the corpus
-    assert sum(deg.values()) == len(edges)
-    assert set(deg) == {r["src_id"] for r in edges}
+    # completeness is checked against the INDEPENDENTLY computed cell
+    # assignment: every node in a cell of size c must emit exactly
+    # c - 1 edges (so a bug that symmetrically drops a cell's rows
+    # cannot hide behind mutual-flag and rank-density checks)
+    assigned = _cell_assign(
+        with_double_vec(emb, "embedding").select(
+            F.col("vec_id").alias("src_id"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        _centroid_frame(cents),
+        "src_id",
+        1,
+    ).select("src_id", "cell_id").collect()
+    cell_of = {r["src_id"]: r["cell_id"] for r in assigned}
+    size = {}
+    for c in cell_of.values():
+        size[c] = size.get(c, 0) + 1
+    assert len(cell_of) == n
+    for node, cell in cell_of.items():
+        assert deg.get(node, 0) == size[cell] - 1, (node, cell)
+    assert len(edges) == sum(c * (c - 1) for c in size.values())
     # ranks are dense 1..deg per src
     by_src = {}
     for r in edges:

@@ -262,10 +262,17 @@ def test_knn_graph_self_join_keyed_not_broadcast(spark):
     a cartesian) is a scale regression. The only broadcast-NLJs are
     the metadata-sized centroid crossJoins (the _cell_assign shape),
     and the per-src top-k pushes a WindowGroupLimit partial below the
-    exchange."""
+    exchange. BOTH data-sized joins must stay keyed-non-broadcast:
+    the pairing join's sides are the corpus, and the mutual-flag
+    reverse join's sides are the |corpus| x k edge list — so ANY
+    BroadcastHashJoin in this plan means a data-sized frame got
+    broadcast (the centroid crossJoins are BroadcastNestedLoopJoin,
+    which is allowed and metadata-sized)."""
     plan = _plan(spark, "x_knn_graph")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan  # no data-sized broadcast
+    keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert keyed >= 2  # pairing join AND reverse join both keyed
     assert "WindowGroupLimit" in plan
 
 
