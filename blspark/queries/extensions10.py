@@ -742,3 +742,59 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, _det_centroids(emb), k=_KNN_K)
+
+
+# Full SQL oracle for the SQ8-rung graph: shared IVF prefix + shared
+# SQ8 quantization CTE + the family's int64 product fragment; within-
+# cell self-join over codes, top-k by reconstructed inner product,
+# mutual flag via the reversed-pair edge join.
+KNN_GRAPH_SQ8_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+{_SQ8_QZ_SQL},
+qc AS MATERIALIZED (
+  SELECT z.vec_id, z.qvec, z.scale, c.cell_id
+  FROM qz z JOIN cassign c ON z.vec_id = c.vec_id
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_SQ8_IPROD.format(n="a", q="b")} AS iprod,
+         a.scale * b.scale AS ss
+  FROM qc a JOIN qc b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT src_id, dst_id, iprod, CAST(iprod AS DOUBLE) * ss AS raw,
+           CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                ORDER BY CAST(iprod AS DOUBLE) * ss DESC, dst_id ASC) AS INT)
+             AS rank
+    FROM scored) t
+  WHERE rank <= {_KNN_K}
+)
+SELECT e.src_id, e.dst_id, ROUND(e.raw, 6) AS score, e.iprod, e.rank,
+       (m.src_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges m
+  ON m.src_id = e.dst_id AND m.dst_id = e.src_id
+"""
+
+
+@register(
+    "x_knn_graph_sq8",
+    bench=True,
+    oracle=KNN_GRAPH_SQ8_ORACLE,
+    doc="Mutual-kNN graph at the SQ8 rung — the configuration a "
+    "100 TB graph build ships: the within-cell pairing (the dominant "
+    "N * cell_size term) runs over 4x-compressed int8 codes with the "
+    "EXACT int64 inner-product core (one double multiply per pair at "
+    "the end), so the corpus self-join shuffles a quarter of the "
+    "bytes and raw vectors never shuffle at all — quantization rides "
+    "the cell-assign pass (sq8_quantize keep=cell_id) in one corpus "
+    "scan. Scoring/tie-break tail shared verbatim with the query-set "
+    "SQ8 paths (_sq8_rank); cells and mutual-flag device shared with "
+    "x_knn_graph. Full hash-checked oracle on the shared IVF prefix "
+    "+ shared SQ8 quantization CTE. ext/similarity.knn_graph_sq8.",
+)
+def x_knn_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_sq8(emb, _det_centroids(emb), k=_KNN_K)

@@ -631,9 +631,26 @@ def bench_knn_graph(spark, factor: int) -> float:
     pairing this sweep exists to rule out. Each replica group gets a
     large distinct offset on dimension 0, so its centroid is robustly
     separated and its rows robustly route back to it."""
+    from blspark.ext.similarity import knn_graph
+
+    emb, cents = _amplify_cells_sqrt(spark, factor)
+    t0 = time.perf_counter()
+    n = knn_graph(emb, cents, k=3).count()
+    dt = time.perf_counter() - t0
+    print(f"  knn_graph x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def _amplify_cells_sqrt(spark, factor: int):
+    """Shared amplification for the kNN-graph sweeps: corpus x factor,
+    cell count x isqrt(factor) (the FAISS nlist ~ sqrt(N) rule), with
+    each replica group offset on dimension 0 so group centroids are
+    content-separated (see bench_knn_graph's docstring for why label
+    re-keying alone silently collapses the cells). Returns (emb,
+    cents)."""
     import math
 
-    from blspark.ext.similarity import knn_graph, label_centroids
+    from blspark.ext.similarity import label_centroids
 
     emb = load_table(spark, SF_DIR, "embeddings")
     if factor > 1:
@@ -660,10 +677,21 @@ def bench_knn_graph(spark, factor: int) -> float:
     cents = label_centroids(emb).select(
         F.col("cell_id").cast("int").alias("cell_id"), "centroid"
     )
+    return emb, cents
+
+
+def bench_knn_graph_sq8(spark, factor: int) -> float:
+    """knn_graph at the SQ8 rung, same sqrt-rule amplification as
+    bench_knn_graph — the pairing term runs over int8 codes (quarter
+    the shuffled bytes, exact int64 core), so the same N^1.5 bound
+    should hold with a smaller constant."""
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb, cents = _amplify_cells_sqrt(spark, factor)
     t0 = time.perf_counter()
-    n = knn_graph(emb, cents, k=3).count()
+    n = knn_graph_sq8(emb, cents, k=3).count()
     dt = time.perf_counter() - t0
-    print(f"  knn_graph x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    print(f"  knn_graph_sq8 x{factor}: {dt:.2f}s ({n} rows)", flush=True)
     return dt
 
 
@@ -678,6 +706,7 @@ BENCHES = {
     "maxsim_ragged": bench_maxsim_ragged,
     "ivfpq_query_warm": bench_ivfpq_query_warm,
     "knn_graph": bench_knn_graph,
+    "knn_graph_sq8": bench_knn_graph_sq8,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

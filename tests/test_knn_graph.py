@@ -114,3 +114,90 @@ def test_knn_graph_mutual_flag_matches_reverse_membership(spark):
     for r in rows:
         cnt[r["src_id"]] = cnt.get(r["src_id"], 0) + 1
     assert max(cnt.values()) <= 3
+
+
+# ---------------------------------------------------------------------------
+# SQ8-rung graph (knn_graph_sq8)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_sq8_tiny_lossless_codes_exact_edges(spark):
+    """0/1-component vectors quantize LOSSLESSLY (max|x|=1 -> scale
+    1/127, code x*127 exactly), so the SQ8 ranking equals the integer
+    dot ranking and every edge/score is hand-checkable: score =
+    iprod / 127^2 exactly."""
+    from blspark.ext.similarity import knn_graph_sq8
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [1.0, 1.0, 0.0, 0.0], "a"),
+        (2, [1.0, 1.0, 1.0, 0.0], "a"),
+        (3, [0.0, 0.0, 0.0, 1.0], "b"),
+        (4, [0.0, 1.0, 0.0, 1.0], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label string"
+    )
+    cents = label_centroids(emb).withColumn(
+        "cell_id",
+        F.when(F.col("cell_id") == "a", 0).otherwise(1).cast("int"),
+    )
+    out = {
+        (r["src_id"], r["dst_id"]): (
+            r["iprod"],
+            r["score"],
+            r["rank"],
+            r["mutual"],
+        )
+        for r in knn_graph_sq8(emb, cents, k=1).collect()
+    }
+    # cell A integer dots: d(0,1)=1, d(0,2)=1 (tie -> dst 1),
+    # d(1,2)=2 beats d(1,0)=1; d(2,1)=2 beats d(2,0)=1.
+    # cell B: 3 <-> 4 trivially mutual.
+    assert set(out) == {(0, 1), (1, 2), (2, 1), (3, 4), (4, 3)}
+    c2 = 127 * 127
+    assert out[(0, 1)] == (c2, 1.0, 1, False)  # (1,0) is not an edge
+    assert out[(1, 2)] == (2 * c2, 2.0, 1, True)
+    assert out[(2, 1)] == (2 * c2, 2.0, 1, True)
+    assert out[(3, 4)] == (c2, 1.0, 1, True)
+    assert out[(4, 3)] == (c2, 1.0, 1, True)
+
+
+def test_knn_graph_sq8_complete_edge_set_matches_float_graph(spark):
+    """With k covering every cell, both graphs are complete within
+    cells — so the (src, dst) EDGE SETS must be identical (same
+    shared cell assignment), even though the two rungs order
+    neighbors by different scores."""
+    from blspark.ext.similarity import knn_graph, knn_graph_sq8
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    n = emb.count()
+    f_edges = {
+        (r["src_id"], r["dst_id"]) for r in knn_graph(emb, cents, k=n).collect()
+    }
+    q_edges = {
+        (r["src_id"], r["dst_id"])
+        for r in knn_graph_sq8(emb, cents, k=n).collect()
+    }
+    assert f_edges == q_edges
+    assert len(f_edges) > 0
+
+
+def test_knn_graph_sq8_mutual_flag_matches_reverse_membership(spark):
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    rows = knn_graph_sq8(emb, cents, k=3).collect()
+    pairs = {(r["src_id"], r["dst_id"]) for r in rows}
+    for r in rows:
+        assert r["mutual"] == ((r["dst_id"], r["src_id"]) in pairs)
+    cnt = {}
+    for r in rows:
+        cnt[r["src_id"]] = cnt.get(r["src_id"], 0) + 1
+    assert max(cnt.values()) <= 3

@@ -52,8 +52,10 @@ QUERIES = [
     "x_ivf_sq8_eval",
     # the kNN graph's cosine ranks ride the same centroid means and
     # per-pair ordered folds; the mutual flag must not flip with how
-    # edge rows land in partitions
+    # edge rows land in partitions (the sq8 rung adds the exact int64
+    # core and the scale product)
     "x_knn_graph",
+    "x_knn_graph_sq8",
 ]
 
 

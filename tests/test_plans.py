@@ -268,12 +268,13 @@ def test_knn_graph_self_join_keyed_not_broadcast(spark):
     BroadcastHashJoin in this plan means a data-sized frame got
     broadcast (the centroid crossJoins are BroadcastNestedLoopJoin,
     which is allowed and metadata-sized)."""
-    plan = _plan(spark, "x_knn_graph")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" not in plan  # no data-sized broadcast
-    keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-    assert keyed >= 2  # pairing join AND reverse join both keyed
-    assert "WindowGroupLimit" in plan
+    for name in ("x_knn_graph", "x_knn_graph_sq8"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" not in plan, name  # no data-sized broadcast
+        keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert keyed >= 2, name  # pairing join AND reverse join both keyed
+        assert "WindowGroupLimit" in plan, name
 
 
 def test_ivfpq_warm_plan_reads_checkpoint_not_training(spark):
