@@ -798,3 +798,86 @@ def x_knn_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_sq8(emb, _det_centroids(emb), k=_KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Graph quality evaluation (cell-blocked graph vs exact all-pairs top-k)
+# ---------------------------------------------------------------------------
+
+_G_TP_SQL = (
+    "SELECT COUNT(*) FROM gedges g JOIN exact e "
+    "ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id"
+)
+
+KNN_GRAPH_EVAL_ORACLE = f"""
+WITH {_ivf_prefix_sql(f"WHERE vec_id < {_SQ8_EVAL_N}")},
+nv AS MATERIALIZED (
+  SELECT vec_id, vec, {_NORMQ.format(a='vec')} AS nrm FROM vecs
+),
+gedges AS MATERIALIZED (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_DOTQ.format(a='av.vec', b='bv.vec')}
+                      / (av.nrm * bv.nrm) DESC, b.vec_id ASC) AS r
+    FROM cassign a JOIN cassign b
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+    JOIN nv av ON av.vec_id = a.vec_id
+    JOIN nv bv ON bv.vec_id = b.vec_id) t
+  WHERE r <= {_KNN_K}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_DOTQ.format(a='a.vec', b='b.vec')}
+                      / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS r
+    FROM nv a JOIN nv b ON a.vec_id <> b.vec_id) t
+  WHERE r <= {_KNN_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM gedges) AS INT) AS n_graph,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_G_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_G_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_G_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_KNN_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  (SELECT bool_and(n = {_KNN_K} AND mr = {_KNN_K}) FROM (
+     SELECT query_id, COUNT(*) AS n, MAX(r) AS mr
+     FROM gedges GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_knn_graph_eval",
+    oracle=KNN_GRAPH_EVAL_ORACLE,
+    doc="Graph-construction recall contract — completing the per-rung "
+    "quality matrix for the GRAPH family (x_lsh_eval / x_pq_eval / "
+    "x_sq8_eval / x_ivf_sq8_eval / x_maxsim_eval): the cell-blocked "
+    "top-3 graph vs the exact all-pairs cosine top-3, over the fixed "
+    "500-vector sample universe (every sample node is a query — the "
+    "all-corpus shape, so n_queries = n_corpus). What it prices is "
+    "the cell restriction itself: a node's true top-3 may live in "
+    "another cell; measured 2413 bp (sf0.01) / 2373 bp (sf0.1) "
+    "against a 60 bp chance level — the pinned contract is the "
+    "scale-free >= 10x-chance floor plus exact per-node cardinality "
+    "(every node emits exactly k ranked edges at both SFs). "
+    "Sample-scale by design: the exact all-pairs baseline is priced "
+    "once for a fixed sample; the cell-blocked graph is what ships.",
+)
+def x_knn_graph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cosine_topk, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SQ8_EVAL_N
+    )
+    g = knn_graph(emb, _det_centroids(emb), k=_KNN_K).select(
+        F.col("src_id").alias("query_id"),
+        F.col("dst_id").alias("neighbor_id"),
+        "rank",
+    )
+    exact = cosine_topk(emb, emb, k=_KNN_K).select("query_id", "neighbor_id")
+    return _recall_contract(emb, emb, g, exact, "n_graph", _KNN_K)

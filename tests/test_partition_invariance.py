@@ -56,6 +56,7 @@ QUERIES = [
     # core and the scale product)
     "x_knn_graph",
     "x_knn_graph_sq8",
+    "x_knn_graph_eval",
 ]
 
 
