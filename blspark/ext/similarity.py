@@ -821,6 +821,98 @@ def knn_graph_sq8(
     )
 
 
+def cell_member_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Static cell-member index for stateless streaming edge
+    maintenance: the batch corpus cell-assigned (``_cell_assign``, the
+    one shared rule) and SQ8-quantized (``sq8_quantize``), grouped to
+    ONE row per cell carrying a members array<struct(vec_id, qvec,
+    scale)>. Row width is bounded by CELL size — the IVF training
+    contract (nlist ~ sqrt(N)) keeps cells bounded, which is exactly
+    what makes the per-arrival inline top-k in
+    ``knn_edges_stateless`` feasible. Built once offline from the
+    frozen corpus; the stream never recomputes it."""
+    cent = _centroid_frame(centroids)
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("vid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "vid",
+        1,
+    )
+    qz = sq8_quantize(assigned, id_col="vid", vec_col="vec", keep=("cell_id",))
+    return qz.groupBy("cell_id").agg(
+        F.collect_list(
+            F.struct(F.col("vid").alias("vec_id"), "qvec", "scale")
+        ).alias("members")
+    )
+
+
+def knn_edges_stateless(
+    arrivals: DataFrame, member_index: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-arrival top-``k`` SQ8 edges against a FROZEN cell-member
+    index — the streaming-safe form of ``knn_graph_sq8``'s scoring:
+    append mode needs no window, no aggregation, no state store, so
+    the whole edge computation is ONE inline expression per arrival
+    (the ``pq_encode_stateless`` / ``cell_assign_stateless``
+    convention: inline only where streaming append-mode forbids
+    aggregation). ``arrivals`` must carry (vec_id, qvec, scale,
+    cell_id) — i.e. already stateless-cell-assigned and quantized;
+    ``member_index`` is ``cell_member_index``'s static frame, joined
+    stream-static on cell_id.
+
+    Ordering is bit-identical to ``_sq8_rank``: candidates sort by
+    struct(-(iprod * ss), dst_id) ascending — IEEE negation is exact,
+    so array_sort's total order equals the batch window's
+    (score DESC, dst ASC) rank, and dst_id uniqueness within a cell
+    makes the order total. An arrival whose cell holds only itself
+    emits no edges (posexplode of the empty slice), matching the
+    batch graph.
+
+    Returns (src_id, dst_id, score, iprod, rank)."""
+    cand = F.filter(
+        F.col("members"), lambda m: m["vec_id"] != F.col("vec_id")
+    )
+
+    def member_struct(m):
+        iprod = F.aggregate(
+            F.zip_with(
+                m["qvec"], F.col("qvec"), lambda x, y: (x * y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (-(iprod * (m["scale"] * F.col("scale")))).alias("neg"),
+            m["vec_id"].alias("dst_id"),
+            iprod.alias("iprod"),
+        )
+
+    top = F.slice(F.array_sort(F.transform(cand, member_struct)), 1, k)
+    return (
+        arrivals.join(member_index, "cell_id")
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.posexplode(top).alias("pos", "e"),
+        )
+        .select(
+            "src_id",
+            F.col("e.dst_id").alias("dst_id"),
+            F.round(-F.col("e.neg"), 6).alias("score"),
+            F.col("e.iprod").alias("iprod"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
 def _d2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -748,8 +748,11 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQ8 quantization CTE + the family's int64 product fragment; within-
 # cell self-join over codes, top-k by reconstructed inner product,
 # mutual flag via the reversed-pair edge join.
-KNN_GRAPH_SQ8_ORACLE = f"""
-WITH {_IVF_PREFIX_SQL},
+# Shared WITH-prefix producing the SQ8-graph ``edges`` CTE — ONE copy
+# serving the batch graph oracle (below, which adds the mutual join)
+# AND the streaming edge-maintenance oracle (streaming_q), so the two
+# can never silently diverge on the edge set.
+KNN_SQ8_EDGES_PREFIX = f"""{_IVF_PREFIX_SQL},
 {_SQ8_QZ_SQL},
 qc AS MATERIALIZED (
   SELECT z.vec_id, z.qvec, z.scale, c.cell_id
@@ -769,7 +772,10 @@ edges AS MATERIALIZED (
              AS rank
     FROM scored) t
   WHERE rank <= {_KNN_K}
-)
+)"""
+
+KNN_GRAPH_SQ8_ORACLE = f"""
+WITH {KNN_SQ8_EDGES_PREFIX}
 SELECT e.src_id, e.dst_id, ROUND(e.raw, 6) AS score, e.iprod, e.rank,
        (m.src_id IS NOT NULL) AS mutual
 FROM edges e LEFT JOIN edges m

@@ -829,3 +829,62 @@ def s_stream_index_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(codes, output_mode="append")
     return spark.table(name)
+
+
+def _knn_edges_stream_oracle() -> str:
+    from blspark.queries.extensions10 import KNN_SQ8_EDGES_PREFIX
+
+    return f"""
+WITH {KNN_SQ8_EDGES_PREFIX}
+SELECT src_id, dst_id, ROUND(raw, 6) AS score, iprod, rank FROM edges
+"""
+
+
+@register(
+    "s_stream_knn_edges",
+    oracle=_knn_edges_stream_oracle(),
+    doc="Streaming kNN-graph edge maintenance — extending the "
+    "streaming index family (s_stream_index_pq/sq8/ivf_sq8) from "
+    "CODES to EDGES: each arriving embedding stateless-cell-assigns "
+    "against frozen offline centroids, SQ8-quantizes, and emits its "
+    "top-3 SQ8 edges against the FROZEN cell-member index "
+    "(ext/similarity.cell_member_index, one compact row per cell) "
+    "via a single inline expression — no window, no aggregation, no "
+    "state store, pure append mode (the inline-only-where-append-"
+    "forbids-aggregation convention). Candidate ordering is "
+    "bit-identical to the batch _sq8_rank (array_sort over "
+    "struct(-score, dst) — IEEE negation exact), so the full stream "
+    "output hash-checks against the batch knn_graph_sq8 edge set of "
+    "the same corpus (the oracle shares the edges CTE prefix with "
+    "x_knn_graph_sq8 verbatim): incremental graph maintenance at "
+    "100 TB — score only arrivals against their cell — provably "
+    "matches a full rebuild. (The mutual flag is deliberately absent: "
+    "it needs cross-arrival knowledge, a batch join over the "
+    "accumulated edge sink.)",
+)
+def s_stream_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        cell_assign_stateless,
+        cell_member_index,
+        knn_edges_stateless,
+        sq8_quantize,
+    )
+    from blspark.queries.extensions9 import _det_centroids
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _det_centroids(static)
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    member_index = cell_member_index(static, cents)
+
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    arrivals = sq8_quantize(
+        cell_assign_stateless(stream, cent_rows), keep=("cell_id",)
+    )
+    edges = knn_edges_stateless(arrivals, member_index, k=3)
+    name = run_available_now(edges, output_mode="append")
+    return spark.table(name)

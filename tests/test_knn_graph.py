@@ -201,3 +201,50 @@ def test_knn_graph_sq8_mutual_flag_matches_reverse_membership(spark):
     for r in rows:
         cnt[r["src_id"]] = cnt.get(r["src_id"], 0) + 1
     assert max(cnt.values()) <= 3
+
+
+def test_knn_edges_stateless_equals_batch_graph(spark):
+    """The streaming edge path (stateless cell-assign -> quantize ->
+    inline per-arrival top-k against the frozen member index) must be
+    BIT-identical to the batch knn_graph_sq8 edge set (minus the
+    mutual flag) — the property that makes incremental graph
+    maintenance sound: scoring only arrivals provably matches a full
+    rebuild."""
+    from blspark.ext.similarity import (
+        cell_assign_stateless,
+        cell_member_index,
+        knn_edges_stateless,
+        knn_graph_sq8,
+        sq8_quantize,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    arrivals = sq8_quantize(
+        cell_assign_stateless(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+            ),
+            cent_rows,
+        ),
+        keep=("cell_id",),
+    )
+    stream_edges = {
+        tuple(r)
+        for r in knn_edges_stateless(
+            arrivals, cell_member_index(emb, cents), k=3
+        ).collect()
+    }
+    batch_edges = {
+        tuple(r)
+        for r in knn_graph_sq8(emb, cents, k=3)
+        .select("src_id", "dst_id", "score", "iprod", "rank")
+        .collect()
+    }
+    assert stream_edges == batch_edges
+    assert len(stream_edges) > 0
