@@ -670,6 +670,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    mutual: bool = True,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor GRAPH: every corpus vector's
     exact-cosine top-``k`` among its own IVF cell's members, plus a
@@ -699,7 +700,11 @@ def knn_graph(
     construction and the reverse join cannot fan out.
 
     Returns (src_id, dst_id, cosine, rank, mutual); nodes in a cell
-    of size < k + 1 emit cell_size - 1 edges.
+    of size < k + 1 emit cell_size - 1 edges. ``mutual=False`` skips
+    the reverse-pair join entirely and drops the column — Catalyst
+    cannot eliminate the join on its own (it can't prove the right
+    side duplicate-free), so callers that don't read the flag
+    (x_knn_graph_eval) should opt out rather than discard it.
     """
     cent = _centroid_frame(centroids)
     assigned = _cell_assign(
@@ -740,6 +745,13 @@ def knn_graph(
     edges = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+    if not mutual:
+        return edges.select(
+            "src_id",
+            "dst_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     rev = edges.select(
         F.col("dst_id").alias("src_id"),
         F.col("src_id").alias("dst_id"),
@@ -778,18 +790,7 @@ def knn_graph_sq8(
 
     Returns (src_id, dst_id, score, iprod, rank, mutual).
     """
-    cent = _centroid_frame(centroids)
-    assigned = _cell_assign(
-        with_double_vec(corpus, vec_col).select(
-            F.col(id_col).alias("vid"),
-            "vec",
-            _norm(F.col("vec")).alias("vnorm"),
-        ),
-        cent,
-        "vid",
-        1,
-    )
-    qz = sq8_quantize(assigned, id_col="vid", vec_col="vec", keep=("cell_id",))
+    qz = _quantized_cells(corpus, centroids, id_col, vec_col)
     a = qz.select(
         F.col("vid").alias("query_id"),
         F.col("qvec").alias("qq"),
@@ -821,6 +822,33 @@ def knn_graph_sq8(
     )
 
 
+def _quantized_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ONE copy of the graph family's corpus preparation —
+    cell-assign (``_cell_assign``, probes=1) then SQ8-quantize riding
+    the assigned frame (``sq8_quantize`` keep=cell_id): one corpus
+    scan produces (vid, cell_id, qvec, scale). Shared by
+    ``knn_graph_sq8`` and ``cell_member_index`` so the batch graph
+    and the frozen streaming index can never diverge on either
+    stage."""
+    cent = _centroid_frame(centroids)
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("vid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "vid",
+        1,
+    )
+    return sq8_quantize(assigned, id_col="vid", vec_col="vec", keep=("cell_id",))
+
+
 def cell_member_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -836,18 +864,7 @@ def cell_member_index(
     what makes the per-arrival inline top-k in
     ``knn_edges_stateless`` feasible. Built once offline from the
     frozen corpus; the stream never recomputes it."""
-    cent = _centroid_frame(centroids)
-    assigned = _cell_assign(
-        with_double_vec(corpus, vec_col).select(
-            F.col(id_col).alias("vid"),
-            "vec",
-            _norm(F.col("vec")).alias("vnorm"),
-        ),
-        cent,
-        "vid",
-        1,
-    )
-    qz = sq8_quantize(assigned, id_col="vid", vec_col="vec", keep=("cell_id",))
+    qz = _quantized_cells(corpus, centroids, id_col, vec_col)
     return qz.groupBy("cell_id").agg(
         F.collect_list(
             F.struct(F.col("vid").alias("vec_id"), "qvec", "scale")
@@ -883,13 +900,10 @@ def knn_edges_stateless(
     )
 
     def member_struct(m):
-        iprod = F.aggregate(
-            F.zip_with(
-                m["qvec"], F.col("qvec"), lambda x, y: (x * y).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        # the ONE int64 core (_idot) — never re-derive it here: the
+        # stream/batch edge-parity contract rests on both paths
+        # sharing it
+        iprod = _idot(m["qvec"], F.col("qvec"))
         return F.struct(
             (-(iprod * (m["scale"] * F.col("scale")))).alias("neg"),
             m["vec_id"].alias("dst_id"),

@@ -880,7 +880,7 @@ def x_knn_graph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _SQ8_EVAL_N
     )
-    g = knn_graph(emb, _det_centroids(emb), k=_KNN_K).select(
+    g = knn_graph(emb, _det_centroids(emb), k=_KNN_K, mutual=False).select(
         F.col("src_id").alias("query_id"),
         F.col("dst_id").alias("neighbor_id"),
         "rank",

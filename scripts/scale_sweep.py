@@ -683,8 +683,11 @@ def _amplify_cells_sqrt(spark, factor: int):
 def bench_knn_graph_sq8(spark, factor: int) -> float:
     """knn_graph at the SQ8 rung, same sqrt-rule amplification as
     bench_knn_graph — the pairing term runs over int8 codes (quarter
-    the shuffled bytes, exact int64 core), so the same N^1.5 bound
-    should hold with a smaller constant."""
+    the shuffled bytes, exact int64 core). Same N^1.5 bound; note the
+    LOCAL constant is ~1.4x LARGER than the float rung (both are
+    interpreted-HOF-bound and the int path does more expression work
+    per pair — SCALE.md records the measurement); the byte win pays
+    on a real shuffle-bound cluster, not at local[32]."""
     from blspark.ext.similarity import knn_graph_sq8
 
     emb, cents = _amplify_cells_sqrt(spark, factor)
