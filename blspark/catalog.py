@@ -96,18 +96,18 @@ _PRIORITY: tuple[str, ...] = (
     # queries/extensions10.py — plus the warm IVF-PQ variant, the two
     # pruning/recall contracts, and the streaming SQ8/IVF-SQ8 index
     # pair, the cell-blocked mutual-kNN graph at the float and SQ8
-    # rungs, the graph recall contract, and the streaming graph-edge
-    # maintenance) hold the first-time-ORACLE slots, then the 9
-    # remaining r4-stale queries close out the r4 era, then the 29
-    # alphabetically-first r6-stale — the 50-slot budget signs
-    # 12 new + 9 r4 + 29 r6 this round,
-    # leaving 21 r6-stale (listed next, in order) for round 11; after
+    # rungs, the graph recall contract, the streaming graph-edge
+    # maintenance, and the mutual-graph components) hold the
+    # first-time-ORACLE slots, then the 9 remaining r4-stale queries
+    # close out the r4 era, then the 28 alphabetically-first r6-stale
+    # — the 50-slot budget signs 13 new + 9 r4 + 28 r6 this round,
+    # leaving 22 r6-stale (listed next, in order) for round 11; after
     # that the oldest signature is r7, permanently inside the
     # ~4-round window. Recomputed programmatically from
     # CORRECTNESS_r01..r09.json (latest round per query). All queries
     # are locally green every run (tests/test_oracle.py
     # re-differentials the full registry).
-    # round-10 first-timers (12):
+    # round-10 first-timers (13):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_knn_graph_sq8",
     "x_knn_graph_eval",
     "s_stream_knn_edges",
+    "x_knn_graph_components",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -130,7 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 29 (inside the round-10 budget):
+    # r6-stale, first 28 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -159,8 +160,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_simhash",
     "x_dedup_span_removal",
     "x_entity_resolution",
+    # r6-stale remainder for round 11 (22):
     "x_ewma_smooth",
-    # r6-stale remainder for round 11 (21):
     "x_group_split",
     "x_histogram_quantile_merge",
     "x_incremental_agg_refresh",

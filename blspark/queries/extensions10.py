@@ -692,12 +692,13 @@ def x_ivf_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 3
 
-# Full SQL oracle over the shared IVF prefix (vecs/cents/cassign — the
-# ONE copy of the cell geometry, extensions9): norms hoisted once per
-# node, within-cell self-join, exact-cosine top-k per src, mutual flag
-# via a reversed-pair self-join of the edge list.
-KNN_GRAPH_ORACLE = f"""
-WITH {_IVF_PREFIX_SQL},
+# Shared WITH-prefix producing the float-rung ``edges`` CTE over the
+# shared IVF prefix (vecs/cents/cassign — the ONE copy of the cell
+# geometry, extensions9): norms hoisted once per node, within-cell
+# self-join, exact-cosine top-k per src. ONE copy serving the batch
+# graph oracle (mutual flag via a reversed-pair self-join) AND the
+# graph-components oracle.
+KNN_EDGES_PREFIX = f"""{_IVF_PREFIX_SQL},
 sized AS MATERIALIZED (
   SELECT a.vec_id, a.cell_id, v.vec,
          {_NORMQ.format(a='v.vec')} AS nrm
@@ -713,7 +714,10 @@ ranked AS MATERIALIZED (
     FROM sized a JOIN sized b
       ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id) t
 ),
-edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= {_KNN_K})
+edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= {_KNN_K})"""
+
+KNN_GRAPH_ORACLE = f"""
+WITH {KNN_EDGES_PREFIX}
 SELECT e.src_id, e.dst_id, ROUND(e.cos_raw, 6) AS cosine, e.rank,
        (m.src_id IS NOT NULL) AS mutual
 FROM edges e LEFT JOIN edges m
@@ -887,3 +891,63 @@ def x_knn_graph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, emb, k=_KNN_K).select("query_id", "neighbor_id")
     return _recall_contract(emb, emb, g, exact, "n_graph", _KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Components over the mutual-kNN graph (SemDeDup's final stage)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {KNN_EDGES_PREFIX},
+mut AS MATERIALIZED (
+  SELECT e.src_id AS a, e.dst_id AS b
+  FROM edges e JOIN edges m
+    ON m.src_id = e.dst_id AND m.dst_id = e.src_id
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM vecs
+  UNION
+  SELECT reach.node, m.b FROM reach JOIN mut m ON m.a = reach.r
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node, component, node = component AS survivor FROM comp
+"""
+
+
+@register(
+    "x_knn_graph_components",
+    oracle=KNN_GRAPH_COMPONENTS_ORACLE,
+    doc="Duplicate clusters over the MUTUAL-kNN graph — SemDeDup's "
+    "final stage run on the graph sparsifier instead of raw "
+    "threshold pairs (x_dedup_semantic's configuration): mutual "
+    "top-3 edges (the reciprocal filter kills the hub/asymmetric "
+    "links a plain threshold keeps) -> connected components via the "
+    "O(log n)-round large-star/small-star contraction "
+    "(connected_components_star — component diameter inside a cell "
+    "can approach cell size, so the diameter-round min-label variant "
+    "is the wrong tool) -> min-id survivor per cluster. Components "
+    "are bounded by CELL membership by construction (edges never "
+    "cross cells), which is what keeps both the closure and the "
+    "contraction bounded at 100 TB. Returns (node, component, "
+    "survivor) for every corpus vector; oracle = the shared edges "
+    "CTE prefix + a recursive-CTE closure (the x_dedup_semantic "
+    "device).",
+)
+def x_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import connected_components_star
+    from blspark.ext.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, _det_centroids(emb), k=_KNN_K)
+    pairs = (
+        edges.filter(F.col("mutual") & (F.col("src_id") < F.col("dst_id")))
+        .select(F.col("src_id").alias("id_a"), F.col("dst_id").alias("id_b"))
+    )
+    comps = connected_components_star(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comps.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("survivor"),
+    )

@@ -248,3 +248,45 @@ def test_knn_edges_stateless_equals_batch_graph(spark):
     }
     assert stream_edges == batch_edges
     assert len(stream_edges) > 0
+
+
+def test_knn_graph_components_consistent_with_mutual_edges(spark):
+    """Every mutual edge's endpoints share a component; every
+    component label is the minimum node id of its members; nodes with
+    no mutual edge are their own singleton component (survivor)."""
+    from blspark.ext.dedup import connected_components_star
+    from blspark.ext.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    edges = knn_graph(emb, cents, k=3).collect()
+    mutual = {
+        (r["src_id"], r["dst_id"]) for r in edges if r["mutual"]
+    }
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in mutual if a < b] or [(None, None)],
+        "id_a int, id_b int",
+    ).filter(F.col("id_a").isNotNull())
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            pairs_df, emb.select("vec_id"), id_col="vec_id"
+        ).collect()
+    }
+    n = emb.count()
+    assert len(comps) == n
+    for a, b in mutual:
+        assert comps[a] == comps[b], (a, b)
+    # labels are component minima
+    members = {}
+    for node, c in comps.items():
+        members.setdefault(c, []).append(node)
+    for c, ms in members.items():
+        assert c == min(ms)
+    # nodes untouched by mutual edges are singletons
+    touched = {x for e in mutual for x in e}
+    for node, c in comps.items():
+        if node not in touched:
+            assert c == node

@@ -57,6 +57,7 @@ QUERIES = [
     "x_knn_graph",
     "x_knn_graph_sq8",
     "x_knn_graph_eval",
+    "x_knn_graph_components",
 ]
 
 
