@@ -266,9 +266,9 @@ def test_knn_graph_components_consistent_with_mutual_edges(spark):
         (r["src_id"], r["dst_id"]) for r in edges if r["mutual"]
     }
     pairs_df = spark.createDataFrame(
-        [(a, b) for a, b in mutual if a < b] or [(None, None)],
-        "id_a int, id_b int",
-    ).filter(F.col("id_a").isNotNull())
+        [(a, b) for a, b in mutual if a < b],
+        "id_a long, id_b long",
+    )
     comps = {
         r["node"]: r["component"]
         for r in connected_components_star(
