@@ -549,13 +549,17 @@ def _centroid_frame(centroids: DataFrame) -> DataFrame:
 
 
 def _cell_assign(
-    df: DataFrame, cent: DataFrame, idc: str, probes: int
+    df: DataFrame, cent: DataFrame, idc: str, probes: int,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Nearest-``probes``-cells assignment by max cosine (tie-break
     lowest cell_id) — the ONE cell-assignment rule shared by ivf_topk,
     ivfpq_topk and ivfpq_residual_topk, so IVF and IVF-PQ can never
     silently diverge. ``df`` must carry (idc, vec, vnorm); returns
-    (idc, vec, vnorm, cell_id). Centroids broadcast.
+    (idc, vec, vnorm, cell_id). Centroids broadcast. ``keep_sim``
+    appends the winning cosine as ``cell_sim`` (cell_prototypes reads
+    it); recovered from the argmin struct as ``-neg`` — IEEE negation
+    is exact, so the value is bit-identical to the scored input.
 
     probes == 1 — the corpus-side shape, i.e. the CORPUS-SIZED one —
     plans as a hash-aggregate argmin (min over (-sim, cell_id) structs:
@@ -585,6 +589,9 @@ def _cell_assign(
         .alias("cell_sim"),
     )
     if probes == 1:
+        sim_cols = (
+            [(-F.col("s.neg")).alias("cell_sim")] if keep_sim else []
+        )
         return (
             scored.groupBy(idc)
             .agg(
@@ -595,13 +602,17 @@ def _cell_assign(
                 F.first("vec").alias("vec"),
                 F.first("vnorm").alias("vnorm"),
             )
-            .select(idc, "vec", "vnorm", F.col("s.cell_id").alias("cell_id"))
+            .select(
+                idc, "vec", "vnorm",
+                F.col("s.cell_id").alias("cell_id"), *sim_cols,
+            )
         )
     w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= probes)
-        .drop("cell_sim", "crank")
+    ranked = scored.withColumn("crank", F.row_number().over(w)).filter(
+        F.col("crank") <= probes
+    )
+    return ranked.drop("crank") if keep_sim else ranked.drop(
+        "cell_sim", "crank"
     )
 
 
@@ -924,6 +935,55 @@ def knn_edges_stateless(
             F.col("e.iprod").alias("iprod"),
             (F.col("pos") + 1).cast("int").alias("rank"),
         )
+    )
+
+
+def cell_prototypes(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Most-central exemplar per IVF cell — the coreset / prototype
+    selection step (SemDeDup keeps one representative per cluster;
+    herding-style data pruning keeps the most central): for each cell,
+    the member vector with the highest cosine to its cell centroid
+    (tie-break lowest id).
+
+    Scale shape: one cell-assignment pass (``_cell_assign`` probes=1
+    with ``keep_sim`` — the map-side hash-agg argmin, centroids
+    broadcast), then a second hash aggregate per CELL over the
+    (id, cell_id, cell_sim) projection — both partial-aggregate
+    map-side; the corpus is scanned once and never self-joins. The
+    per-cell argmax rides the same min-over-struct device as the
+    assignment itself (IEEE negation exact, id tie-break total).
+
+    Returns (cell_id, prototype_id, centrality, cell_size) —
+    |cells| rows; centrality is the winning cosine rounded to 6
+    (the knn_graph output convention)."""
+    cent = _centroid_frame(centroids)
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("pid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "pid",
+        1,
+        keep_sim=True,
+    )
+    per_cell = assigned.groupBy("cell_id").agg(
+        F.min(
+            F.struct((-F.col("cell_sim")).alias("neg"), F.col("pid"))
+        ).alias("s"),
+        F.count(F.lit(1)).alias("cell_size"),
+    )
+    return per_cell.select(
+        "cell_id",
+        F.col("s.pid").alias("prototype_id"),
+        F.round(-F.col("s.neg"), 6).alias("centrality"),
+        "cell_size",
     )
 
 

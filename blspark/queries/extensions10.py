@@ -951,3 +951,118 @@ def x_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Coreset selection: the most-central exemplar per IVF cell
+# ---------------------------------------------------------------------------
+
+# winning-cell cosine, carried out of the shared cell-assign CTE
+_PROTO_SIM = (
+    f"{_DOTQ.format(a='v.vec', b='c.cvec')} / "
+    f"({_NORMQ.format(a='v.vec')} * {_NORMQ.format(a='c.cvec')})"
+)
+
+CELL_PROTOTYPES_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+csim AS MATERIALIZED ({_cell_assign_sql(
+    "v", "vec_id", 1, extra_expr=_PROTO_SIM, extra_name="sim")}),
+ranked AS (
+  SELECT cell_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+           ORDER BY sim DESC, vec_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY cell_id) AS cell_size
+  FROM csim
+)
+SELECT cell_id, vec_id AS prototype_id, ROUND(sim, 6) AS centrality,
+       cell_size
+FROM ranked WHERE r = 1 ORDER BY cell_id
+"""
+
+
+@register(
+    "x_cell_prototypes",
+    oracle=CELL_PROTOTYPES_ORACLE,
+    doc="Coreset / prototype selection: the most-central exemplar per "
+    "IVF cell — for each cell, the member with the highest cosine to "
+    "its cell centroid (tie-break lowest id), plus the cell's size. "
+    "SemDeDup keeps one representative per cluster; herding-style "
+    "pruning keeps the most central — this is that selection step "
+    "over the SAME cell geometry every IVF operator shares "
+    "(_det_centroids / _cell_assign, one copy). Scale shape: one "
+    "corpus scan through the map-side cell-assign hash-agg argmin "
+    "(keep_sim=True carries the winning cosine out of the argmin "
+    "struct), then a per-CELL hash-agg argmax over the compact "
+    "(id, cell, sim) projection — both partial-aggregate map-side, "
+    "no self-join, no window over the corpus. Returns (cell_id, "
+    "prototype_id, centrality, cell_size), |cells| rows.",
+)
+def x_cell_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cell_prototypes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cell_prototypes(emb, _det_centroids(emb)).orderBy("cell_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted sampling without replacement (hash-min replication)
+# ---------------------------------------------------------------------------
+
+_WS_N = 200
+
+
+def _ws_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+    from blspark.queries.extensions2 import _Q_SQL
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, 1 + CAST(FLOOR({_Q_SQL} * 7) AS INT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         list_min(list_transform(
+           list_transform(list_filter(range(1, 9), j -> j <= weight),
+                          j -> md5(CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(j AS VARCHAR))),
+           h -> {hex_int_sql("h", 12)})) AS skey
+  FROM s
+)
+SELECT doc_id, weight, skey FROM keyed
+ORDER BY skey, doc_id LIMIT {_WS_N}
+"""
+
+
+@register(
+    "x_sample_weighted_topn",
+    oracle=_ws_oracle(),
+    doc="Exact weighted sampling WITHOUT replacement, fixed size "
+    f"n={_WS_N}: each document weighted 1..8 by its composite quality "
+    "score (1 + floor(quality*7) — the x_sample_quality_weighted / "
+    "x_select_token_budget quality device), selection by hash-min "
+    "replication (ext/sampling): key = min over j in 1..w of the "
+    "48-bit md5(id:j) prefix, so P(win) = w/sum(w) EXACTLY and "
+    "successive winners are the A-ES (Efraimidis-Spirakis u^(1/w)) "
+    "without-replacement sample restated in pure integer compares — "
+    "no pow/log (engine last-ulp divergence), no RNG state, "
+    "reproducible across engines and partitionings. Complements "
+    "x_sample_quality_weighted (Bernoulli keep, random SIZE) with "
+    "the fixed-size draw a sampling budget needs. Scale shape: the "
+    "key is one inline map-side expression (w bounded at 8 by "
+    "contract) and top-n-by-key plans as TakeOrderedAndProject — "
+    "per-partition partial top-n + one metadata-sized merge; no "
+    "shuffle, no window, no corpus sort (plan-pinned).",
+)
+def x_sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.sampling import weighted_topn
+    from blspark.ext.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = quality_score(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
+            "weight"
+        ),
+    )
+    return weighted_topn(w, "doc_id", "weight", _WS_N)

@@ -58,6 +58,8 @@ QUERIES = [
     "x_knn_graph_sq8",
     "x_knn_graph_eval",
     "x_knn_graph_components",
+    "x_cell_prototypes",
+    "x_sample_weighted_topn",
 ]
 
 
