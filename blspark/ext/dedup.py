@@ -171,19 +171,25 @@ def hex_int_sql(col: str, n_digits: int) -> str:
 SHINGLE_V_SQL = hex_int_sql("h", 6)
 
 
+def md5_prefix_int(col, n_digits: int):
+    """Spark-side twin of ``hex_int_sql(md5(...), n_digits)``: the first
+    ``n_digits`` hex nibbles of md5 as an integer. ``col`` is a string
+    Column; the md5 is taken over its UTF-8 bytes, matching DuckDB's
+    ``md5(varchar)``. The ONE copy of the md5-prefix-to-integer device —
+    ``md5_bucket`` (6-nibble entity buckets) and ext/sampling's 48-bit
+    weighted keys both route through it, so 'same hash device as X'
+    claims stay true by construction."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, n_digits), 16, 10
+    ).cast("long")
+
+
 def md5_bucket(col, mod: int):
     """Spark-side twin of ``hex_int_sql(md5(...), 6) % mod``: the shared
     deterministic entity-hash bucket (splits, A/B arms, CM sketch rows).
-    ``col`` is a string Column; the md5 is taken over its UTF-8 bytes,
-    matching DuckDB's ``md5(varchar)``. Keeping every consumer on this
-    one helper is what keeps 'same entity-hash device as X' claims true
-    by construction."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10).cast(
-            "long"
-        )
-        % mod
-    )
+    Keeping every consumer on this one helper is what keeps 'same
+    entity-hash device as X' claims true by construction."""
+    return md5_prefix_int(col, 6) % mod
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:

@@ -40,28 +40,32 @@ def hashmin_key(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     """Append ``skey`` = min over ``j in 1..w`` of the 48-bit integer
     prefix of ``md5(id || ':' || j)``.
 
-    ``weight_col`` must be a POSITIVE integer column (callers clamp:
-    ``sequence(1, w)`` with w < 1 fabricates a descending range —
-    catalog numeric-policy gotcha). The md5 is taken over the UTF-8
-    bytes of the ``id:j`` string, matching DuckDB ``md5(varchar)``
-    (the ``md5_bucket`` device), so oracles replicate keys exactly.
+    ``weight_col`` is expected to be a positive integer column; NULL
+    or sub-1 weights CLAMP to 1 (one draw) rather than propagate —
+    ``sequence(1, 0)`` fabricates the descending range [1, 0] (an
+    item that should never win would get TWO draws), and a NULL key
+    sorts NULLS FIRST in Spark but last in DuckDB, so both hazards
+    would silently corrupt the sample. The md5 is taken over the
+    UTF-8 bytes of the ``id:j`` string via ``dedup.md5_prefix_int``
+    (the one md5-prefix device), so oracles replicate keys exactly.
     """
+    from blspark.ext.dedup import md5_prefix_int
+
+    w = F.greatest(
+        F.lit(1), F.coalesce(F.col(weight_col).cast("int"), F.lit(1))
+    )
 
     def draw(j):
-        h = F.md5(
+        return md5_prefix_int(
             F.concat_ws(
                 ":", F.col(id_col).cast("string"), j.cast("string")
-            ).cast("binary")
+            ),
+            _KEY_NIBBLES,
         )
-        return F.conv(F.substring(h, 1, _KEY_NIBBLES), 16, 10).cast("long")
 
     return df.withColumn(
         "skey",
-        F.array_min(
-            F.transform(
-                F.sequence(F.lit(1), F.col(weight_col).cast("int")), draw
-            )
-        ),
+        F.array_min(F.transform(F.sequence(F.lit(1), w), draw)),
     )
 
 

@@ -557,9 +557,10 @@ def _cell_assign(
     ivfpq_topk and ivfpq_residual_topk, so IVF and IVF-PQ can never
     silently diverge. ``df`` must carry (idc, vec, vnorm); returns
     (idc, vec, vnorm, cell_id). Centroids broadcast. ``keep_sim``
-    appends the winning cosine as ``cell_sim`` (cell_prototypes reads
-    it); recovered from the argmin struct as ``-neg`` — IEEE negation
-    is exact, so the value is bit-identical to the scored input.
+    (probes == 1 only) appends the winning cosine as ``cell_sim``
+    (cell_prototypes reads it); recovered from the argmin struct as
+    ``-neg`` — IEEE negation is exact, so the value is bit-identical
+    to the scored input.
 
     probes == 1 — the corpus-side shape, i.e. the CORPUS-SIZED one —
     plans as a hash-aggregate argmin (min over (-sim, cell_id) structs:
@@ -578,6 +579,8 @@ def _cell_assign(
     both paths to "a zero-norm pairing never wins a cell" and keeps
     them bit-identical on any input. Finite sims are untouched (the
     division only evaluates when the denominator is positive)."""
+    if keep_sim and probes != 1:
+        raise ValueError("keep_sim requires probes == 1")
     denom = F.col("vnorm") * F.col("centnorm")
     scored = df.crossJoin(F.broadcast(cent)).select(
         F.col(idc),
@@ -608,11 +611,10 @@ def _cell_assign(
             )
         )
     w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w)).filter(
-        F.col("crank") <= probes
-    )
-    return ranked.drop("crank") if keep_sim else ranked.drop(
-        "cell_sim", "crank"
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= probes)
+        .drop("cell_sim", "crank")
     )
 
 

@@ -957,10 +957,15 @@ def x_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Coreset selection: the most-central exemplar per IVF cell
 # ---------------------------------------------------------------------------
 
-# winning-cell cosine, carried out of the shared cell-assign CTE
+# winning-cell cosine, carried out of the shared cell-assign CTE.
+# Zero-norm guard mirrors the Spark side's -inf (ADVICE r8: 'a
+# zero-norm pairing never wins a cell') — unguarded, DuckDB's 0/0
+# NaN sorts GREATEST and a degenerate vector would win the argmax.
+_PROTO_NN = f"({_NORMQ.format(a='v.vec')} * {_NORMQ.format(a='c.cvec')})"
 _PROTO_SIM = (
-    f"{_DOTQ.format(a='v.vec', b='c.cvec')} / "
-    f"({_NORMQ.format(a='v.vec')} * {_NORMQ.format(a='c.cvec')})"
+    f"CASE WHEN {_PROTO_NN} > 0 "
+    f"THEN {_DOTQ.format(a='v.vec', b='c.cvec')} / {_PROTO_NN} "
+    f"ELSE CAST('-infinity' AS DOUBLE) END"
 )
 
 CELL_PROTOTYPES_ORACLE = f"""

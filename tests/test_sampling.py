@@ -116,3 +116,24 @@ def test_cell_prototypes_argmax_and_sizes(spark):
         top = max(ms, key=lambda t: (t[1], -t[0]))
         assert pid == top[0], (cid, pid, top)
         assert abs(cent_sim - top[1]) < 1e-5
+
+
+def test_hashmin_key_clamps_null_and_subone_weights(spark):
+    """NULL / 0 / negative weights clamp to one draw — never the
+    descending-sequence double-draw, never a NULL key (which would
+    sort NULLS FIRST into the sample in Spark but last in DuckDB)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 0), (3, -4), (4, 1)], "id long, w int"
+    )
+    keys = {r["id"]: r["skey"] for r in hashmin_key(df, "id", "w").collect()}
+    one = {
+        r["id"]: r["skey"]
+        for r in hashmin_key(
+            spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "id long, w int"),
+            "id",
+            "w",
+        ).collect()
+    }
+    assert None not in keys.values()
+    for i in (1, 2, 3):
+        assert keys[i] == one[i] == _py_key(i, 1)
