@@ -103,6 +103,10 @@ def main() -> None:
     R8_SET = R7_SET + ("x_similarity_ivfpq_residual",)
     R10_SET = R8_SET + ("x_similarity_ivf_sq8", "x_similarity_ivfpq_warm")
     R10B_SET = R10_SET + ("x_knn_graph", "x_knn_graph_sq8")
+    R10C_SET = R10B_SET + (
+        "x_knn_graph_components", "x_cell_prototypes",
+        "x_sample_weighted_topn",
+    )
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
     LSH_SET = (
@@ -114,7 +118,7 @@ def main() -> None:
         for label, names in (
             ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
             ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
-            ("r10_30", R10B_SET),
+            ("r10_30", R10B_SET), ("r10_33", R10C_SET),
         )
     }
     subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)

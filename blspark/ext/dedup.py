@@ -570,13 +570,19 @@ def connected_components_star(
     hooks strictly larger neighbors onto the local minimum, small-star
     collapses the rest. At the fixpoint the edge set is a star per
     component centered at the component's minimum id, so labels read off
-    directly. Round count is FIXED up front at ceil(log2(n)) + 2 (one
-    count of ``nodes``, no per-round driver decision — the convergence
-    count in the min-label variant serializes the whole cluster on the
-    driver once per round at 100x scale). With ``converge_check`` a
-    single edge-set-stability check runs after the budget and adds
-    rounds in the (theoretically possible, never observed) case the
-    bound was short, keeping the result unconditionally exact.
+    directly. The round BUDGET is fixed up front at ceil(log2(n)) + 2
+    (one count of ``nodes``), but each round ends with an edge-set
+    stability probe (two anti-joins over the compact id-pair frame —
+    a distributed boolean, NOT the min-label variant's full-cluster
+    convergence count) and the loop exits at the first stable round:
+    shallow graphs (mutual-kNN components, near-dup clusters — the
+    common case) finish in 2-4 rounds instead of paying the full
+    log2(n) budget, and each SKIPPED round would have cost strictly
+    more than the probe (two star rounds = four shuffles + a
+    checkpoint vs one compare). With ``converge_check`` extra rounds
+    run after an exhausted budget in the (theoretically possible,
+    never observed) case the bound was short, keeping the result
+    unconditionally exact.
 
     Returns (node, component) for every node in ``nodes`` (singletons
     label themselves)."""
@@ -591,12 +597,18 @@ def connected_components_star(
         n = max(nodes.count(), 2)
         max_rounds = max(2, int(math.ceil(math.log2(n))) + 2)
     e = e.localCheckpoint(eager=True)
+    stable = False
     for _ in range(max_rounds):
         # localCheckpoint per round: iterative self-joins otherwise double
         # the logical plan every iteration (planning alone goes quadratic)
-        e = _star_round(_star_round(e, large=True), large=False)
-        e = e.localCheckpoint(eager=True)
-    if converge_check:
+        nxt = _star_round(_star_round(e, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.exceptAll(e).unionByName(e.exceptAll(nxt)).isEmpty():
+            e = nxt
+            stable = True
+            break
+        e = nxt
+    if converge_check and not stable:
         # run until the edge set is STABLE — this is what makes the
         # result unconditionally exact even if the fixed budget was
         # short (the proven worst case for alternating stars is

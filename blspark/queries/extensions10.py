@@ -917,6 +917,7 @@ SELECT node, component, node = component AS survivor FROM comp
 @register(
     "x_knn_graph_components",
     oracle=KNN_GRAPH_COMPONENTS_ORACLE,
+    bench=True,
     doc="Duplicate clusters over the MUTUAL-kNN graph — SemDeDup's "
     "final stage run on the graph sparsifier instead of raw "
     "threshold pairs (x_dedup_semantic's configuration): mutual "
@@ -988,6 +989,7 @@ FROM ranked WHERE r = 1 ORDER BY cell_id
 @register(
     "x_cell_prototypes",
     oracle=CELL_PROTOTYPES_ORACLE,
+    bench=True,
     doc="Coreset / prototype selection: the most-central exemplar per "
     "IVF cell — for each cell, the member with the highest cosine to "
     "its cell centroid (tie-break lowest id), plus the cell's size. "
@@ -1042,6 +1044,7 @@ ORDER BY skey, doc_id LIMIT {_WS_N}
 @register(
     "x_sample_weighted_topn",
     oracle=_ws_oracle(),
+    bench=True,
     doc="Exact weighted sampling WITHOUT replacement, fixed size "
     f"n={_WS_N}: each document weighted 1..8 by its composite quality "
     "score (1 + floor(quality*7) — the x_sample_quality_weighted / "
