@@ -98,18 +98,18 @@ _PRIORITY: tuple[str, ...] = (
     # pair, the cell-blocked mutual-kNN graph at the float and SQ8
     # rungs, the graph recall contract, the streaming graph-edge
     # maintenance, the mutual-graph components, the per-cell
-    # prototype/coreset selection, and the hash-min exact weighted
-    # sampler) hold the
+    # prototype/coreset selection, and the hash-min exact-weighted-
+    # sampling family — global top-n, per-source, streaming) hold the
     # first-time-ORACLE slots, then the 9 remaining r4-stale queries
-    # close out the r4 era, then the 26 alphabetically-first r6-stale
-    # — the 50-slot budget signs 15 new + 9 r4 + 26 r6 this round,
-    # leaving 24 r6-stale (listed next, in order) for round 11; after
+    # close out the r4 era, then the 24 alphabetically-first r6-stale
+    # — the 50-slot budget signs 17 new + 9 r4 + 24 r6 this round,
+    # leaving 26 r6-stale (listed next, in order) for round 11; after
     # that the oldest signature is r7, permanently inside the
     # ~4-round window. Recomputed programmatically from
     # CORRECTNESS_r01..r09.json (latest round per query). All queries
     # are locally green every run (tests/test_oracle.py
     # re-differentials the full registry).
-    # round-10 first-timers (15):
+    # round-10 first-timers (17):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_knn_graph_components",
     "x_cell_prototypes",
     "x_sample_weighted_topn",
+    "x_sample_weighted_per_source",
+    "s_stream_weighted_sample",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -135,7 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 26 (inside the round-10 budget):
+    # r6-stale, first 24 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -160,9 +162,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
+    # r6-stale remainder for round 11 (26):
     "x_dedup_pipeline_lsh",
     "x_dedup_simhash",
-    # r6-stale remainder for round 11 (24):
     "x_dedup_span_removal",
     "x_entity_resolution",
     "x_ewma_smooth",

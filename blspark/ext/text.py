@@ -48,10 +48,15 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Length/stopword/distinct-token quality heuristics:
     (id, n_tokens, stopword_ratio, distinct_ratio, quality). ``quality``
-    is a bounded composite in [0,1]."""
+    is a bounded composite in [0,1]. ``keep`` passes extra input
+    columns through (the ``sq8_quantize`` convention) so consumers
+    that need e.g. the source alongside the score don't re-join or
+    re-derive the formula."""
     # All ratios unrounded (see token_stats note): integer-derived double
     # arithmetic is deterministic; rounding decimal halves is not.
     toks = _tokens(F.col(text_col))
@@ -68,6 +73,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         quality.alias("quality"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -1016,29 +1016,59 @@ def x_cell_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WS_N = 200
+_WS_SRC_K = 10
 
 
-def _ws_oracle() -> str:
+def _ws_keyed_sql() -> str:
+    """ONE copy of the weighted-sampling family's oracle prefix: the
+    quality-derived 1..8 weight (the x_sample_quality_weighted /
+    x_select_token_budget quality device) and the hash-min key, with
+    the source carried for the stratified variant. Serves the global
+    top-n, the per-source top-k, and the streaming threshold-keep
+    oracles — the three can never silently diverge on the key."""
     from blspark.ext.dedup import hex_int_sql
     from blspark.queries.extensions2 import _Q_SQL
 
-    return f"""
-WITH s AS (
-  SELECT doc_id, 1 + CAST(FLOOR({_Q_SQL} * 7) AS INT) AS weight
+    return f"""s AS (
+  SELECT doc_id, source, 1 + CAST(FLOOR({_Q_SQL} * 7) AS INT) AS weight
   FROM documents
 ),
 keyed AS (
-  SELECT doc_id, weight,
+  SELECT doc_id, source, weight,
          list_min(list_transform(
            list_transform(list_filter(range(1, 9), j -> j <= weight),
                           j -> md5(CAST(doc_id AS VARCHAR) || ':'
                                    || CAST(j AS VARCHAR))),
            h -> {hex_int_sql("h", 12)})) AS skey
   FROM s
-)
+)"""
+
+
+def _ws_oracle() -> str:
+    return f"""
+WITH {_ws_keyed_sql()}
 SELECT doc_id, weight, skey FROM keyed
 ORDER BY skey, doc_id LIMIT {_WS_N}
 """
+
+
+def _ws_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_ws_keyed_sql``: (doc_id, source, weight, skey)
+    for every document — quality weight via the ONE quality formula
+    (ext/text.quality_score, source passed through with ``keep``),
+    key via ext/sampling.hashmin_key."""
+    from blspark.ext.sampling import hashmin_key
+    from blspark.ext.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = quality_score(docs, "doc_id", "text", keep=("source",)).select(
+        F.col("id").alias("doc_id"),
+        "source",
+        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
+            "weight"
+        ),
+    )
+    return hashmin_key(w, "doc_id", "weight")
 
 
 @register(
@@ -1063,14 +1093,55 @@ ORDER BY skey, doc_id LIMIT {_WS_N}
     "shuffle, no window, no corpus sort (plan-pinned).",
 )
 def x_sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.sampling import weighted_topn
-    from blspark.ext.text import quality_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    w = quality_score(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"),
-        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
-            "weight"
-        ),
+    return (
+        _ws_keyed(spark, sf_dir)
+        .orderBy(F.asc("skey"), F.asc("doc_id"))
+        .limit(_WS_N)
+        .select("doc_id", "weight", "skey")
     )
-    return weighted_topn(w, "doc_id", "weight", _WS_N)
+
+
+@register(
+    "x_sample_weighted_per_source",
+    oracle=f"""
+WITH {{prefix}}
+SELECT source, doc_id, weight, skey, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY skey, doc_id) AS INT) AS rank
+  FROM keyed) t
+WHERE rank <= {_WS_SRC_K} ORDER BY source, rank
+""".format(prefix=_ws_keyed_sql()),
+    doc=f"Stratified weighted sampling: an exact {_WS_SRC_K}-document "
+    "weighted draw WITHOUT replacement per source — the per-domain "
+    "form of x_sample_weighted_topn (a pretraining mix samples "
+    "quality-proportionally WITHIN each domain; the deterministic "
+    "argmax form is x_source_cap_topk, which this complements with "
+    "an actual draw). Same hash-min keys (shared _ws_keyed device), "
+    "ranked per source. Scale shape: the key stays one map-side "
+    "expression; the per-source window first passes through "
+    "source_cap_prefilter (the shared skew device: histogram-binned "
+    "upward-closed superset), so a mega-source sorts ~slack*k rows "
+    "instead of its full population — prefilter exactness means the "
+    "output is identical with or without it (property-tested).",
+)
+def x_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.queries.extensions3 import source_cap_prefilter
+
+    keyed = _ws_keyed(spark, sf_dir)
+    # histogram prefilter wants an ascending-better score in [0, ~2]:
+    # 1 - skey/2^48 is exact (48-bit keys, 53-bit significand) and
+    # order-reverses the key so 'top by score' = 'smallest key'
+    pruned = source_cap_prefilter(
+        keyed.withColumn(
+            "prio", F.lit(1.0) - F.col("skey") / F.lit(float(1 << 48))
+        ),
+        cap=_WS_SRC_K,
+        key_col="source",
+        score_col="prio",
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _WS_SRC_K)
+        .select("source", "doc_id", "weight", "skey", "rank")
+    )

@@ -888,3 +888,61 @@ def s_stream_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn_edges_stateless(arrivals, member_index, k=3)
     name = run_available_now(edges, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming weighted subsampling (threshold keep over hash-min keys)
+# ---------------------------------------------------------------------------
+
+# keep when skey < 2^42, i.e. per-draw p = 2^-6: P(keep | weight w)
+# = 1 - (1 - 1/64)^w — weight-sensitive, exact, integer-compared
+_WS_STREAM_THRESH = 1 << 42
+
+
+def _ws_stream_oracle() -> str:
+    from blspark.queries.extensions10 import _ws_keyed_sql
+
+    return f"""
+WITH {_ws_keyed_sql()}
+SELECT doc_id, weight, skey FROM keyed WHERE skey < {_WS_STREAM_THRESH}
+"""
+
+
+@register(
+    "s_stream_weighted_sample",
+    oracle=_ws_stream_oracle(),
+    doc="Streaming weighted subsampling of a document firehose: each "
+    "arrival keeps itself iff its hash-min key (the ONE weighted-"
+    "sampling key device — ext/sampling.hashmin_key, shared with "
+    "x_sample_weighted_topn via the _ws_keyed_sql oracle prefix) "
+    "falls under a fixed 2^42 threshold, so P(keep | weight w) = "
+    "1 - (1 - 2^-6)^w: higher-quality documents survive the "
+    "subsample at up to ~7.6x the rate of the lowest rung, "
+    "deterministically — replaying the stream (at-least-once "
+    "delivery, reordered files, different micro-batching) keeps "
+    "EXACTLY the same set, which is what makes the subsample safe "
+    "to union across restarts. Pure stateless projection + filter: "
+    "append mode, no state store, no watermark, no aggregation — "
+    "the fixed-size top-n form needs a global order and stays "
+    "batch-side (x_sample_weighted_topn). Output hash-checks "
+    "against the identical batch filter.",
+)
+def s_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.sampling import hashmin_key
+    from blspark.ext.text import quality_score
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=schema, glob="documents.parquet"
+    )
+    w = quality_score(stream, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
+            "weight"
+        ),
+    )
+    kept = hashmin_key(w, "doc_id", "weight").filter(
+        F.col("skey") < F.lit(_WS_STREAM_THRESH)
+    )
+    name = run_available_now(kept, output_mode="append")
+    return spark.table(name)

@@ -60,6 +60,7 @@ QUERIES = [
     "x_knn_graph_components",
     "x_cell_prototypes",
     "x_sample_weighted_topn",
+    "x_sample_weighted_per_source",
 ]
 
 

@@ -137,3 +137,47 @@ def test_hashmin_key_clamps_null_and_subone_weights(spark):
     assert None not in keys.values()
     for i in (1, 2, 3):
         assert keys[i] == one[i] == _py_key(i, 1)
+
+
+def test_per_source_prefilter_is_transparent(spark):
+    """The skew prefilter must be an exactness-preserving superset:
+    per-source ranks computed with and without it are identical."""
+    from pyspark.sql import Window
+
+    from blspark.queries.extensions10 import _WS_SRC_K, _ws_keyed
+    from blspark.queries.extensions3 import source_cap_prefilter
+
+    keyed = _ws_keyed(spark, SF_SMOKE)
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.asc("skey"), F.asc("doc_id")
+            )
+        )
+        .cast("int")
+    )
+    direct = {
+        (r["source"], r["doc_id"], r["rank"])
+        for r in keyed.withColumn("rank", w)
+        .filter(F.col("rank") <= _WS_SRC_K)
+        .select("source", "doc_id", "rank")
+        .collect()
+    }
+    pruned = source_cap_prefilter(
+        keyed.withColumn(
+            "prio", F.lit(1.0) - F.col("skey") / F.lit(float(1 << 48))
+        ),
+        cap=_WS_SRC_K,
+        key_col="source",
+        score_col="prio",
+    )
+    with_pf = {
+        (r["source"], r["doc_id"], r["rank"])
+        for r in pruned.withColumn("rank", w)
+        .filter(F.col("rank") <= _WS_SRC_K)
+        .select("source", "doc_id", "rank")
+        .collect()
+    }
+    assert direct == with_pf
+    assert len(direct) > 0
