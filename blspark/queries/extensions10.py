@@ -1030,7 +1030,9 @@ def _ws_keyed_sql() -> str:
     from blspark.queries.extensions2 import _Q_SQL
 
     return f"""s AS (
-  SELECT doc_id, source, 1 + CAST(FLOOR({_Q_SQL} * 7) AS INT) AS weight
+  SELECT doc_id, source,
+         GREATEST(1, COALESCE(1 + CAST(FLOOR({_Q_SQL} * 7) AS INT), 1))
+           AS weight
   FROM documents
 ),
 keyed AS (
@@ -1052,23 +1054,35 @@ ORDER BY skey, doc_id LIMIT {_WS_N}
 """
 
 
-def _ws_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_ws_keyed_sql``: (doc_id, source, weight, skey)
-    for every document — quality weight via the ONE quality formula
+def ws_keyed_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_ws_keyed_sql`` over any (doc_id, text, source)
+    frame — batch OR streaming (pure stateless projection): (doc_id,
+    source, weight, skey). Quality weight via the ONE quality formula
     (ext/text.quality_score, source passed through with ``keep``),
-    key via ext/sampling.hashmin_key."""
+    clamped to >= 1 exactly like the oracle prefix (NULL text ->
+    NULL quality -> one draw, mirroring hashmin_key's contract), key
+    via ext/sampling.hashmin_key. The ONE projection both the three
+    batch/stream family queries call — the weight device cannot
+    change in one consumer without the others."""
     from blspark.ext.sampling import hashmin_key
     from blspark.ext.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
     w = quality_score(docs, "doc_id", "text", keep=("source",)).select(
         F.col("id").alias("doc_id"),
         "source",
-        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
-            "weight"
-        ),
+        F.greatest(
+            F.lit(1),
+            F.coalesce(
+                (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int"),
+                F.lit(1),
+            ),
+        ).alias("weight"),
     )
     return hashmin_key(w, "doc_id", "weight")
+
+
+def _ws_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ws_keyed_frame(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1122,7 +1136,12 @@ WHERE rank <= {_WS_SRC_K} ORDER BY source, rank
     "source_cap_prefilter (the shared skew device: histogram-binned "
     "upward-closed superset), so a mega-source sorts ~slack*k rows "
     "instead of its full population — prefilter exactness means the "
-    "output is identical with or without it (property-tested).",
+    "output is identical with or without it (property-tested). The "
+    "prefilter's histogram branch recomputes the keyed projection "
+    "rather than persisting it (the recompute-over-persist "
+    "convention: a corpus-sized cache is infeasible at 100 TB and "
+    "the recompute is one extra columnar scan + w<=8 md5s per row, "
+    "map-side).",
 )
 def x_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.queries.extensions3 import source_cap_prefilter

@@ -928,21 +928,19 @@ SELECT doc_id, weight, skey FROM keyed WHERE skey < {_WS_STREAM_THRESH}
     "against the identical batch filter.",
 )
 def s_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.sampling import hashmin_key
-    from blspark.ext.text import quality_score
+    from blspark.queries.extensions10 import ws_keyed_frame
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = file_arrival_stream(
         spark, sf_dir, schema=schema, glob="documents.parquet"
     )
-    w = quality_score(stream, "doc_id", "text").select(
-        F.col("id").alias("doc_id"),
-        (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int").alias(
-            "weight"
-        ),
-    )
-    kept = hashmin_key(w, "doc_id", "weight").filter(
-        F.col("skey") < F.lit(_WS_STREAM_THRESH)
+    # the ONE keyed projection, shared verbatim with the batch family
+    # (the _quality_ingest_transform convention): pure stateless
+    # select, so it streams as-is
+    kept = (
+        ws_keyed_frame(stream)
+        .filter(F.col("skey") < F.lit(_WS_STREAM_THRESH))
+        .select("doc_id", "weight", "skey")
     )
     name = run_available_now(kept, output_mode="append")
     return spark.table(name)

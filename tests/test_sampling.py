@@ -141,43 +141,49 @@ def test_hashmin_key_clamps_null_and_subone_weights(spark):
 
 def test_per_source_prefilter_is_transparent(spark):
     """The skew prefilter must be an exactness-preserving superset:
-    per-source ranks computed with and without it are identical."""
+    the PRODUCTION query's output (which routes through
+    source_cap_prefilter) equals the plain per-source window over the
+    shared keyed frame with no prefilter at all."""
     from pyspark.sql import Window
 
+    from blspark.catalog import registry
     from blspark.queries.extensions10 import _WS_SRC_K, _ws_keyed
-    from blspark.queries.extensions3 import source_cap_prefilter
 
-    keyed = _ws_keyed(spark, SF_SMOKE)
-    w = (
-        F.row_number()
-        .over(
-            Window.partitionBy("source").orderBy(
-                F.asc("skey"), F.asc("doc_id")
-            )
-        )
-        .cast("int")
-    )
     direct = {
-        (r["source"], r["doc_id"], r["rank"])
-        for r in keyed.withColumn("rank", w)
+        tuple(r)
+        for r in _ws_keyed(spark, SF_SMOKE)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.asc("skey"), F.asc("doc_id")
+                )
+            )
+            .cast("int"),
+        )
         .filter(F.col("rank") <= _WS_SRC_K)
-        .select("source", "doc_id", "rank")
+        .select("source", "doc_id", "weight", "skey", "rank")
         .collect()
     }
-    pruned = source_cap_prefilter(
-        keyed.withColumn(
-            "prio", F.lit(1.0) - F.col("skey") / F.lit(float(1 << 48))
-        ),
-        cap=_WS_SRC_K,
-        key_col="source",
-        score_col="prio",
-    )
-    with_pf = {
-        (r["source"], r["doc_id"], r["rank"])
-        for r in pruned.withColumn("rank", w)
-        .filter(F.col("rank") <= _WS_SRC_K)
-        .select("source", "doc_id", "rank")
-        .collect()
-    }
-    assert direct == with_pf
+    q = registry()["x_sample_weighted_per_source"]
+    via_query = {tuple(r) for r in q.spark_fn(spark, SF_SMOKE).collect()}
+    assert direct == via_query
     assert len(direct) > 0
+
+
+def test_weighted_topn_query_plan_no_shuffle(spark):
+    """The REGISTERED top-n query (not just the library helper) keeps
+    the TakeOrderedAndProject / zero-Exchange shape end to end — the
+    keyed projection must never grow a join or aggregate."""
+    from blspark.catalog import registry
+
+    q = registry()["x_sample_weighted_topn"]
+    plan = (
+        q.spark_fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
