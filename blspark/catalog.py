@@ -99,17 +99,18 @@ _PRIORITY: tuple[str, ...] = (
     # rungs, the graph recall contract, the streaming graph-edge
     # maintenance, the mutual-graph components, the per-cell
     # prototype/coreset selection, and the hash-min exact-weighted-
-    # sampling family — global top-n, per-source, streaming) hold the
+    # sampling family — global top-n, per-source, streaming — and the
+    # bucketed co-located join) hold the
     # first-time-ORACLE slots, then the 9 remaining r4-stale queries
-    # close out the r4 era, then the 24 alphabetically-first r6-stale
-    # — the 50-slot budget signs 17 new + 9 r4 + 24 r6 this round,
-    # leaving 26 r6-stale (listed next, in order) for round 11; after
+    # close out the r4 era, then the 23 alphabetically-first r6-stale
+    # — the 50-slot budget signs 18 new + 9 r4 + 23 r6 this round,
+    # leaving 27 r6-stale (listed next, in order) for round 11; after
     # that the oldest signature is r7, permanently inside the
     # ~4-round window. Recomputed programmatically from
     # CORRECTNESS_r01..r09.json (latest round per query). All queries
     # are locally green every run (tests/test_oracle.py
     # re-differentials the full registry).
-    # round-10 first-timers (17):
+    # round-10 first-timers (18):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -127,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_sample_weighted_topn",
     "x_sample_weighted_per_source",
     "s_stream_weighted_sample",
+    "x_bucketed_colocated_join",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -137,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 24 (inside the round-10 budget):
+    # r6-stale, first 23 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -161,8 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_embedding_cosine",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    # r6-stale remainder for round 11 (27):
     "x_dedup_ngram_jaccard",
-    # r6-stale remainder for round 11 (26):
     "x_dedup_pipeline_lsh",
     "x_dedup_simhash",
     "x_dedup_span_removal",

@@ -1164,3 +1164,106 @@ def x_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _WS_SRC_K)
         .select("source", "doc_id", "weight", "skey", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-level bucketing: the co-located join lever
+# ---------------------------------------------------------------------------
+
+_BKT_N = 8
+# session-keyed memo (the warm-index convention at :539): bucketed
+# tables are written once per (session, sf_dir) and reused — the
+# production shape is write-once layout, join many times
+_BKT_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    for stale in [k for k in _BKT_TABLES if k[0] != app]:
+        del _BKT_TABLES[stale]
+    got = _BKT_TABLES.get(key)
+    if got is not None:
+        return got
+    tag = hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:10]
+    ot, ct = f"blspark_bkt_orders_{tag}", f"blspark_bkt_customer_{tag}"
+    # one file per bucket (repartition on the bucket key) so the
+    # sorted-bucket property survives and the join needs no Sort
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .repartition(_BKT_N, "o_custkey")
+        .write.bucketBy(_BKT_N, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(_BKT_N, "c_custkey")
+        .write.bucketBy(_BKT_N, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ct)
+    )
+    _BKT_TABLES[key] = (ot, ct)
+    return ot, ct
+
+
+def bucketed_orders_customer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The raw co-located join over the bucketed tables — shuffle-free
+    by layout: both sides bucketed by the join key with the same
+    bucket count, so the SortMergeJoin consumes bucket files directly
+    (ZERO Exchange in the physical plan — plan-pinned; the merge hint
+    keeps Catalyst from broadcasting the small test-scale side, since
+    the lever being demonstrated is for two corpus-sized tables)."""
+    ot, ct = _bucketed_tables(spark, sf_dir)
+    return spark.table(ot).join(
+        spark.table(ct).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+
+
+@register(
+    "x_bucketed_colocated_join",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {{total}} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""".format(total="CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) "
+           "AS STRING) AS DOUBLE)"),
+    doc="Storage-level bucketing, the co-located-join lever the rest "
+    f"of the engine only simulates with LSH/cell buckets: orders and "
+    f"customer are written ONCE as {_BKT_N}-bucket sorted tables on "
+    "the join key (bucketBy + sortBy + one file per bucket), and the "
+    "fact-dim join then consumes bucket files directly — ZERO "
+    "Exchange under the join in the physical plan (plan-pinned in "
+    "tests/test_plans.py), which at 100 TB removes the dominant "
+    "cost of every repeated big-big equi-join on the same key "
+    "(each side crossing the wire per join). Write-once-join-many "
+    "is the production shape: the bucketed layout is memoized per "
+    "session (the warm-index convention) and the recurring cost is "
+    "only the join itself. Result = per-segment order counts + "
+    "decimal-exact revenue (values identical with or without "
+    "bucketing — layout must never change answers).",
+)
+def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import dsum
+
+    j = bucketed_orders_customer_join(spark, sf_dir)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -61,6 +61,7 @@ QUERIES = [
     "x_cell_prototypes",
     "x_sample_weighted_topn",
     "x_sample_weighted_per_source",
+    "x_bucketed_colocated_join",
 ]
 
 

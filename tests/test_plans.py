@@ -297,3 +297,20 @@ def test_ivfpq_warm_plan_reads_checkpoint_not_training(spark):
         assert "d2" not in plan
     finally:
         x10._WARM_IVFPQ_INDEX.clear()
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Storage bucketing must eliminate the join shuffle entirely: both
+    scans read bucketed files (Bucketed: true, all buckets selected)
+    and the SortMergeJoin has ZERO Exchange anywhere below it."""
+    from blspark.queries.extensions10 import bucketed_orders_customer_join
+
+    plan = (
+        bucketed_orders_customer_join(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
