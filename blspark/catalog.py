@@ -90,7 +90,7 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-10 rotation (VERDICT r9 items 1+4): the 13 round-10
+    # -- Round-10 rotation (VERDICT r9 items 1+4): the 18 round-10
     # first-timers (the four completed SQ8/MaxSim operators the r9
     # phantom listing promised — implemented THIS round in
     # queries/extensions10.py — plus the warm IVF-PQ variant, the two

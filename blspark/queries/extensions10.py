@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blspark.catalog import load_table, register
+from blspark.catalog import dsum, load_table, o_dsum, register
 from blspark.queries.extensions9 import (
     _DOTQ,
     _NORMQ,
@@ -1187,10 +1187,35 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     got = _BKT_TABLES.get(key)
     if got is not None:
         return got
-    tag = hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:10]
+    # table names are STABLE per sf_dir (not per-app) so repeated
+    # sessions replace the one warehouse pair instead of leaking
+    # orphan dirs. A FRESH session's in-memory catalog does not know
+    # the previous run's managed table, so mode=overwrite alone
+    # raises LOCATION_ALREADY_EXISTS on its leftover directory —
+    # drop-and-purge first (a real deployment's persistent metastore
+    # would make DROP TABLE alone sufficient). Single-writer
+    # assumption: concurrent sessions writing the same sf_dir's
+    # layout would race (the driver runs one session at a time).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     ot, ct = f"blspark_bkt_orders_{tag}", f"blspark_bkt_customer_{tag}"
-    # one file per bucket (repartition on the bucket key) so the
-    # sorted-bucket property survives and the join needs no Sort
+    import os
+    import shutil
+    import urllib.parse
+
+    wpath = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    for t in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        leftover = os.path.join(wpath, t)
+        if wpath and os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+    # one file per bucket (repartition on the bucket key) keeps the
+    # layout compact; NOTE the sortBy metadata is written but Spark
+    # >= 3.0 ignores bucket sort order at read time (a Sort above each
+    # bucketed scan remains unless the legacy outputOrdering conf is
+    # set) — the cost this layout eliminates is the EXCHANGE, the
+    # dominant term, not the Sort
     (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_totalprice")
@@ -1221,9 +1246,12 @@ def bucketed_orders_customer_join(
     """The raw co-located join over the bucketed tables — shuffle-free
     by layout: both sides bucketed by the join key with the same
     bucket count, so the SortMergeJoin consumes bucket files directly
-    (ZERO Exchange in the physical plan — plan-pinned; the merge hint
-    keeps Catalyst from broadcasting the small test-scale side, since
-    the lever being demonstrated is for two corpus-sized tables)."""
+    (ZERO Exchange in the physical plan — plan-pinned; a per-bucket
+    Sort remains, as Spark >= 3.0 ignores bucket sort metadata at
+    read time — the eliminated cost is the network crossing, not the
+    local sort. The merge hint keeps Catalyst from broadcasting the
+    small test-scale side, since the lever being demonstrated is for
+    two corpus-sized tables)."""
     ot, ct = _bucketed_tables(spark, sf_dir)
     return spark.table(ot).join(
         spark.table(ct).hint("merge"),
@@ -1235,11 +1263,10 @@ def bucketed_orders_customer_join(
     "x_bucketed_colocated_join",
     oracle=f"""
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       {{total}} AS total_price
+       {o_dsum("o_totalprice")} AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
-""".format(total="CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) "
-           "AS STRING) AS DOUBLE)"),
+""",
     doc="Storage-level bucketing, the co-located-join lever the rest "
     f"of the engine only simulates with LSH/cell buckets: orders and "
     f"customer are written ONCE as {_BKT_N}-bucket sorted tables on "
@@ -1256,8 +1283,6 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
     "bucketing — layout must never change answers).",
 )
 def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.catalog import dsum
-
     j = bucketed_orders_customer_join(spark, sf_dir)
     return (
         j.groupBy("c_mktsegment")
