@@ -90,7 +90,7 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-10 rotation (VERDICT r9 items 1+4): the 18 round-10
+    # -- Round-10 rotation (VERDICT r9 items 1+4): the 19 round-10
     # first-timers (the four completed SQ8/MaxSim operators the r9
     # phantom listing promised — implemented THIS round in
     # queries/extensions10.py — plus the warm IVF-PQ variant, the two
@@ -100,17 +100,17 @@ _PRIORITY: tuple[str, ...] = (
     # maintenance, the mutual-graph components, the per-cell
     # prototype/coreset selection, and the hash-min exact-weighted-
     # sampling family — global top-n, per-source, streaming — and the
-    # bucketed co-located join) hold the
+    # bucketed-join + partitioned-scan layout pair) hold the
     # first-time-ORACLE slots, then the 9 remaining r4-stale queries
-    # close out the r4 era, then the 23 alphabetically-first r6-stale
-    # — the 50-slot budget signs 18 new + 9 r4 + 23 r6 this round,
-    # leaving 27 r6-stale (listed next, in order) for round 11; after
+    # close out the r4 era, then the 22 alphabetically-first r6-stale
+    # — the 50-slot budget signs 19 new + 9 r4 + 22 r6 this round,
+    # leaving 28 r6-stale (listed next, in order) for round 11; after
     # that the oldest signature is r7, permanently inside the
     # ~4-round window. Recomputed programmatically from
     # CORRECTNESS_r01..r09.json (latest round per query). All queries
     # are locally green every run (tests/test_oracle.py
     # re-differentials the full registry).
-    # round-10 first-timers (18):
+    # round-10 first-timers (19):
     "x_similarity_ivf_sq8",
     "x_retrieval_maxsim_ragged",
     "x_sq8_eval",
@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_sample_weighted_per_source",
     "s_stream_weighted_sample",
     "x_bucketed_colocated_join",
+    "x_partitioned_prune_scan",
     # r4-stale, final tranche (9):
     "x_resample_ffill",
     "x_retrieval_hybrid",
@@ -139,7 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
-    # r6-stale, first 23 (inside the round-10 budget):
+    # r6-stale, first 22 (inside the round-10 budget):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
     "q_gaps_and_islands",
@@ -162,8 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_dedup_components",
     "x_dedup_embedding_cosine",
     "x_dedup_exact",
+    # r6-stale remainder for round 11 (28):
     "x_dedup_minhash_lsh",
-    # r6-stale remainder for round 11 (27):
     "x_dedup_ngram_jaccard",
     "x_dedup_pipeline_lsh",
     "x_dedup_simhash",

@@ -1170,6 +1170,26 @@ def x_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Storage-level bucketing: the co-located join lever
 # ---------------------------------------------------------------------------
 
+def _replace_warehouse_table(spark: SparkSession, name: str) -> None:
+    """Drop ``name`` and purge its leftover warehouse directory — a
+    FRESH session's in-memory catalog does not know a previous run's
+    managed table, so ``mode=overwrite`` alone raises
+    LOCATION_ALREADY_EXISTS on the orphan dir (a deployment with a
+    persistent metastore needs only the DROP). Shared by every
+    layout-demo writer (bucketed + partitioned tables)."""
+    import os
+    import shutil
+    import urllib.parse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wpath = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    leftover = os.path.join(wpath, name)
+    if wpath and os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+
+
 _BKT_N = 8
 # session-keyed memo (the warm-index convention at :539): bucketed
 # tables are written once per (session, sf_dir) and reused — the
@@ -1198,18 +1218,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # layout would race (the driver runs one session at a time).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     ot, ct = f"blspark_bkt_orders_{tag}", f"blspark_bkt_customer_{tag}"
-    import os
-    import shutil
-    import urllib.parse
-
-    wpath = urllib.parse.urlparse(
-        spark.conf.get("spark.sql.warehouse.dir")
-    ).path
     for t in (ot, ct):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        leftover = os.path.join(wpath, t)
-        if wpath and os.path.isdir(leftover):
-            shutil.rmtree(leftover)
+        _replace_warehouse_table(spark, t)
     # one file per bucket (repartition on the bucket key) keeps the
     # layout compact; NOTE the sortBy metadata is written but Spark
     # >= 3.0 ignores bucket sort order at read time (a Sort above each
@@ -1291,4 +1301,81 @@ def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Storage-level partitioning: the partition-pruning lever
+# ---------------------------------------------------------------------------
+
+_PART_DAY = "2024-01-15"
+_PART_TABLES: dict[tuple[str, str], str] = {}
+
+
+def partitioned_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events written ONCE as a day-partitioned table (partitionBy on
+    to_date(ts)) — the scan-pruning twin of the bucketing demo:
+    a day-equality predicate becomes a PartitionFilter and the scan
+    touches ONE day directory out of 30, before any row is read.
+    Same stable-name + drop-and-purge + session-memo conventions as
+    ``_bucketed_tables``."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    for stale in [k for k in _PART_TABLES if k[0] != app]:
+        del _PART_TABLES[stale]
+    got = _PART_TABLES.get(key)
+    if got is not None:
+        return got
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    et = f"blspark_part_events_{tag}"
+    _replace_warehouse_table(spark, et)
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(et)
+    )
+    _PART_TABLES[key] = et
+    return et
+
+
+@register(
+    "x_partitioned_prune_scan",
+    oracle=f"""
+SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+       COUNT(*) AS n_events,
+       {o_dsum("value")} AS total_value
+FROM events
+WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '{_PART_DAY}'
+GROUP BY 1 ORDER BY hr
+""",
+    doc="Storage-level partitioning, the scan-pruning lever paired "
+    "with x_bucketed_colocated_join's co-location lever: events are "
+    "written ONCE as a day-partitioned table, and a single-day "
+    "hourly rollup then reads ONE day directory out of 30 — the "
+    "predicate lands in PartitionFilters (metadata pruning, no row "
+    "touched outside the day; pinned via both the plan string AND "
+    "df.inputFiles(), every file under day=" + _PART_DAY + "). At "
+    "100 TB this is the difference between scanning ~3.3 TB and "
+    "100 TB for every time-sliced query — the layout decision a "
+    "hypertable/rollup system makes implicitly, expressed as plain "
+    "Spark partitioned parquet. Layout must never change answers: "
+    "the oracle runs the same day filter over the raw unpartitioned "
+    "events.",
+)
+def x_partitioned_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    et = partitioned_events_table(spark, sf_dir)
+    return (
+        spark.table(et)
+        .filter(F.col("day") == F.lit(_PART_DAY).cast("date"))
+        .groupBy(F.hour("ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("hr")
     )

@@ -62,6 +62,7 @@ QUERIES = [
     "x_sample_weighted_topn",
     "x_sample_weighted_per_source",
     "x_bucketed_colocated_join",
+    "x_partitioned_prune_scan",
 ]
 
 

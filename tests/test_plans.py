@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from blspark.catalog import registry
 from tests.conftest import SF_ORACLE
 
@@ -314,3 +316,21 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert plan.count("Bucketed: true") == 2
+
+
+def test_partitioned_scan_prunes_to_one_day(spark):
+    """The day-equality predicate must prune at METADATA level: it
+    lands in PartitionFilters and every file the scan actually reads
+    lives under the one day= directory."""
+    from blspark.queries.extensions10 import (
+        _PART_DAY,
+        partitioned_events_table,
+    )
+
+    et = partitioned_events_table(spark, SF_ORACLE)
+    df = spark.table(et).filter(F.col("day") == _PART_DAY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    files = df.inputFiles()
+    assert len(files) > 0
+    assert all(f"day={_PART_DAY}" in f for f in files)
