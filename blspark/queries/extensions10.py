@@ -1191,35 +1191,54 @@ def _replace_warehouse_table(spark: SparkSession, name: str) -> None:
 
 
 _BKT_N = 8
-# session-keyed memo (the warm-index convention at :539): bucketed
+# session-keyed memos (the warm-index convention at :539): layout
 # tables are written once per (session, sf_dir) and reused — the
-# production shape is write-once layout, join many times
-_BKT_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+# production shape is write-once layout, join/scan many times
+_BKT_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
+_PART_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
 
 
-def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _layout_tables(memo, spark, sf_dir, prefixes, build):
+    """ONE copy of the layout-table memo mechanism shared by every
+    layout-demo writer (bucketed + partitioned): session-keyed memo
+    with stale-app eviction, then STABLE per-sf_dir table names
+    (repeated sessions replace the one warehouse set instead of
+    leaking orphan dirs — see _replace_warehouse_table for why the
+    purge is needed), then ``build(*names)`` writes the layout.
+    Single-writer assumption: concurrent sessions writing the same
+    sf_dir's layout would race (the driver runs one at a time)."""
     import hashlib
 
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    for stale in [k for k in _BKT_TABLES if k[0] != app]:
-        del _BKT_TABLES[stale]
-    got = _BKT_TABLES.get(key)
+    for stale in [k for k in memo if k[0] != app]:
+        del memo[stale]
+    got = memo.get(key)
     if got is not None:
         return got
-    # table names are STABLE per sf_dir (not per-app) so repeated
-    # sessions replace the one warehouse pair instead of leaking
-    # orphan dirs. A FRESH session's in-memory catalog does not know
-    # the previous run's managed table, so mode=overwrite alone
-    # raises LOCATION_ALREADY_EXISTS on its leftover directory —
-    # drop-and-purge first (a real deployment's persistent metastore
-    # would make DROP TABLE alone sufficient). Single-writer
-    # assumption: concurrent sessions writing the same sf_dir's
-    # layout would race (the driver runs one session at a time).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    ot, ct = f"blspark_bkt_orders_{tag}", f"blspark_bkt_customer_{tag}"
-    for t in (ot, ct):
+    names = tuple(f"{p}_{tag}" for p in prefixes)
+    for t in names:
         _replace_warehouse_table(spark, t)
+    build(*names)
+    memo[key] = names
+    return names
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    def build(ot, ct):
+        _write_bucketed_pair(spark, sf_dir, ot, ct)
+
+    return _layout_tables(
+        _BKT_TABLES,
+        spark,
+        sf_dir,
+        ("blspark_bkt_orders", "blspark_bkt_customer"),
+        build,
+    )
+
+
+def _write_bucketed_pair(spark, sf_dir, ot, ct):
     # one file per bucket (repartition on the bucket key) keeps the
     # layout compact; NOTE the sortBy metadata is written but Spark
     # >= 3.0 ignores bucket sort order at read time (a Sort above each
@@ -1246,8 +1265,6 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .format("parquet")
         .saveAsTable(ct)
     )
-    _BKT_TABLES[key] = (ot, ct)
-    return ot, ct
 
 
 def bucketed_orders_customer_join(
@@ -1309,7 +1326,6 @@ def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PART_DAY = "2024-01-15"
-_PART_TABLES: dict[tuple[str, str], str] = {}
 
 
 def partitioned_events_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1319,28 +1335,23 @@ def partitioned_events_table(spark: SparkSession, sf_dir: str) -> str:
     touches ONE day directory out of 30, before any row is read.
     Same stable-name + drop-and-purge + session-memo conventions as
     ``_bucketed_tables``."""
-    import hashlib
+    def build(et):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            # one file per day directory: without this, every read
+            # task spanning the 30-day range writes its own file per
+            # day (tasks x 30 small files at larger inputs)
+            .repartition(F.col("day"))
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(et)
+        )
 
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    for stale in [k for k in _PART_TABLES if k[0] != app]:
-        del _PART_TABLES[stale]
-    got = _PART_TABLES.get(key)
-    if got is not None:
-        return got
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    et = f"blspark_part_events_{tag}"
-    _replace_warehouse_table(spark, et)
-    (
-        load_table(spark, sf_dir, "events")
-        .withColumn("day", F.to_date("ts"))
-        .write.partitionBy("day")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(et)
-    )
-    _PART_TABLES[key] = et
-    return et
+    return _layout_tables(
+        _PART_TABLES, spark, sf_dir, ("blspark_part_events",), build
+    )[0]
 
 
 @register(

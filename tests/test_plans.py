@@ -319,18 +319,18 @@ def test_bucketed_join_no_exchange(spark):
 
 
 def test_partitioned_scan_prunes_to_one_day(spark):
-    """The day-equality predicate must prune at METADATA level: it
-    lands in PartitionFilters and every file the scan actually reads
-    lives under the one day= directory."""
-    from blspark.queries.extensions10 import (
-        _PART_DAY,
-        partitioned_events_table,
-    )
+    """The REGISTERED query must prune at METADATA level: the day
+    equality appears INSIDE the PartitionFilters bracket (an empty
+    'PartitionFilters: []' always prints, so substring presence alone
+    is vacuous) and every file the scan actually reads lives under
+    the one day= directory."""
+    from blspark.queries.extensions10 import _PART_DAY
 
-    et = partitioned_events_table(spark, SF_ORACLE)
-    df = spark.table(et).filter(F.col("day") == _PART_DAY)
+    df = REG["x_partitioned_prune_scan"].spark_fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "day" in plan
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*day[^\]]*= " + _PART_DAY, plan
+    ), plan
     files = df.inputFiles()
     assert len(files) > 0
     assert all(f"day={_PART_DAY}" in f for f in files)
