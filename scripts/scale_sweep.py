@@ -698,6 +698,32 @@ def bench_knn_graph_sq8(spark, factor: int) -> float:
     return dt
 
 
+def bench_weighted_sample(spark, factor: int) -> float:
+    """Docs grow with factor: the hash-min key is one inline map-side
+    expression (min over w<=8 md5 draws) and the top-200 is
+    TakeOrderedAndProject — expect ~linear wall growth, no flip into
+    a global sort or shuffle."""
+    from blspark.queries.extensions10 import ws_keyed_frame
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents"),
+        "doc_id",
+        factor,
+        10_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    n = (
+        ws_keyed_frame(docs)
+        .orderBy(F.asc("skey"), F.asc("doc_id"))
+        .limit(200)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  weighted_sample x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -724,6 +750,7 @@ BENCHES = {
     "ewma": bench_ewma,
     "span_removal": bench_span_removal,
     "cusum": bench_cusum,
+    "weighted_sample": bench_weighted_sample,
 }
 
 
