@@ -698,6 +698,22 @@ def bench_knn_graph_sq8(spark, factor: int) -> float:
     return dt
 
 
+def bench_cell_prototypes(spark, factor: int) -> float:
+    """Corpus x factor with cells x isqrt(factor) (the sqrt-rule
+    amplification the graph sweeps share): prototype selection is one
+    cell-assign scan (map-side hash-agg argmin) + one per-cell argmax
+    over the compact projection — expect ~linear wall growth and
+    |cells| output rows."""
+    from blspark.ext.similarity import cell_prototypes
+
+    emb, cents = _amplify_cells_sqrt(spark, factor)
+    t0 = time.perf_counter()
+    n = cell_prototypes(emb, cents).count()
+    dt = time.perf_counter() - t0
+    print(f"  cell_prototypes x{factor}: {dt:.2f}s ({n} cells)", flush=True)
+    return dt
+
+
 def bench_weighted_sample(spark, factor: int) -> float:
     """Docs grow with factor: the hash-min key is one inline map-side
     expression (min over w<=8 md5 draws) and the top-200 is
@@ -751,6 +767,7 @@ BENCHES = {
     "span_removal": bench_span_removal,
     "cusum": bench_cusum,
     "weighted_sample": bench_weighted_sample,
+    "cell_prototypes": bench_cell_prototypes,
 }
 
 
