@@ -478,3 +478,46 @@ def test_boilerplate_strip_matches_python_model(spark, docs):
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
         assert got[i] == want, (i, got[i], want)
+
+
+ws_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),
+        st.one_of(
+            st.none(), st.integers(min_value=-2, max_value=8)
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(rows=ws_rows)
+def test_hashmin_key_matches_python_model(spark, rows):
+    """ext/sampling.hashmin_key == the direct hashlib model for any
+    ids and weights, including the NULL / sub-1 clamp-to-one-draw
+    contract — and the top-n selection therefore matches the model's
+    (key, id) ordering exactly."""
+    import hashlib
+
+    from blspark.ext.sampling import hashmin_key, weighted_topn
+
+    df = spark.createDataFrame(rows, "id long, w int")
+
+    def key(i, w):
+        w = 1 if w is None or w < 1 else w
+        return min(
+            int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:12], 16)
+            for j in range(1, w + 1)
+        )
+
+    model = {i: key(i, w) for i, w in rows}
+    got = {r["id"]: r["skey"] for r in hashmin_key(df, "id", "w").collect()}
+    assert got == model
+
+    n = max(1, len(rows) // 2)
+    want = [i for i, _ in sorted(model.items(), key=lambda t: (t[1], t[0]))][:n]
+    top = [r["id"] for r in weighted_topn(df, "id", "w", n).collect()]
+    assert top == want
