@@ -35,6 +35,17 @@ from pyspark.sql import functions as F
 # and any collision is still deterministic (consumers tie-break by id)
 _KEY_NIBBLES = 12
 
+# Contract bound on integer weights: the key expression materializes
+# ``w`` md5 draws PER ROW, so an unbounded weight is an unbounded
+# per-row expression — and the DuckDB oracles replicate the draw set
+# with a CONSTANT ``range(1, MAX_WEIGHT + 1)`` (DuckDB range() rejects
+# lateral column arguments). Both engines clamp the weight to this ONE
+# constant, so a weight-formula change that exceeds it clamps
+# identically on both sides instead of silently diverging. Consumers
+# deriving weights (queries/extensions10.ws_keyed_frame and its
+# _ws_keyed_sql oracle prefix) import this constant — never restate 8.
+MAX_WEIGHT = 8
+
 
 def hashmin_key(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     """Append ``skey`` = min over ``j in 1..w`` of the 48-bit integer
@@ -45,14 +56,21 @@ def hashmin_key(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     ``sequence(1, 0)`` fabricates the descending range [1, 0] (an
     item that should never win would get TWO draws), and a NULL key
     sorts NULLS FIRST in Spark but last in DuckDB, so both hazards
-    would silently corrupt the sample. The md5 is taken over the
-    UTF-8 bytes of the ``id:j`` string via ``dedup.md5_prefix_int``
-    (the one md5-prefix device), so oracles replicate keys exactly.
+    would silently corrupt the sample. Weights above ``MAX_WEIGHT``
+    clamp down to it — the oracles replicate the draw set with a
+    constant ``range(1, MAX_WEIGHT + 1)``, so the clamp keeps both
+    engines on the identical draw set (see MAX_WEIGHT). The md5 is
+    taken over the UTF-8 bytes of the ``id:j`` string via
+    ``dedup.md5_prefix_int`` (the one md5-prefix device), so oracles
+    replicate keys exactly.
     """
     from blspark.ext.dedup import md5_prefix_int
 
-    w = F.greatest(
-        F.lit(1), F.coalesce(F.col(weight_col).cast("int"), F.lit(1))
+    w = F.least(
+        F.lit(MAX_WEIGHT),
+        F.greatest(
+            F.lit(1), F.coalesce(F.col(weight_col).cast("int"), F.lit(1))
+        ),
     )
 
     def draw(j):

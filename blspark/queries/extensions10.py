@@ -43,26 +43,16 @@ from blspark.queries.extensions9 import (
     _det_centroids,
     _ivf_prefix_sql,
     _IVF_PREFIX_SQL,
+    # SQ8 quantization CTE — the ONE copy lives next to
+    # SQ8_CHECKED_ORACLE in extensions9; every IVF-SQ8 / graph-SQ8 /
+    # streaming-SQ8 oracle here builds on it.
+    _SQ8_QZ_SQL,
     IVFPQ_CHECKED_ORACLE,
 )
 
 # ---------------------------------------------------------------------------
 # IVF-pruned SQ8 (FAISS "IVF,SQ8")
 # ---------------------------------------------------------------------------
-
-# SQ8 quantization over the ``vecs`` CTE — the SQL mirror of
-# ext/similarity.sq8_quantize (scale = max|x|/127, floor(x/scale + .5);
-# floor, never round: half-even vs half-up differs between engines).
-_SQ8_QZ_SQL = """qz AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN scale > 0
-              THEN list_transform(vec, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
-              ELSE list_transform(vec, x -> 0) END AS qvec,
-         CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
-  FROM (SELECT vec_id, vec,
-               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
-        FROM vecs) t
-)"""
 
 _SQ8_IPROD = (
     "CAST(list_sum(list_transform(list_zip({n}.qvec, {q}.qvec), "
@@ -1021,26 +1011,33 @@ _WS_SRC_K = 10
 
 def _ws_keyed_sql() -> str:
     """ONE copy of the weighted-sampling family's oracle prefix: the
-    quality-derived 1..8 weight (the x_sample_quality_weighted /
-    x_select_token_budget quality device) and the hash-min key, with
+    quality-derived 1..MAX_WEIGHT weight (the x_sample_quality_weighted
+    / x_select_token_budget quality device) and the hash-min key, with
     the source carried for the stratified variant. Serves the global
     top-n, the per-source top-k, and the streaming threshold-keep
-    oracles — the three can never silently diverge on the key."""
+    oracles — the three can never silently diverge on the key. The
+    draw-range bound and the weight clamp both derive from
+    ext/sampling.MAX_WEIGHT (the same constant hashmin_key clamps
+    with), so a weight-formula change past the bound clamps
+    identically on both engines instead of silently diverging."""
     from blspark.ext.dedup import hex_int_sql
+    from blspark.ext.sampling import MAX_WEIGHT
     from blspark.queries.extensions2 import _Q_SQL
 
     return f"""s AS (
   SELECT doc_id, source,
-         GREATEST(1, COALESCE(1 + CAST(FLOOR({_Q_SQL} * 7) AS INT), 1))
+         LEAST({MAX_WEIGHT}, GREATEST(1,
+           COALESCE(1 + CAST(FLOOR({_Q_SQL} * 7) AS INT), 1)))
            AS weight
   FROM documents
 ),
 keyed AS (
   SELECT doc_id, source, weight,
          list_min(list_transform(
-           list_transform(list_filter(range(1, 9), j -> j <= weight),
-                          j -> md5(CAST(doc_id AS VARCHAR) || ':'
-                                   || CAST(j AS VARCHAR))),
+           list_transform(
+             list_filter(range(1, {MAX_WEIGHT + 1}), j -> j <= weight),
+             j -> md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(j AS VARCHAR))),
            h -> {hex_int_sql("h", 12)})) AS skey
   FROM s
 )"""
@@ -1060,21 +1057,26 @@ def ws_keyed_frame(docs: DataFrame) -> DataFrame:
     source, weight, skey). Quality weight via the ONE quality formula
     (ext/text.quality_score, source passed through with ``keep``),
     clamped to >= 1 exactly like the oracle prefix (NULL text ->
-    NULL quality -> one draw, mirroring hashmin_key's contract), key
-    via ext/sampling.hashmin_key. The ONE projection both the three
-    batch/stream family queries call — the weight device cannot
-    change in one consumer without the others."""
-    from blspark.ext.sampling import hashmin_key
+    NULL quality -> one draw, mirroring hashmin_key's contract,
+    weights past ext/sampling.MAX_WEIGHT clamp down to it exactly
+    like the oracle prefix), key via ext/sampling.hashmin_key. The
+    ONE projection both the three batch/stream family queries call —
+    the weight device cannot change in one consumer without the
+    others."""
+    from blspark.ext.sampling import MAX_WEIGHT, hashmin_key
     from blspark.ext.text import quality_score
 
     w = quality_score(docs, "doc_id", "text", keep=("source",)).select(
         F.col("id").alias("doc_id"),
         "source",
-        F.greatest(
-            F.lit(1),
-            F.coalesce(
-                (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int"),
+        F.least(
+            F.lit(MAX_WEIGHT),
+            F.greatest(
                 F.lit(1),
+                F.coalesce(
+                    (F.lit(1) + F.floor(F.col("quality") * 7)).cast("int"),
+                    F.lit(1),
+                ),
             ),
         ).alias("weight"),
     )
@@ -1198,16 +1200,60 @@ _BKT_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
 _PART_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _gc_orphan_layout_dirs(spark, prefixes, tag) -> None:
+    """Remove layout-table warehouse dirs left by DEAD processes (a
+    crashed or finished session never drops its pid-tagged tables).
+    Dirs owned by a LIVE pid belong to a concurrent session and are
+    left alone — that is the whole point of the per-process names."""
+    import os
+    import re
+    import shutil
+    import urllib.parse
+
+    wpath = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    if not wpath or not os.path.isdir(wpath):
+        return
+    pat = re.compile(
+        "^(?:" + "|".join(re.escape(p) for p in prefixes) + ")_"
+        + re.escape(tag) + r"_p(\d+)$"
+    )
+    for entry in os.listdir(wpath):
+        m = pat.match(entry)
+        if m and int(m.group(1)) != os.getpid() and not _pid_alive(
+            int(m.group(1))
+        ):
+            shutil.rmtree(os.path.join(wpath, entry), ignore_errors=True)
+
+
 def _layout_tables(memo, spark, sf_dir, prefixes, build):
     """ONE copy of the layout-table memo mechanism shared by every
     layout-demo writer (bucketed + partitioned): session-keyed memo
-    with stale-app eviction, then STABLE per-sf_dir table names
-    (repeated sessions replace the one warehouse set instead of
-    leaking orphan dirs — see _replace_warehouse_table for why the
-    purge is needed), then ``build(*names)`` writes the layout.
-    Single-writer assumption: concurrent sessions writing the same
-    sf_dir's layout would race (the driver runs one at a time)."""
+    with stale-app eviction, then PER-PROCESS per-sf_dir table names
+    — the pid suffix means two concurrent sessions registering the
+    same sf_dir write DISJOINT warehouse dirs instead of racing one
+    stable dir (a reader mid-FileScanRDD dies when another process
+    drop-and-purges the table under it), and the orphan-GC sweep
+    (_gc_orphan_layout_dirs) reclaims dirs whose owning process is
+    gone, so pid-tagging cannot leak dirs across runs. Then
+    ``build(*names)`` writes the layout; see
+    _replace_warehouse_table for why the purge before write is
+    needed even on our own names (pid reuse)."""
     import hashlib
+    import os
 
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
@@ -1217,7 +1263,8 @@ def _layout_tables(memo, spark, sf_dir, prefixes, build):
     if got is not None:
         return got
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    names = tuple(f"{p}_{tag}" for p in prefixes)
+    _gc_orphan_layout_dirs(spark, prefixes, tag)
+    names = tuple(f"{p}_{tag}_p{os.getpid()}" for p in prefixes)
     for t in names:
         _replace_warehouse_table(spark, t)
     build(*names)

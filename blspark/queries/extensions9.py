@@ -396,21 +396,29 @@ def x_similarity_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQ8_K = 5
 
-SQ8_CHECKED_ORACLE = f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS vec,
-         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
-           AS scale
-  FROM embeddings
-),
-qz AS MATERIALIZED (
+# SQ8 quantization over a ``vecs(vec_id, vec)`` CTE — the ONE SQL
+# mirror of ext/similarity.sq8_quantize (scale = max|x|/127,
+# floor(x/scale + .5); floor, never round: half-even vs half-up
+# differs between engines). Shared by SQ8_CHECKED_ORACLE here and by
+# every IVF-SQ8 / graph-SQ8 / streaming-SQ8 oracle in extensions10
+# and streaming_q, so a rounding-policy change lands everywhere at
+# once.
+_SQ8_QZ_SQL = """qz AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN scale > 0
               THEN list_transform(vec, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
               ELSE list_transform(vec, x -> 0) END AS qvec,
          CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
-  FROM v
+  FROM (SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM vecs) t
+)"""
+
+SQ8_CHECKED_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ),
+{_SQ8_QZ_SQL},
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          CAST(list_sum(list_transform(list_zip(n.qvec, q.qvec),
