@@ -107,24 +107,32 @@ def main() -> None:
         "x_knn_graph_components", "x_cell_prototypes",
         "x_sample_weighted_topn",
     )
+    R11_SET = R10C_SET + (
+        "x_knn_graph_capped", "x_knn_graph_components_warm",
+        "x_retrieval_graph_expand", "x_knn_graph_split",
+    )
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
     LSH_SET = (
         "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_pipeline_lsh",
         "x_dedup_span_removal", "x_similarity_cosine_topk",
     )
+    # Every comparison basis gets BOTH a warm and a cold subtotal from
+    # the same set tuples (one list, zero drift): a later round's cold
+    # comparison must never need reconstruction from per-query numbers.
+    BASES = (
+        ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
+        ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
+        ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_37", R11_SET),
+    )
     subtotals = {
         label: round(sum(timings[n] for n in names if n in timings), 3)
-        for label, names in (
-            ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
-            ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
-            ("r10_30", R10B_SET), ("r10_33", R10C_SET),
-        )
+        for label, names in BASES
     }
-    subtotals["cold_r1_14"] = round(sum(cold[n] for n in R1_SET if n in cold), 3)
-    subtotals["cold_r5_21"] = round(sum(cold[n] for n in R5_SET if n in cold), 3)
-    subtotals["cold_r7_25"] = round(sum(cold[n] for n in R7_SET if n in cold), 3)
-    subtotals["cold_r8_26"] = round(sum(cold[n] for n in R8_SET if n in cold), 3)
+    for label, names in BASES:
+        subtotals[f"cold_{label}"] = round(
+            sum(cold[n] for n in names if n in cold), 3
+        )
     subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET if n in cold), 3)
     print(
         json.dumps(

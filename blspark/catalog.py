@@ -90,80 +90,27 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-10 rotation (VERDICT r9 items 1+4): the 19 round-10
-    # first-timers (the four completed SQ8/MaxSim operators the r9
-    # phantom listing promised — implemented THIS round in
-    # queries/extensions10.py — plus the warm IVF-PQ variant, the two
-    # pruning/recall contracts, and the streaming SQ8/IVF-SQ8 index
-    # pair, the cell-blocked mutual-kNN graph at the float and SQ8
-    # rungs, the graph recall contract, the streaming graph-edge
-    # maintenance, the mutual-graph components, the per-cell
-    # prototype/coreset selection, and the hash-min exact-weighted-
-    # sampling family — global top-n, per-source, streaming — and the
-    # bucketed-join + partitioned-scan layout pair) hold the
-    # first-time-ORACLE slots, then the 9 remaining r4-stale queries
-    # close out the r4 era, then the 22 alphabetically-first r6-stale
-    # — the 50-slot budget signs 19 new + 9 r4 + 22 r6 this round,
-    # leaving 28 r6-stale (listed next, in order) for round 11; after
-    # that the oldest signature is r7, permanently inside the
-    # ~4-round window. Recomputed programmatically from
-    # CORRECTNESS_r01..r09.json (latest round per query). All queries
-    # are locally green every run (tests/test_oracle.py
-    # re-differentials the full registry).
-    # round-10 first-timers (19):
-    "x_similarity_ivf_sq8",
-    "x_retrieval_maxsim_ragged",
-    "x_sq8_eval",
-    "x_maxsim_eval",
-    "x_similarity_ivfpq_warm",
-    "x_ivf_sq8_eval",
-    "s_stream_index_sq8",
-    "s_stream_index_ivf_sq8",
-    "x_knn_graph",
-    "x_knn_graph_sq8",
-    "x_knn_graph_eval",
-    "s_stream_knn_edges",
-    "x_knn_graph_components",
-    "x_cell_prototypes",
-    "x_sample_weighted_topn",
-    "x_sample_weighted_per_source",
-    "s_stream_weighted_sample",
-    "x_bucketed_colocated_join",
-    "x_partitioned_prune_scan",
-    # r4-stale, final tranche (9):
-    "x_resample_ffill",
-    "x_retrieval_hybrid",
-    "x_sequence_pattern",
-    "x_similarity_ann_multiprobe",
-    "x_source_cap_topk",
-    "x_tokenizer_bpe",
-    "x_tokenizer_bpe_apply",
-    "x_udtf_bigrams",
-    "x_zorder_key",
-    # r6-stale, first 22 (inside the round-10 budget):
-    "q_asof_nearest_click",
-    "q_bls_pipeline_parity",
-    "q_gaps_and_islands",
-    "q_percent_rank_cume",
-    "q_window_time_range",
-    "s_stream_dedup_exact",
-    "s_stream_dedup_within_watermark",
-    "s_stream_enrich_static",
-    "s_stream_events_hourly",
-    "s_stream_interval_join_outer",
-    "s_stream_sessionize_stateful",
-    "s_stream_user_profile_tws",
-    "x_ab_readout",
-    "x_agg_state_merge",
-    "x_approx_sketches",
-    "x_compaction_plan",
-    "x_countmin_sketch",
-    "x_cusum_drift",
-    "x_decontaminate",
-    "x_dedup_components",
-    "x_dedup_embedding_cosine",
-    "x_dedup_exact",
-    # r6-stale remainder for round 11 (28):
+    # -- Round-11 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r10.json: latest driver round per query; the
+    # helper lives in this comment's history — age tiers are r6: 28,
+    # r7: 50, r8: 50, r9: 50, r10: 50). The 50-slot budget this round
+    # signs: the 6 round-11 first-timers (the skew-capped SQ8 graph,
+    # the warm-edges components variant, the greedy-beam graph
+    # retrieval pair, and the recursive-IVF split pair — all
+    # implemented and locally oracle-green
+    # BEFORE being listed here; never pre-list unimplemented names),
+    # then ALL 28 remaining r6-stale, then the 16 alphabetically-
+    # first r7 — after this round the oldest signature is r7 (34
+    # left), permanently inside the ~4-round window. Later tiers
+    # follow in age order so future rotations stay mechanical.
+    # round-11 first-timers (6):
+    "x_knn_graph_capped",
+    "x_knn_graph_components_warm",
+    "x_retrieval_graph_expand",
+    "x_graph_expand_eval",
+    "x_cells_split",
+    "x_knn_graph_split",
+    # r6-stale, final tranche (28 — all of them):
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
     "x_dedup_pipeline_lsh",
@@ -192,7 +139,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_topk_merge",
     "x_word_diversity",
     "x_xml_roundtrip",
-    # then by driver-signature age (r7 -> r9):
+    # r7-stale (50; the first 18 fit this round's budget,
+    # the remaining 32 lead round 12):
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",
@@ -243,6 +191,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_pq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
+    # r8 signatures (50):
     "q_conditional_agg",
     "q_customer_order_distribution",
     "q_disjunctive_filter_revenue",
@@ -293,6 +242,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_repetition",
     "x_text_token_stats",
     "x_udaf_weighted_stats",
+    # r9 signatures (50):
     "q_market_share",
     "q_product_profit",
     "q_recursive_closure",
@@ -343,6 +293,57 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_tfidf_keywords",
     "x_variant_json",
+    # r10 signatures (50):
+    "q_asof_nearest_click",
+    "q_bls_pipeline_parity",
+    "q_gaps_and_islands",
+    "q_percent_rank_cume",
+    "q_window_time_range",
+    "s_stream_dedup_exact",
+    "s_stream_dedup_within_watermark",
+    "s_stream_enrich_static",
+    "s_stream_events_hourly",
+    "s_stream_index_ivf_sq8",
+    "s_stream_index_sq8",
+    "s_stream_interval_join_outer",
+    "s_stream_knn_edges",
+    "s_stream_sessionize_stateful",
+    "s_stream_user_profile_tws",
+    "s_stream_weighted_sample",
+    "x_ab_readout",
+    "x_agg_state_merge",
+    "x_approx_sketches",
+    "x_bucketed_colocated_join",
+    "x_cell_prototypes",
+    "x_compaction_plan",
+    "x_countmin_sketch",
+    "x_cusum_drift",
+    "x_decontaminate",
+    "x_dedup_components",
+    "x_dedup_embedding_cosine",
+    "x_dedup_exact",
+    "x_ivf_sq8_eval",
+    "x_knn_graph",
+    "x_knn_graph_components",
+    "x_knn_graph_eval",
+    "x_knn_graph_sq8",
+    "x_maxsim_eval",
+    "x_partitioned_prune_scan",
+    "x_resample_ffill",
+    "x_retrieval_hybrid",
+    "x_retrieval_maxsim_ragged",
+    "x_sample_weighted_per_source",
+    "x_sample_weighted_topn",
+    "x_sequence_pattern",
+    "x_similarity_ann_multiprobe",
+    "x_similarity_ivf_sq8",
+    "x_similarity_ivfpq_warm",
+    "x_source_cap_topk",
+    "x_sq8_eval",
+    "x_tokenizer_bpe",
+    "x_tokenizer_bpe_apply",
+    "x_udtf_bigrams",
+    "x_zorder_key",
 )
 
 

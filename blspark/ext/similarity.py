@@ -677,6 +677,78 @@ def ivf_topk(
     )
 
 
+def _blocked_cell_join(
+    a: DataFrame, b: DataFrame, a_id: str, b_id: str, max_block: int
+) -> DataFrame:
+    """Replace ``a.join(b, "cell_id")`` (the graph family's within-cell
+    self-join) with its block-decomposed EXACT equivalent — the
+    skew-cap lever for a hot IVF cell. The plain join hashes every
+    pair of a cell into ONE shuffle task, so a hot semantic region (or
+    degenerate centroids) makes that task's work quadratic in the hot
+    cell's size while every other core idles. Here each cell of size
+    ``s`` is cut into ``g = ceil(s / max_block)`` hash blocks
+    (``pmod(xxhash64(id), g)`` — deterministic, identical on both
+    sides of the same node), each side is replicated ``g`` ways tagged
+    with the OTHER side's target block, and the join key becomes
+    (cell_id, block_a, block_b): every ordered pair of distinct nodes
+    sharing a cell appears in EXACTLY one block-pair key, so the
+    result multiset is identical to the plain join (parity-tested and
+    oracle-checked), but no shuffle task holds more than ~max_block
+    rows per side (expectation bound — hash blocks are multinomial,
+    concentrated for max_block >> 1, the standard salting guarantee).
+
+    Cost accounting: total pairing work is unchanged (it must be —
+    the exact within-cell top-k contract), what changes is its
+    DISTRIBUTION: max task work drops from s^2 to ~max_block^2 and
+    the hot cell's s^2/max_block extra row replications are dwarfed
+    by the s^2 join output they unblock. Per-cell ``g`` comes from
+    one map-side count aggregate (|cells| rows, broadcast back) —
+    cells at or under ``max_block`` get g = 1 and replicate nothing,
+    so the lever is free where there is no skew. When even the
+    TOTAL s^2 is infeasible, the escape is semantic, not physical:
+    split the hot cell on a secondary centroid set (recursive IVF),
+    which changes the neighbor universe and therefore the answers —
+    callers choose that trade explicitly, never this function.
+    Model: x_dedup_semantic's cell-bounded pairing contract and
+    ext/skew.salted_join's replicate-one-side device."""
+    nblk = F.broadcast(
+        a.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .select(
+            "cell_id",
+            F.ceil(F.col("csz") / max_block).cast("int").alias("n_blk"),
+        )
+    )
+
+    def annotate(side, idc, blk_name, rep_name):
+        return (
+            side.join(nblk, "cell_id")
+            .withColumn(
+                blk_name,
+                F.pmod(F.xxhash64(F.col(idc)), F.col("n_blk")).cast("int"),
+            )
+            .withColumn(
+                rep_name,
+                F.explode(F.sequence(F.lit(0), F.col("n_blk") - 1)),
+            )
+            .drop("n_blk")
+        )
+
+    aa = annotate(a, a_id, "blk_a", "tgt_b")
+    bb = annotate(b, b_id, "blk_b", "tgt_a").withColumnRenamed(
+        "cell_id", "cell_id_b"
+    )
+    return (
+        aa.join(
+            bb,
+            (aa["cell_id"] == bb["cell_id_b"])
+            & (aa["tgt_b"] == bb["blk_b"])
+            & (aa["blk_a"] == bb["tgt_a"]),
+        )
+        .drop("cell_id_b", "blk_a", "blk_b", "tgt_a", "tgt_b")
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -684,6 +756,7 @@ def knn_graph(
     vec_col: str = "embedding",
     k: int = 3,
     mutual: bool = True,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor GRAPH: every corpus vector's
     exact-cosine top-``k`` among its own IVF cell's members, plus a
@@ -718,6 +791,9 @@ def knn_graph(
     cannot eliminate the join on its own (it can't prove the right
     side duplicate-free), so callers that don't read the flag
     (x_knn_graph_eval) should opt out rather than discard it.
+    ``max_block`` caps the per-task pairing block against a hot cell
+    (``_blocked_cell_join`` — exact, result-identical); None keeps
+    the plain cell join.
     """
     cent = _centroid_frame(centroids)
     assigned = _cell_assign(
@@ -730,6 +806,31 @@ def knn_graph(
         "src_id",
         1,
     )
+    return _graph_edges_float(assigned, k, mutual, max_block)
+
+
+def _graph_edges_float(
+    assigned: DataFrame,
+    k: int,
+    mutual: bool,
+    max_block: int | None,
+) -> DataFrame:
+    """The float-rung graph pairing tail over any (src_id, vec, vnorm,
+    cell_id) assignment frame — the ONE copy ``knn_graph`` (primary
+    IVF cells) and ``knn_graph_split`` (recursively refined cells)
+    share, so the two can never diverge on scoring, ranking, tie-break
+    or the mutual-flag device."""
+    if max_block is not None:
+        # the blocked join reads the assigned frame THREE times (the
+        # per-cell size count plus both replicated sides) — without a
+        # materialization each read re-runs the assign subtree and the
+        # recompute swamps the redistribution win (measured: the skew
+        # probe's scoring drops 25 s -> 5 s only once the input is
+        # concrete). One eager checkpoint of the compact frame is the
+        # index-materialization trade the warm-IVFPQ convention
+        # already blesses; the max_block=None path keeps the
+        # recompute-per-branch shape (one extra scan for two reads).
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         "src_id",
         F.col("vec").alias("avec"),
@@ -742,17 +843,18 @@ def knn_graph(
         F.col("vnorm").alias("bnorm"),
         "cell_id",
     )
-    scored = (
+    paired = (
         a.join(b, "cell_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            (
-                _dot(F.col("avec"), F.col("bvec"))
-                / (F.col("anorm") * F.col("bnorm"))
-            ).alias("cos_raw"),
-        )
+        if max_block is None
+        else _blocked_cell_join(a, b, "src_id", "dst_id", max_block)
+    )
+    scored = paired.filter(F.col("src_id") != F.col("dst_id")).select(
+        "src_id",
+        "dst_id",
+        (
+            _dot(F.col("avec"), F.col("bvec"))
+            / (F.col("anorm") * F.col("bnorm"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("dst_id"))
     edges = scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -779,12 +881,159 @@ def knn_graph(
     )
 
 
+def split_oversized_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 40,
+) -> DataFrame:
+    """Recursive-IVF refinement — the SEMANTIC escape from a hot cell
+    (the physical escape, ``max_block``, redistributes the quadratic
+    pairing; when even the TOTAL s^2 within a cell is infeasible, the
+    cell itself must split, which changes the neighbor universe and
+    is therefore a caller's explicit choice, never applied silently):
+    members of any primary cell larger than ``max_cell`` are
+    re-assigned to the nearer of TWO data-adaptive sub-centroids
+    trained inside that cell — sub-centroids are the deterministic
+    elementwise ROUND(avg, 6) means (the ``_det_centroids`` device,
+    one level down) over a deterministic md5-parity seed split of the
+    cell's members (the ``md5_prefix_int`` device — engine-portable,
+    so the DuckDB oracle replicates the refinement exactly). One
+    k-means half-step: hash-seed -> mean -> nearest-mean reassign.
+
+    Refined cell id: ``cell_id * 4`` for members of unsplit cells,
+    ``cell_id * 4 + 1 + sub`` for split members — collision-free
+    integers, so downstream operators treat refined cells exactly
+    like primary ones. One split level halves a hot cell's pairing
+    term to ~s^2/2 in expectation (two sub-cells of ~s/2); apply the
+    function to its own output for further halvings.
+
+    Scale shape: one cell-assign pass (shared ``_cell_assign``), one
+    map-side size count (|cells| rows, broadcast), one per-position
+    aggregate over ONLY the oversized cells' members (posexplode +
+    hash agg -> 2 x |oversized| sub-centroids, broadcast), one
+    broadcast-join reassign. No self-join anywhere. Returns
+    (src_id, vec, vnorm, cell_id) with cell_id = the REFINED id —
+    the exact frame ``_graph_edges_float`` consumes."""
+    cent = _centroid_frame(centroids)
+    from blspark.ext.dedup import md5_prefix_int
+
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("src_id"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "src_id",
+        1,
+    )
+    sizes = F.broadcast(
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .select("cell_id", (F.col("csz") > max_cell).alias("oversized"))
+    )
+    tagged = assigned.join(sizes, "cell_id").withColumn(
+        "seed_g",
+        F.when(
+            F.col("oversized"),
+            (md5_prefix_int(F.col("src_id").cast("string"), 6) % 2).cast(
+                "int"
+            ),
+        ),
+    )
+    sub_pos = (
+        tagged.filter("oversized")
+        .select("cell_id", "seed_g", F.posexplode("vec"))
+        .groupBy("cell_id", "seed_g", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("m"))
+    )
+    subcent = F.broadcast(
+        sub_pos.groupBy("cell_id", "seed_g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("scvec")
+        )
+        .select(
+            "cell_id",
+            F.col("seed_g").alias("sub"),
+            "scvec",
+            _norm(F.col("scvec")).alias("scnorm"),
+        )
+    )
+    # nearest-sub-centroid reassign (argmin over the <=2 candidates of
+    # the member's own cell — the _cell_assign min-struct device with
+    # the same zero-norm -inf guard and lowest-sub tie-break)
+    denom = F.col("vnorm") * F.col("scnorm")
+    resub = (
+        tagged.filter("oversized")
+        .join(subcent, "cell_id")
+        .select(
+            "src_id",
+            "cell_id",
+            "sub",
+            F.when(denom > 0, _dot(F.col("vec"), F.col("scvec")) / denom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("ssim"),
+        )
+        .groupBy("src_id", "cell_id")
+        .agg(F.min(F.struct((-F.col("ssim")).alias("neg"), "sub")).alias("s"))
+        .select("src_id", F.col("s.sub").alias("sub"))
+    )
+    return (
+        tagged.join(resub, "src_id", "left")
+        .select(
+            "src_id",
+            "vec",
+            "vnorm",
+            F.when(
+                F.col("oversized"),
+                F.col("cell_id") * 4 + 1 + F.col("sub"),
+            )
+            .otherwise(F.col("cell_id") * 4)
+            .cast("int")
+            .alias("cell_id"),
+        )
+    )
+
+
+def knn_graph_split(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    mutual: bool = True,
+    max_cell: int = 40,
+    max_block: int | None = None,
+) -> DataFrame:
+    """``knn_graph`` over recursively REFINED cells — the semantic
+    hot-cell escape composed end-to-end: ``split_oversized_cells``
+    bounds the expected cell size, then the ONE shared pairing tail
+    (``_graph_edges_float``) builds the exact top-k graph within the
+    refined cells. Not result-identical to ``knn_graph`` by design —
+    a split member's neighbor universe shrinks to its sub-cell; the
+    trade is ~s^2/2 pairing per split level, chosen explicitly.
+    Composes with ``max_block`` (the physical cap) for cells that
+    remain hot after splitting."""
+    return _graph_edges_float(
+        split_oversized_cells(corpus, centroids, id_col, vec_col, max_cell),
+        k,
+        mutual,
+        max_block,
+    )
+
+
 def knn_graph_sq8(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """``knn_graph`` at the SQ8 rung — the configuration a 100 TB
     graph build actually ships: the within-cell pairing (the dominant
@@ -799,11 +1048,20 @@ def knn_graph_sq8(
     ``keep=('cell_id',)``) — one corpus pass produces (codes, scale,
     cell), and only that compact frame enters the self-join; the raw
     vectors never shuffle. Mutual flag as in ``knn_graph``: a
-    reversed-pair join of the compact edge list.
+    reversed-pair join of the compact edge list. ``max_block`` caps
+    the per-task pairing block against a hot cell
+    (``_blocked_cell_join`` — exact, result-identical; the int8 codes
+    make the replicated rows 4x cheaper than the float rung's);
+    None keeps the plain cell join.
 
     Returns (src_id, dst_id, score, iprod, rank, mutual).
     """
     qz = _quantized_cells(corpus, centroids, id_col, vec_col)
+    if max_block is not None:
+        # three reads under the blocked join (size count + both
+        # sides): materialize the compact int8-code frame once — see
+        # knn_graph's max_block comment for the measured rationale.
+        qz = qz.localCheckpoint(eager=True)
     a = qz.select(
         F.col("vid").alias("query_id"),
         F.col("qvec").alias("qq"),
@@ -816,9 +1074,11 @@ def knn_graph_sq8(
         F.col("scale").alias("nscale"),
         "cell_id",
     )
-    paired = a.join(b, "cell_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    paired = (
+        a.join(b, "cell_id")
+        if max_block is None
+        else _blocked_cell_join(a, b, "query_id", "neighbor_id", max_block)
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     edges = _sq8_rank(paired, k)
     rev = edges.select(
         F.col("neighbor_id").alias("query_id"),
@@ -986,6 +1246,143 @@ def cell_prototypes(
         F.col("s.pid").alias("prototype_id"),
         F.round(-F.col("s.neg"), 6).alias("centrality"),
         "cell_size",
+    )
+
+
+def graph_expand_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    knn_k: int = 3,
+    hops: int = 3,
+    beam: int = 3,
+    n_seeds: int = 2,
+) -> DataFrame:
+    """Graph-based retrieval by GREEDY BEAM SEARCH over the kNN graph
+    — the HNSW/NSW search step re-expressed in batch DataFrame terms,
+    composing ``cell_prototypes`` (entry points) and ``knn_graph``
+    (the navigable edges) verbatim: each query enters at its
+    ``n_seeds`` best prototypes (exact cosine against the |cells|
+    prototype vectors — the metadata-sized top-layer pick HNSW
+    makes), then for ``hops`` rounds expands the current ``beam``
+    best-scoring visited nodes along the UNDIRECTED top-``knn_k``
+    edges, scoring every newly reached node against the query — the
+    walk moves toward the query's neighborhood because each round's
+    frontier is chosen by query similarity, not graph position
+    (a fixed blind expansion from the prototype was measured at 4%
+    recall@5; the greedy walk is what makes graph retrieval work).
+    Final answer: exact-cosine top-``k`` of everything visited.
+
+    Scale shape: per query the walk touches O(n_seeds + hops * beam
+    * knn_k) nodes — INDEPENDENT of cell size (a hot cell costs a
+    query nothing; contrast ``ivf_topk``, which scans whole probed
+    cells) — so every per-round frame is (|queries| x dozens) rows.
+    The per-round corpus work is one equi-join of that candidate
+    frame against the vector table to fetch/score new nodes (at
+    deployment, a point-lookup store or the checkpointed codes
+    frame; here a broadcast-hash semi-join against the scan). The
+    edge list is built once per call and localCheckpointed — the
+    iterative-loop convention (edge inputs checkpoint once at entry,
+    accumulators checkpoint per round) — and is THE artifact a
+    deployment amortizes across query batches. Recall is priced by
+    x_graph_expand_eval against brute force.
+
+    Returns (query_id, neighbor_id, cosine, rank); the query's own
+    node navigates (its out-edges are the best possible moves) but
+    is never a result."""
+    vecs = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("vec").alias("cvec"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
+        F.col("prototype_id").alias("cand_id")
+    )
+    pvec = F.broadcast(protos.join(vecs, "cand_id"))
+    denom = F.col("qnorm") * F.col("cnorm")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    visited = (
+        q.crossJoin(pvec)
+        .select(
+            "query_id",
+            "cand_id",
+            F.when(denom > 0, _dot(F.col("qvec"), F.col("cvec")) / denom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
+        )
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= n_seeds)
+        .drop("r")
+    )
+    edges = knn_graph(
+        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
+    )
+    adj = (
+        edges.select(
+            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
+        )
+        .union(
+            edges.select(
+                F.col("dst_id").alias("cand_id"),
+                F.col("src_id").alias("nbr"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    for _ in range(hops):
+        frontier = (
+            visited.withColumn("r", F.row_number().over(bw))
+            .filter(F.col("r") <= beam)
+            .select("query_id", "cand_id")
+        )
+        new = (
+            frontier.join(adj, "cand_id")
+            .select("query_id", F.col("nbr").alias("cand_id"))
+            .distinct()
+            .join(
+                visited.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+        )
+        scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_raw"),
+        )
+        visited = visited.unionByName(scored_new).localCheckpoint(
+            eager=True
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        visited.filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
     )
 
 

@@ -214,6 +214,7 @@ def _recall_contract(
     n_col: str,
     k: int,
     extra=None,
+    chance_mult: int = 10,
 ) -> DataFrame:
     """The ONE copy of the fixed-sample recall contract-row builder
     shared by x_sq8_eval / x_maxsim_eval / x_ivf_sq8_eval (a floor or
@@ -256,7 +257,7 @@ def _recall_contract(
         F.expr("CAST(n_tp * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
         (
             F.col("n_tp") * (F.col("n_corpus") - 1)
-            >= F.lit(10 * k) * F.col("n_truth")
+            >= F.lit(chance_mult * k) * F.col("n_truth")
         ).alias("recall_ok"),
     ]
     if extra is not None:
@@ -682,17 +683,23 @@ def x_ivf_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 3
 
-# Shared WITH-prefix producing the float-rung ``edges`` CTE over the
-# shared IVF prefix (vecs/cents/cassign — the ONE copy of the cell
-# geometry, extensions9): norms hoisted once per node, within-cell
-# self-join, exact-cosine top-k per src. ONE copy serving the batch
-# graph oracle (mutual flag via a reversed-pair self-join) AND the
-# graph-components oracle.
-KNN_EDGES_PREFIX = f"""{_IVF_PREFIX_SQL},
+def _knn_edges_prefix(
+    vec_filter: str = "", assign_src: str = "cassign", pre: str = ""
+) -> str:
+    """Shared WITH-prefix producing the float-rung ``edges`` CTE over
+    the shared IVF prefix (vecs/cents/cassign — the ONE copy of the
+    cell geometry, extensions9): norms hoisted once per node,
+    within-cell self-join, exact-cosine top-k per src. ONE copy
+    serving the batch graph oracle (mutual flag via a reversed-pair
+    self-join), the graph-components oracle, (filtered to the fixed
+    eval sample) the graph-expansion retrieval oracles, and (with
+    ``pre``/``assign_src`` — extra CTEs and an alternate (vec_id,
+    cell_id) assignment) the refined-cells graph oracle."""
+    return f"""{_ivf_prefix_sql(vec_filter)}{pre},
 sized AS MATERIALIZED (
   SELECT a.vec_id, a.cell_id, v.vec,
          {_NORMQ.format(a='v.vec')} AS nrm
-  FROM cassign a JOIN vecs v ON a.vec_id = v.vec_id
+  FROM {assign_src} a JOIN vecs v ON a.vec_id = v.vec_id
 ),
 ranked AS MATERIALIZED (
   SELECT src_id, dst_id, cos_raw,
@@ -705,6 +712,9 @@ ranked AS MATERIALIZED (
       ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id) t
 ),
 edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= {_KNN_K})"""
+
+
+KNN_EDGES_PREFIX = _knn_edges_prefix()
 
 KNN_GRAPH_ORACLE = f"""
 WITH {KNN_EDGES_PREFIX}
@@ -798,6 +808,40 @@ def x_knn_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_sq8(emb, _det_centroids(emb), k=_KNN_K)
+
+
+# Cap small enough that the test cells (30-220 members across SFs)
+# actually split into 2-9 blocks — the splitting machinery is
+# exercised at every SF, not just at a planted-skew extreme.
+_KNN_MAX_BLOCK = 24
+
+
+@register(
+    "x_knn_graph_capped",
+    bench=True,
+    oracle=KNN_GRAPH_SQ8_ORACLE,
+    doc="The SQ8 mutual-kNN graph under the hot-cell skew cap — "
+    "result-IDENTICAL to x_knn_graph_sq8 (same oracle): the within-"
+    "cell self-join is block-decomposed (_blocked_cell_join) so each "
+    f"cell of size s pairs as ceil(s/{_KNN_MAX_BLOCK})^2 bounded "
+    "block-pairs on a (cell, block_a, block_b) key instead of ONE "
+    "shuffle task holding all s^2 pairs. This closes the graph "
+    "family's one residual 100 TB hazard: a hot semantic region (or "
+    "degenerate centroids) otherwise makes a single straggler task "
+    "quadratic in the hot cell while the rest of the cluster idles — "
+    "the cap redistributes the same exact work into ~max_block^2 "
+    "tasks (total pairing cost is unchanged by construction; the "
+    "exact top-k contract requires it). Cells at or under the cap "
+    "replicate nothing, so the lever is free where there is no skew. "
+    "ext/similarity.knn_graph_sq8(max_block=...).",
+)
+def x_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_sq8(
+        emb, _det_centroids(emb), k=_KNN_K, max_block=_KNN_MAX_BLOCK
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -904,6 +948,33 @@ SELECT node, component, node = component AS survivor FROM comp
 """
 
 
+def _knn_mutual_pairs(spark: SparkSession, sf_dir: str):
+    """(pairs, nodes) for the components queries: mutual top-k edges
+    as canonical (id_a < id_b) pairs plus the node universe. ONE copy
+    feeding both the cold and the warm components variants."""
+    from blspark.ext.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, _det_centroids(emb), k=_KNN_K)
+    pairs = (
+        edges.filter(F.col("mutual") & (F.col("src_id") < F.col("dst_id")))
+        .select(F.col("src_id").alias("id_a"), F.col("dst_id").alias("id_b"))
+    )
+    return pairs, emb.select("vec_id")
+
+
+def _components_over(pairs, nodes) -> DataFrame:
+    from blspark.ext.dedup import connected_components_star
+
+    comps = connected_components_star(pairs, nodes, id_col="vec_id")
+    return comps.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("survivor"),
+    )
+
+
+
 @register(
     "x_knn_graph_components",
     oracle=KNN_GRAPH_COMPONENTS_ORACLE,
@@ -925,23 +996,52 @@ SELECT node, component, node = component AS survivor FROM comp
     "device).",
 )
 def x_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.dedup import connected_components_star
-    from blspark.ext.similarity import knn_graph
+    return _components_over(*_knn_mutual_pairs(spark, sf_dir))
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, _det_centroids(emb), k=_KNN_K)
-    pairs = (
-        edges.filter(F.col("mutual") & (F.col("src_id") < F.col("dst_id")))
-        .select(F.col("src_id").alias("id_a"), F.col("dst_id").alias("id_b"))
-    )
-    comps = connected_components_star(
-        pairs, emb.select("vec_id"), id_col="vec_id"
-    )
-    return comps.select(
-        "node",
-        "component",
-        (F.col("node") == F.col("component")).alias("survivor"),
-    )
+
+# session-keyed memo of the mutual-edge pair list (compact id pairs,
+# localCheckpoint — survives bench.py's clearCache(), the
+# _WARM_IVFPQ_INDEX convention including its dead-session eviction)
+_WARM_KNN_EDGES: dict[tuple[str, str], tuple] = {}
+
+
+def _warm_knn_pairs(spark: SparkSession, sf_dir: str):
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _WARM_KNN_EDGES if k[0] != app]:
+        del _WARM_KNN_EDGES[stale]
+    key = (app, sf_dir)
+    got = _WARM_KNN_EDGES.get(key)
+    if got is None:
+        pairs, nodes = _knn_mutual_pairs(spark, sf_dir)
+        got = (
+            pairs.localCheckpoint(eager=True),
+            nodes.localCheckpoint(eager=True),
+        )
+        _WARM_KNN_EDGES[key] = got
+    return got
+
+
+@register(
+    "x_knn_graph_components_warm",
+    bench=True,
+    oracle=KNN_GRAPH_COMPONENTS_ORACLE,
+    doc="Graph clustering against a PRE-BUILT mutual-edge list — "
+    "result-identical to x_knn_graph_components (same oracle), the "
+    "x_similarity_ivfpq_warm convention applied to the graph family: "
+    "the first call per dataset builds the mutual-kNN edges "
+    "(cell-assign + within-cell pairing + reversed-pair join) and "
+    "localCheckpoints the compact id-pair list; every later call "
+    "pays ONLY the star-contraction clustering. In bench.py the cold "
+    "pass therefore prices graph construction and the warm passes "
+    "price clustering alone — the attribution split the cold "
+    "variant's one 9 s number conflates, and the production shape "
+    "(edges materialized once, re-clustered under different "
+    "thresholds/policies many times).",
+)
+def x_knn_graph_components_warm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _components_over(*_warm_knn_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -999,6 +1099,393 @@ def x_cell_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cell_prototypes(emb, _det_centroids(emb)).orderBy("cell_id")
+
+
+# ---------------------------------------------------------------------------
+# Graph-based retrieval: expand-and-rerank over the mutual-kNN edges
+# ---------------------------------------------------------------------------
+
+_GX_K = 5
+_GX_HOPS = 4
+_GX_BEAM = 5
+_GX_SEEDS = 3
+# the graph-expand floor is 5x chance, not the query-set rungs' 10x:
+# navigation is capped by the within-cell k=3 graph reachable from
+# <= _GX_SEEDS entry cells (edges never cross cells), measured
+# 2400 bp / 800 bp at sf0.01/sf0.1 against a 100 bp chance level —
+# at sf0.01 that MATCHES the full-cell-scan ceiling x_knn_graph_eval
+# prices (2413 bp), i.e. the walk loses nothing vs scanning its
+# cells; the floor claims the scale-free half of that margin.
+_GX_CHANCE = 5
+
+# query-vs-prototype cosine with the family's zero-norm guard (the
+# _PROTO_SIM device over the hoisted q.nrm / p.nrm norms)
+_GX_SIM = (
+    "CASE WHEN (q.nrm * p.nrm) > 0 "
+    f"THEN {_DOTQ.format(a='q.vec', b='p.vec')} / (q.nrm * p.nrm) "
+    "ELSE CAST('-infinity' AS DOUBLE) END"
+)
+
+
+def _gx_chain(vec_filter: str = "") -> str:
+    """ONE copy of the greedy-beam-search retrieval chain — the shared
+    edges prefix (filtered or not), the undirected adjacency, the
+    per-cell prototypes (the CELL_PROTOTYPES argmax device), the
+    top-``_GX_SEEDS`` query->prototype seeding, ``_GX_HOPS`` unrolled
+    greedy rounds (rank visited by query similarity, expand the top
+    ``_GX_BEAM``, score the newly reached), and the final ranked
+    ``gx`` CTE. Serves both the retrieval oracle (unfiltered) and
+    the recall-contract oracle (fixed eval sample). The SQL mirror
+    of ext/similarity.graph_expand_topk's loop, hop by hop."""
+    hop_blocks = []
+    for i in range(_GX_HOPS):
+        hop_blocks.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT query_id, cand FROM (
+    SELECT query_id, cand, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_raw DESC, cand ASC) AS r FROM v{i}) t
+  WHERE r <= {_GX_BEAM}
+),
+x{i} AS MATERIALIZED (
+  SELECT DISTINCT f.query_id, a.nbr AS cand
+  FROM f{i} f JOIN adj a ON a.node = f.cand
+  WHERE NOT EXISTS (SELECT 1 FROM v{i} v
+    WHERE v.query_id = f.query_id AND v.cand = a.nbr)
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT * FROM v{i}
+  UNION ALL
+  SELECT x.query_id, x.cand,
+         {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
+           AS cos_raw
+  FROM x{i} x
+  JOIN qv q ON q.query_id = x.query_id
+  JOIN sized n ON n.vec_id = x.cand
+)""")
+    return f"""{_knn_edges_prefix(vec_filter)},
+adj AS MATERIALIZED (
+  SELECT src_id AS node, dst_id AS nbr FROM edges
+  UNION
+  SELECT dst_id, src_id FROM edges
+),
+csim AS MATERIALIZED ({_cell_assign_sql(
+    "v", "vec_id", 1, extra_expr=_PROTO_SIM, extra_name="sim")}),
+proto AS MATERIALIZED (
+  SELECT vec_id AS proto_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY cell_id
+             ORDER BY sim DESC, vec_id ASC) AS r
+    FROM csim) t
+  WHERE r = 1
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, vec, nrm FROM sized
+  WHERE vec_id >= 10 AND vec_id < 15
+),
+pv AS MATERIALIZED (
+  SELECT proto_id, s.vec, s.nrm FROM proto
+  JOIN sized s ON s.vec_id = proto_id
+),
+v0 AS MATERIALIZED (
+  SELECT query_id, cand, cos_raw FROM (
+    SELECT query_id, cand, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, cand ASC) AS r
+    FROM (SELECT q.query_id, p.proto_id AS cand, {_GX_SIM} AS cos_raw
+          FROM qv q, pv p) t0) t
+  WHERE r <= {_GX_SEEDS}
+){"".join(hop_blocks)},
+gx AS MATERIALIZED (
+  SELECT query_id, cand AS neighbor_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, cand ASC) AS INT) AS rank
+  FROM v{_GX_HOPS}
+  WHERE cand <> query_id
+)"""
+
+
+GRAPH_EXPAND_ORACLE = f"""
+WITH {_gx_chain()}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM gx WHERE rank <= {_GX_K}
+"""
+
+
+@register(
+    "x_retrieval_graph_expand",
+    bench=True,
+    oracle=GRAPH_EXPAND_ORACLE,
+    doc="Graph-based retrieval by GREEDY BEAM SEARCH — the HNSW/NSW "
+    "search rung the kNN graph naturally enables, composing "
+    "cell_prototypes and knn_graph verbatim: each query enters at "
+    "its 3 best prototypes (exact cosine vs the |cells| prototype "
+    "vectors — HNSW's metadata-sized top-layer pick), then 4 greedy "
+    "rounds expand the current 5 best-scoring visited nodes along "
+    "the undirected top-3 edges, scoring new nodes against the "
+    "QUERY — the frontier is chosen by query similarity, so the "
+    "walk descends toward the query's neighborhood (a blind fixed "
+    "expansion from the prototype measured 4% recall@5; the greedy "
+    "walk is what makes graph retrieval work). Versus IVF probing, "
+    "per-query cost is O(seeds + hops*beam*degree) — independent of "
+    "cell size, so a hot cell costs a query nothing — at the price "
+    "of recall bounded by graph navigability (x_graph_expand_eval "
+    "prices it). Full hash-checked oracle: shared edges prefix + "
+    "prototype argmax + the beam loop unrolled hop-by-hop. "
+    "ext/similarity.graph_expand_topk.",
+)
+def x_retrieval_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import graph_expand_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return graph_expand_topk(
+        emb,
+        _det_centroids(emb),
+        queries,
+        k=_GX_K,
+        knn_k=_KNN_K,
+        hops=_GX_HOPS,
+        beam=_GX_BEAM,
+        n_seeds=_GX_SEEDS,
+    )
+
+
+_GX_TP_SQL = (
+    "SELECT COUNT(*) FROM gxk a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+GRAPH_EXPAND_EVAL_ORACLE = f"""
+WITH {_gx_chain(f"WHERE vec_id < {_SQ8_EVAL_N}")},
+gxk AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM gx WHERE rank <= {_GX_K}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_DOTQ.format(a='q.vec', b='n.vec')}
+                      / (q.nrm * n.nrm) DESC, n.vec_id ASC) AS r
+    FROM qv q JOIN sized n ON n.vec_id <> q.query_id) t
+  WHERE r <= {_GX_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM qv) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM gxk) AS INT) AS n_gx,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_GX_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_GX_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_GX_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= {_GX_CHANCE} * {_GX_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  (SELECT bool_and(n = {_GX_K} AND mr = {_GX_K}) FROM (
+     SELECT query_id, COUNT(*) AS n, MAX(rank) AS mr
+     FROM gxk GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_graph_expand_eval",
+    oracle=GRAPH_EXPAND_EVAL_ORACLE,
+    doc="Graph-expansion retrieval recall contract — extending the "
+    "per-rung quality matrix (x_lsh_eval / x_pq_eval / x_sq8_eval / "
+    "x_ivf_sq8_eval / x_maxsim_eval / x_knn_graph_eval) to the "
+    "expand-and-rerank rung: prototype-seeded two-hop candidates, "
+    "exact-reranked top-5, vs the brute-force cosine top-5 over the "
+    "fixed 500-vector sample universe. What it prices is graph "
+    "NAVIGABILITY from the prototype entry points — the true top-5 "
+    "may be unreachable (another cell: edges never cross cells; or "
+    "off the greedy path), the exact trade the operator makes to "
+    "decouple per-query cost from cell size. Measured 2400 bp "
+    "(sf0.01 — MATCHING the full-cell-scan ceiling x_knn_graph_eval "
+    "prices at 2413 bp, i.e. the walk loses nothing vs scanning its "
+    "entry cells) / 800 bp (sf0.1) against a 100 bp chance level; "
+    "the pinned floor is the scale-free >= 5x-chance half of that "
+    "margin (see _GX_CHANCE). Deterministic contract row: counts, "
+    "true positives, recall in integer basis points, the chance "
+    "floor, per-query rank cardinality. Sample-scale by design "
+    "(the fixed-universe x_pq_eval device).",
+)
+def x_graph_expand_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cosine_topk, graph_expand_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SQ8_EVAL_N
+    )
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    gx = graph_expand_topk(
+        emb,
+        _det_centroids(emb),
+        queries,
+        k=_GX_K,
+        knn_k=_KNN_K,
+        hops=_GX_HOPS,
+        beam=_GX_BEAM,
+        n_seeds=_GX_SEEDS,
+    )
+    exact = cosine_topk(emb, queries, k=_GX_K).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_contract(
+        emb, queries, gx, exact, "n_gx", _GX_K, chance_mult=_GX_CHANCE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-IVF refinement: the SEMANTIC hot-cell escape
+# ---------------------------------------------------------------------------
+
+_SPLIT_MAX = 50  # sf0.01 primary cells run 44-59 members (sf0.1:
+# 182-218): at sf0.01 six cells stay at-or-under the cap and four
+# split, so BOTH id-encoding branches (cell*4 vs cell*4+1+sub) are
+# driver-exercised; at sf0.1 every cell splits (the hot shape)
+
+# the sub-assignment cosine with the family's zero-norm guard
+_SPLIT_NN = f"({_NORMQ.format(a='v.vec')} * {_NORMQ.format(a='c.scvec')})"
+_SPLIT_SIM = (
+    f"CASE WHEN {_SPLIT_NN} > 0 "
+    f"THEN {_DOTQ.format(a='v.vec', b='c.scvec')} / {_SPLIT_NN} "
+    "ELSE CAST('-infinity' AS DOUBLE) END"
+)
+
+
+def _split_pre_sql() -> str:
+    """The recursive-IVF refinement chain appended to the shared IVF
+    prefix (the SQL mirror of ext/similarity.split_oversized_cells,
+    stage for stage): size-tag the primary assignment, md5-parity
+    seed split inside oversized cells, deterministic ROUND(avg, 6)
+    sub-centroids (the cm/cents device one level down), nearest-sub
+    reassign (rank window, lowest-sub tie-break, zero-norm guard),
+    and the collision-free refined cell id. Produces ``rcells``
+    (vec_id, cell_id) — a drop-in assign_src for the shared edges
+    prefix."""
+    from blspark.ext.dedup import hex_int_sql
+
+    md5g = hex_int_sql("md5(CAST(a.vec_id AS VARCHAR))", 6)
+    return f""",
+szs AS MATERIALIZED (
+  SELECT cell_id, COUNT(*) > {_SPLIT_MAX} AS oversized
+  FROM cassign GROUP BY cell_id
+),
+tag AS MATERIALIZED (
+  SELECT a.vec_id, a.cell_id, s.oversized,
+         CASE WHEN s.oversized
+              THEN CAST(({md5g}) % 2 AS INT) END AS seed_g
+  FROM cassign a JOIN szs s ON s.cell_id = a.cell_id
+),
+subcm AS MATERIALIZED (
+  SELECT t.cell_id, t.seed_g, r.i AS pos,
+         ROUND(AVG(v.vec[r.i + 1]), 6) AS m
+  FROM tag t JOIN vecs v ON v.vec_id = t.vec_id, range(0, 64) r(i)
+  WHERE t.oversized
+  GROUP BY t.cell_id, t.seed_g, r.i
+),
+subcent AS MATERIALIZED (
+  SELECT cell_id, seed_g AS sub, list(m ORDER BY pos) AS scvec
+  FROM subcm GROUP BY cell_id, seed_g
+),
+resub AS MATERIALIZED (
+  SELECT vec_id, sub FROM (
+    SELECT t.vec_id, c.sub,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+             ORDER BY {_SPLIT_SIM} DESC, c.sub ASC) AS r
+    FROM tag t
+    JOIN vecs v ON v.vec_id = t.vec_id
+    JOIN subcent c ON c.cell_id = t.cell_id
+    WHERE t.oversized) x
+  WHERE r = 1
+),
+rcells AS MATERIALIZED (
+  SELECT t.vec_id,
+         CAST(CASE WHEN t.oversized THEN t.cell_id * 4 + 1 + r.sub
+              ELSE t.cell_id * 4 END AS INT) AS cell_id
+  FROM tag t LEFT JOIN resub r ON r.vec_id = t.vec_id
+)"""
+
+
+CELLS_SPLIT_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL}{_split_pre_sql()}
+SELECT cell_id AS rcell_id, cell_id // 4 AS primary_cell,
+       cell_id % 4 <> 0 AS was_split,
+       CAST(COUNT(*) AS INT) AS n_members
+FROM rcells GROUP BY cell_id ORDER BY rcell_id
+"""
+
+
+@register(
+    "x_cells_split",
+    oracle=CELLS_SPLIT_ORACLE,
+    doc="Recursive-IVF cell refinement — the SEMANTIC hot-cell escape "
+    "(the physical one, x_knn_graph_capped's max_block, redistributes "
+    "the quadratic pairing; when even the TOTAL s^2 within a cell is "
+    "infeasible the cell itself must split, which changes the "
+    "neighbor universe and is therefore an explicit operator, never "
+    f"silent): members of any primary cell over {_SPLIT_MAX} are "
+    "reassigned to the nearer of two data-adaptive sub-centroids "
+    "trained inside the cell — one k-means half-step (md5-parity "
+    "seed split, the engine-portable hash device; deterministic "
+    "ROUND(avg,6) means, the _det_centroids device one level down; "
+    "nearest-mean reassign with the shared argmin/tie-break/guard). "
+    "No self-join anywhere: one assign pass, one size count, one "
+    "per-position aggregate over only the oversized cells, one "
+    "broadcast reassign. Contract: per refined cell (refined id, "
+    "primary cell, split flag, member count), full hash oracle. "
+    "ext/similarity.split_oversized_cells.",
+)
+def x_cells_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import split_oversized_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    refined = split_oversized_cells(
+        emb, _det_centroids(emb), max_cell=_SPLIT_MAX
+    )
+    return (
+        refined.groupBy(F.col("cell_id").alias("rcell_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_members"))
+        .select(
+            "rcell_id",
+            (F.col("rcell_id") / 4).cast("long").alias("primary_cell"),
+            (F.col("rcell_id") % 4 != 0).alias("was_split"),
+            "n_members",
+        )
+        .orderBy("rcell_id")
+    )
+
+
+KNN_GRAPH_SPLIT_ORACLE = f"""
+WITH {_knn_edges_prefix(assign_src="rcells", pre=_split_pre_sql())}
+SELECT e.src_id, e.dst_id, ROUND(e.cos_raw, 6) AS cosine, e.rank,
+       (m.src_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges m
+  ON m.src_id = e.dst_id AND m.dst_id = e.src_id
+"""
+
+
+@register(
+    "x_knn_graph_split",
+    bench=True,
+    oracle=KNN_GRAPH_SPLIT_ORACLE,
+    doc="The kNN graph over recursively REFINED cells — the semantic "
+    "hot-cell escape composed end-to-end: split_oversized_cells "
+    f"(max_cell={_SPLIT_MAX}) bounds expected cell size, then the ONE "
+    "shared pairing tail (_graph_edges_float — scoring, ranking, "
+    "tie-break and mutual-flag device shared verbatim with "
+    "x_knn_graph) builds the exact top-3 graph within refined cells. "
+    "Deliberately NOT result-identical to x_knn_graph: a split "
+    "member's neighbor universe shrinks to its sub-cell — the "
+    "explicit trade (~s^2/2 pairing per split level) a deployment "
+    "makes when a hot cell's total quadratic term is infeasible. "
+    "Full hash-checked oracle: shared edges prefix driven by the "
+    "refinement chain's rcells. Composes with max_block for cells "
+    "still hot after splitting. ext/similarity.knn_graph_split.",
+)
+def x_knn_graph_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import knn_graph_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_split(
+        emb, _det_centroids(emb), k=_KNN_K, max_cell=_SPLIT_MAX
+    )
 
 
 # ---------------------------------------------------------------------------

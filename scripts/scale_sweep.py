@@ -698,6 +698,65 @@ def bench_knn_graph_sq8(spark, factor: int) -> float:
     return dt
 
 
+def bench_knn_graph_hot(spark, factor: int) -> float:
+    """PLANTED HOT CELL: one centroid, so the whole (amplified) corpus
+    lands in a single IVF cell — the degenerate-skew extreme the
+    max_block cap exists for. Total pairing work is (N*factor)^2 by
+    the exact within-cell contract (the cap redistributes work, it
+    cannot reduce it), so the numbers to read are NOT the ratio row:
+    (a) capped-vs-uncapped wall at the same factor — uncapped hashes
+    every pair into ONE task while 31 cores idle; capped splits the
+    cell into ceil(N/max_block)^2 block-pairs that fill the machine —
+    and (b) the per-task pair bound: max pairs in any block-pair
+    group vs the N^2 single-task extreme. Uncapped runs at factor 1
+    only (it is deliberately the infeasible shape). Returns the
+    capped time."""
+    import math
+
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    dim = 64
+    hot = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1))],
+        "cell_id int, centroid array<double>",
+    )
+    mb = 64
+    t0 = time.perf_counter()
+    n = knn_graph_sq8(emb, hot, k=3, max_block=mb).count()
+    dt = time.perf_counter() - t0
+    n_rows = emb.count()
+    g = math.ceil(n_rows / mb)
+    max_pairs = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(g)).alias("blk")
+        )
+        .groupBy("blk")
+        .count()
+        .agg(F.max(F.col("count") * F.col("count")))
+        .first()[0]
+    )
+    print(
+        f"  knn_graph_hot(capped) x{factor}: {dt:.2f}s ({n} rows; "
+        f"{g}^2 block-pairs, max {max_pairs} pairs/task vs "
+        f"{n_rows * n_rows} single-task)",
+        flush=True,
+    )
+    if factor == 1:
+        t0 = time.perf_counter()
+        knn_graph_sq8(emb, hot, k=3).count()
+        dt_un = time.perf_counter() - t0
+        print(
+            f"  knn_graph_hot(UNCAPPED) x{factor}: {dt_un:.2f}s "
+            f"(one {n_rows * n_rows}-pair task; capped is "
+            f"{dt_un / dt:.1f}x faster)",
+            flush=True,
+        )
+    return dt
+
+
 def bench_cell_prototypes(spark, factor: int) -> float:
     """Corpus x factor with cells x isqrt(factor) (the sqrt-rule
     amplification the graph sweeps share): prototype selection is one
@@ -752,6 +811,7 @@ BENCHES = {
     "ivfpq_query_warm": bench_ivfpq_query_warm,
     "knn_graph": bench_knn_graph,
     "knn_graph_sq8": bench_knn_graph_sq8,
+    "knn_graph_hot": bench_knn_graph_hot,
     "minhash": bench_minhash,
     "sessionize": bench_sessionize,
     "cosine_topk": bench_cosine,

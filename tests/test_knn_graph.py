@@ -290,3 +290,236 @@ def test_knn_graph_components_consistent_with_mutual_edges(spark):
     for node, c in comps.items():
         if node not in touched:
             assert c == node
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell skew cap (_blocked_cell_join / max_block)
+# ---------------------------------------------------------------------------
+
+
+def _graph_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_blocked_cell_join_equals_plain_join(spark):
+    """The block-decomposed self-join is pair-for-pair identical to
+    the plain cell join — every ordered pair of distinct rows sharing
+    a cell appears exactly once, for any max_block (including one
+    smaller than every cell and one larger than every cell)."""
+    from blspark.ext.similarity import _blocked_cell_join
+
+    rows = [(i, i % 3) for i in range(40)]  # 3 cells of ~13
+    x = spark.createDataFrame(rows, "nid int, cell_id int")
+    a = x.select(F.col("nid").alias("a_id"), "cell_id")
+    b = x.select(F.col("nid").alias("b_id"), "cell_id")
+    plain = sorted(
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, "cell_id").collect()
+    )
+    for mb in (1, 4, 100):
+        blocked = sorted(
+            (r["a_id"], r["b_id"])
+            for r in _blocked_cell_join(a, b, "a_id", "b_id", mb).collect()
+        )
+        assert blocked == plain, f"max_block={mb}"
+
+
+def test_knn_graph_capped_parity_both_rungs(spark):
+    """max_block changes the plan, never the answer: both rungs'
+    capped output equals the uncapped output row-for-row on the real
+    smoke embeddings (cells ~30-60 members, cap 8 -> 4-8 blocks)."""
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    assert _graph_rows(knn_graph(emb, cents, k=3, max_block=8)) == _graph_rows(
+        knn_graph(emb, cents, k=3)
+    )
+    assert _graph_rows(
+        knn_graph_sq8(emb, cents, k=3, max_block=8)
+    ) == _graph_rows(knn_graph_sq8(emb, cents, k=3))
+
+
+def test_capped_hot_cell_bounded_blocks_and_exact(spark):
+    """Planted hot cell (ONE centroid -> the whole corpus lands in
+    one cell): the capped graph still equals the uncapped graph, and
+    the hash blocks the cap pairs on are bounded — max side-block
+    size stays within a small multiple of max_block (multinomial
+    concentration), so no shuffle task holds the s^2 pairing."""
+    import math
+
+    from blspark.ext.similarity import knn_graph_sq8
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # one centroid: every vector assigns to it
+    dim = len(emb.select("embedding").first()[0])
+    hot = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1))],
+        "cell_id int, centroid array<double>",
+    )
+    mb = 16
+    capped = knn_graph_sq8(emb, hot, k=3, max_block=mb)
+    plain = knn_graph_sq8(emb, hot, k=3)
+    assert _graph_rows(capped) == _graph_rows(plain)
+
+    # audit the block sizes the cap produced: recompute the
+    # deterministic block id per node and bound the largest block
+    n = emb.count()
+    g = math.ceil(n / mb)
+    blocks = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(g)).alias("blk")
+        )
+        .groupBy("blk")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert blocks <= 4 * mb  # far below the s = n hot-cell extreme
+    assert g >= 2  # the hot cell actually split
+
+
+# ---------------------------------------------------------------------------
+# Greedy beam-search retrieval (graph_expand_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_expand_finds_true_neighbors_in_cell(spark):
+    """On the tiny two-cell frame the walk must recover the exact
+    within-cell ranking: seeds cover both prototypes, one hop reaches
+    every cell member (k covers the cells), and the rerank is exact —
+    so top-k equals brute force within the query's cell."""
+    from blspark.ext.similarity import graph_expand_topk
+
+    emb, cents = _tiny(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in graph_expand_topk(
+            emb, cents, queries, k=2, knn_k=2, hops=2, beam=2, n_seeds=2
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    # query 0 = [1,0,0,0]: nearest are 1 and 2 (cos 1/sqrt(1.01) each,
+    # id tie-break), both in its cell and within one hop of any seed
+    assert out == [(1, 1), (2, 2)]
+
+
+def test_graph_expand_no_self_and_k_bound(spark):
+    from blspark.ext.similarity import graph_expand_topk
+    from blspark.ext.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = graph_expand_topk(
+        emb, cents, queries, k=5, knn_k=3, hops=3, beam=3, n_seeds=2
+    ).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Recursive-IVF refinement (split_oversized_cells / knn_graph_split)
+# ---------------------------------------------------------------------------
+
+
+def test_split_preserves_membership_and_bounds(spark):
+    """Every corpus vector appears exactly once in the refined
+    assignment; a refined cell's primary (rcell // 4) equals the
+    member's primary assignment; cells at or under the cap keep their
+    members together (rcell % 4 == 0); split members land in one of
+    the two sub-ids of their own primary cell."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        label_centroids,
+        split_oversized_cells,
+        with_double_vec,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    cap = 40
+    refined = {
+        r["src_id"]: r["cell_id"]
+        for r in split_oversized_cells(emb, cents, max_cell=cap).collect()
+    }
+    primary = {
+        r["src_id"]: r["cell_id"]
+        for r in _cell_assign(
+            with_double_vec(emb, "embedding").select(
+                F.col("vec_id").alias("src_id"),
+                "vec",
+                _norm(F.col("vec")).alias("vnorm"),
+            ),
+            _centroid_frame(cents),
+            "src_id",
+            1,
+        ).select("src_id", "cell_id").collect()
+    }
+    assert set(refined) == set(primary)
+    size = {}
+    for c in primary.values():
+        size[c] = size.get(c, 0) + 1
+    for node, rc in refined.items():
+        assert rc // 4 == primary[node]
+        if size[primary[node]] <= cap:
+            assert rc % 4 == 0
+        else:
+            assert rc % 4 in (1, 2)
+    # at least one cell split and (with this cap on smoke data) the
+    # refinement produced strictly more cells than the primary set
+    assert len(set(refined.values())) > len(set(primary.values()))
+
+
+def test_knn_graph_split_edges_stay_within_refined_cells(spark):
+    """knn_graph_split == _graph_edges_float over the refined
+    assignment: every edge joins two members of the SAME refined
+    cell, and for an unsplit cell its edges match plain knn_graph's
+    restricted to that cell."""
+    from blspark.ext.similarity import (
+        knn_graph,
+        knn_graph_split,
+        label_centroids,
+        split_oversized_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    cap = 40
+    refined = {
+        r["src_id"]: r["cell_id"]
+        for r in split_oversized_cells(emb, cents, max_cell=cap).collect()
+    }
+    edges = knn_graph_split(emb, cents, k=3, max_cell=cap).collect()
+    for r in edges:
+        assert refined[r["src_id"]] == refined[r["dst_id"]]
+    # unsplit cells: identical edge rows as the plain graph
+    unsplit_nodes = {n for n, rc in refined.items() if rc % 4 == 0}
+    plain = {
+        (r["src_id"], r["dst_id"]): (r["cosine"], r["rank"], r["mutual"])
+        for r in knn_graph(emb, cents, k=3).collect()
+        if r["src_id"] in unsplit_nodes
+    }
+    got = {
+        (r["src_id"], r["dst_id"]): (r["cosine"], r["rank"], r["mutual"])
+        for r in edges
+        if r["src_id"] in unsplit_nodes
+    }
+    assert got == plain
