@@ -139,8 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "x_topk_merge",
     "x_word_diversity",
     "x_xml_roundtrip",
-    # r7-stale (50; the first 18 fit this round's budget,
-    # the remaining 32 lead round 12):
+    # r7-stale (50; the first 16 fit this round's 50-slot budget —
+    # 6 first-timers + 28 r6 + 16 = 50 — the remaining 34 lead
+    # round 12):
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

@@ -681,8 +681,14 @@ def _blocked_cell_join(
     a: DataFrame, b: DataFrame, a_id: str, b_id: str, max_block: int
 ) -> DataFrame:
     """Replace ``a.join(b, "cell_id")`` (the graph family's within-cell
-    self-join) with its block-decomposed EXACT equivalent — the
-    skew-cap lever for a hot IVF cell. The plain join hashes every
+    SELF-join) with its block-decomposed EXACT equivalent — the
+    skew-cap lever for a hot IVF cell. Contract: ``a`` and ``b`` MUST
+    be the same corpus frame under different column aliases (the only
+    shape the graph family produces) — the per-cell block count is
+    derived from side ``a`` alone, so for asymmetric inputs the
+    result would still be exact but the per-task bound would follow
+    ``a``'s cell sizes, not ``b``'s, silently losing the skew
+    protection the helper exists for. The plain join hashes every
     pair of a cell into ONE shuffle task, so a hot semantic region (or
     degenerate centroids) makes that task's work quadratic in the hot
     cell's size while every other core idles. Here each cell of size
@@ -848,13 +854,20 @@ def _graph_edges_float(
         if max_block is None
         else _blocked_cell_join(a, b, "src_id", "dst_id", max_block)
     )
+    # zero-norm guard (the _cell_assign -inf convention): a degenerate
+    # vector must never rank, and under ANSI mode (the driver session)
+    # an unguarded 0/0 double division would abort the whole graph
+    # build instead of scoring low
+    pair_denom = F.col("anorm") * F.col("bnorm")
     scored = paired.filter(F.col("src_id") != F.col("dst_id")).select(
         "src_id",
         "dst_id",
-        (
-            _dot(F.col("avec"), F.col("bvec"))
-            / (F.col("anorm") * F.col("bnorm"))
-        ).alias("cos_raw"),
+        F.when(
+            pair_denom > 0,
+            _dot(F.col("avec"), F.col("bvec")) / pair_denom,
+        )
+        .otherwise(F.lit(float("-inf")))
+        .alias("cos_raw"),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("dst_id"))
     edges = scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -905,9 +918,15 @@ def split_oversized_cells(
     Refined cell id: ``cell_id * 4`` for members of unsplit cells,
     ``cell_id * 4 + 1 + sub`` for split members — collision-free
     integers, so downstream operators treat refined cells exactly
-    like primary ones. One split level halves a hot cell's pairing
-    term to ~s^2/2 in expectation (two sub-cells of ~s/2); apply the
-    function to its own output for further halvings.
+    like primary ones. ONE split level, halving a hot cell's pairing
+    term to ~s^2/2 in expectation (two sub-cells of ~s/2). Deeper
+    refinement is NOT self-composition — the function always
+    re-derives the primary assignment from ``centroids`` and its
+    output frame carries (src_id, vec, vnorm, cell_id), not the
+    input's column names — it would need sub-centroids of the
+    refined cells (a recursion on the sub-centroid frame, not on
+    this function); one level covers the deployments this repo
+    models, and cells still hot after it take ``max_block``.
 
     Scale shape: one cell-assign pass (shared ``_cell_assign``), one
     map-side size count (|cells| rows, broadcast), one per-position
@@ -1359,13 +1378,16 @@ def graph_expand_topk(
                 "left_anti",
             )
         )
+        hop_denom = F.col("qnorm") * F.col("cnorm")
         scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
             "query_id",
             "cand_id",
-            (
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm"))
-            ).alias("cos_raw"),
+            F.when(
+                hop_denom > 0,
+                _dot(F.col("qvec"), F.col("cvec")) / hop_denom,
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
         )
         visited = visited.unionByName(scored_new).localCheckpoint(
             eager=True

@@ -707,7 +707,9 @@ ranked AS MATERIALIZED (
               ORDER BY cos_raw DESC, dst_id ASC) AS INT) AS rank
   FROM (
     SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-           {_DOTQ.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) AS cos_raw
+           CASE WHEN (a.nrm * b.nrm) > 0
+                THEN {_DOTQ.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm)
+                ELSE CAST('-infinity' AS DOUBLE) END AS cos_raw
     FROM sized a JOIN sized b
       ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id) t
 ),
@@ -862,8 +864,11 @@ gedges AS MATERIALIZED (
   SELECT query_id, neighbor_id, r FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
-             ORDER BY {_DOTQ.format(a='av.vec', b='bv.vec')}
-                      / (av.nrm * bv.nrm) DESC, b.vec_id ASC) AS r
+             ORDER BY CASE WHEN (av.nrm * bv.nrm) > 0
+                  THEN {_DOTQ.format(a='av.vec', b='bv.vec')}
+                       / (av.nrm * bv.nrm)
+                  ELSE CAST('-infinity' AS DOUBLE) END
+               DESC, b.vec_id ASC) AS r
     FROM cassign a JOIN cassign b
       ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
     JOIN nv av ON av.vec_id = a.vec_id
@@ -1156,8 +1161,9 @@ v{i + 1} AS MATERIALIZED (
   SELECT * FROM v{i}
   UNION ALL
   SELECT x.query_id, x.cand,
-         {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
-           AS cos_raw
+         CASE WHEN (q.nrm * n.nrm) > 0
+              THEN {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
+              ELSE CAST('-infinity' AS DOUBLE) END AS cos_raw
   FROM x{i} x
   JOIN qv q ON q.query_id = x.query_id
   JOIN sized n ON n.vec_id = x.cand
@@ -1703,7 +1709,12 @@ def _gc_orphan_layout_dirs(spark, prefixes, tag) -> None:
     """Remove layout-table warehouse dirs left by DEAD processes (a
     crashed or finished session never drops its pid-tagged tables).
     Dirs owned by a LIVE pid belong to a concurrent session and are
-    left alone — that is the whole point of the per-process names."""
+    left alone — that is the whole point of the per-process names.
+    Legacy dirs from the pre-pid STABLE naming scheme (bare
+    ``{prefix}_{tag}``) are removed unconditionally: no current
+    process can own one (every writer now pid-tags), and nothing
+    overwrites them in place anymore, so without this branch they
+    would leak forever in a pre-existing warehouse."""
     import os
     import re
     import shutil
@@ -1714,15 +1725,15 @@ def _gc_orphan_layout_dirs(spark, prefixes, tag) -> None:
     ).path
     if not wpath or not os.path.isdir(wpath):
         return
-    pat = re.compile(
-        "^(?:" + "|".join(re.escape(p) for p in prefixes) + ")_"
-        + re.escape(tag) + r"_p(\d+)$"
-    )
+    alt = "(?:" + "|".join(re.escape(p) for p in prefixes) + ")_"
+    pat = re.compile(alt + re.escape(tag) + r"_p(\d+)$")
+    legacy = re.compile(alt + re.escape(tag) + "$")
     for entry in os.listdir(wpath):
         m = pat.match(entry)
-        if m and int(m.group(1)) != os.getpid() and not _pid_alive(
+        dead_owner = m and int(m.group(1)) != os.getpid() and not _pid_alive(
             int(m.group(1))
-        ):
+        )
+        if dead_owner or legacy.match(entry):
             shutil.rmtree(os.path.join(wpath, entry), ignore_errors=True)
 
 

@@ -80,13 +80,17 @@ def test_orphan_gc_reclaims_dead_pid_dirs(spark):
     live_dir = os.path.join(
         wpath, f"blspark_bkt_orders_{tag}_p{os.getpid()}"
     )
+    # pre-pid stable-name scheme: no owner concept, always reclaimed
+    legacy_dir = os.path.join(wpath, f"blspark_bkt_orders_{tag}")
     os.makedirs(dead_dir, exist_ok=True)
     os.makedirs(live_dir, exist_ok=True)
+    os.makedirs(legacy_dir, exist_ok=True)
     try:
         _gc_orphan_layout_dirs(spark, ("blspark_bkt_orders",), tag)
         assert not os.path.isdir(dead_dir)
+        assert not os.path.isdir(legacy_dir)
         assert os.path.isdir(live_dir)
     finally:
-        for d in (dead_dir, live_dir):
+        for d in (dead_dir, live_dir, legacy_dir):
             if os.path.isdir(d):
                 os.rmdir(d)

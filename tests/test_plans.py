@@ -279,6 +279,27 @@ def test_knn_graph_self_join_keyed_not_broadcast(spark):
         assert "WindowGroupLimit" in plan, name
 
 
+def test_knn_graph_capped_pairs_on_block_decomposed_key(spark):
+    """The skew-capped graph must pair on the block-DECOMPOSED key —
+    a keyed join whose equi-key carries the cell AND both block ids
+    (so no task can hold a whole hot cell's pairing), with the
+    deterministic block hash (xxhash64 -> pmod) in the plan. The only
+    BroadcastHashJoin is the metadata-sized per-cell block-count
+    frame (|cells| rows, explicitly F.broadcast); the corpus-sized
+    sides still meet in a keyed non-broadcast join, and the prepared
+    frame is served from the one eager checkpoint (Scan ExistingRDD),
+    not re-derived per branch."""
+    plan = _plan(spark, "x_knn_graph_capped")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[cell_id#\d+, tgt_b#\d+, blk_a#\d+\]",
+        plan,
+    )
+    assert "xxhash64" in plan and "pmod" in plan
+    assert "ExistingRDD" in plan  # checkpointed quantized frame
+    assert "WindowGroupLimit" in plan
+
+
 def test_ivfpq_warm_plan_reads_checkpoint_not_training(spark):
     """The warm IVF-PQ query's executed plan must read the pre-built
     codes frame from the checkpoint (Scan ExistingRDD) — NOT re-derive

@@ -480,11 +480,15 @@ def test_boilerplate_strip_matches_python_model(spark, docs):
         assert got[i] == want, (i, got[i], want)
 
 
+from blspark.ext.sampling import MAX_WEIGHT as _WS_MAX  # noqa: E402
+
 ws_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=10_000_000),
+        # range deliberately exceeds MAX_WEIGHT so the clamp-down
+        # branch is exercised, not just the NULL/sub-1 clamp-up
         st.one_of(
-            st.none(), st.integers(min_value=-2, max_value=8)
+            st.none(), st.integers(min_value=-2, max_value=_WS_MAX + 4)
         ),
     ),
     min_size=1,
@@ -497,17 +501,19 @@ ws_rows = st.lists(
 @given(rows=ws_rows)
 def test_hashmin_key_matches_python_model(spark, rows):
     """ext/sampling.hashmin_key == the direct hashlib model for any
-    ids and weights, including the NULL / sub-1 clamp-to-one-draw
-    contract — and the top-n selection therefore matches the model's
-    (key, id) ordering exactly."""
+    ids and weights, including BOTH clamp branches — NULL / sub-1
+    clamps UP to one draw, above-MAX_WEIGHT clamps DOWN to the shared
+    bound (the strategy exceeds it on purpose) — and the top-n
+    selection therefore matches the model's (key, id) ordering
+    exactly."""
     import hashlib
 
-    from blspark.ext.sampling import hashmin_key, weighted_topn
+    from blspark.ext.sampling import MAX_WEIGHT, hashmin_key, weighted_topn
 
     df = spark.createDataFrame(rows, "id long, w int")
 
     def key(i, w):
-        w = 1 if w is None or w < 1 else w
+        w = 1 if w is None or w < 1 else min(w, MAX_WEIGHT)
         return min(
             int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:12], 16)
             for j in range(1, w + 1)
