@@ -1268,6 +1268,37 @@ def cell_prototypes(
     )
 
 
+def graph_adjacency(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_k: int = 3,
+) -> DataFrame:
+    """Undirected navigation adjacency for the beam search: the
+    top-``knn_k`` edges union their reversals, deduplicated, eagerly
+    localCheckpointed (the iterative-loop convention: edge inputs
+    checkpoint once at entry — and THE artifact a deployment
+    amortizes across query batches; the warm retrieval variant
+    memoizes exactly this frame). (cand_id, nbr) id pairs only."""
+    edges = knn_graph(
+        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
+    )
+    return (
+        edges.select(
+            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
+        )
+        .union(
+            edges.select(
+                F.col("dst_id").alias("cand_id"),
+                F.col("src_id").alias("nbr"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def graph_expand_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1279,6 +1310,7 @@ def graph_expand_topk(
     hops: int = 3,
     beam: int = 3,
     n_seeds: int = 2,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based retrieval by GREEDY BEAM SEARCH over the kNN graph
     — the HNSW/NSW search step re-expressed in batch DataFrame terms,
@@ -1303,10 +1335,12 @@ def graph_expand_topk(
     frame against the vector table to fetch/score new nodes (at
     deployment, a point-lookup store or the checkpointed codes
     frame; here a broadcast-hash semi-join against the scan). The
-    edge list is built once per call and localCheckpointed — the
-    iterative-loop convention (edge inputs checkpoint once at entry,
-    accumulators checkpoint per round) — and is THE artifact a
-    deployment amortizes across query batches. Recall is priced by
+    edge list is built once per call and localCheckpointed
+    (``graph_adjacency`` — the iterative-loop convention: edge
+    inputs checkpoint once at entry, accumulators checkpoint per
+    round) — and is THE artifact a deployment amortizes across query
+    batches: pass a prebuilt ``adj`` to pay only the walk (the warm
+    registered variant memoizes it per dataset). Recall is priced by
     x_graph_expand_eval against brute force.
 
     Returns (query_id, neighbor_id, cosine, rank); the query's own
@@ -1343,22 +1377,8 @@ def graph_expand_topk(
         .filter(F.col("r") <= n_seeds)
         .drop("r")
     )
-    edges = knn_graph(
-        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
-    )
-    adj = (
-        edges.select(
-            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
-        )
-        .union(
-            edges.select(
-                F.col("dst_id").alias("cand_id"),
-                F.col("src_id").alias("nbr"),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if adj is None:
+        adj = graph_adjacency(corpus, centroids, id_col, vec_col, knn_k)
     bw = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("cand_id")
     )

@@ -1255,6 +1255,55 @@ def x_retrieval_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# session-keyed memo of the navigation adjacency (compact id pairs,
+# already localCheckpointed by graph_adjacency — the _WARM_KNN_EDGES
+# convention including dead-session eviction)
+_WARM_GX_ADJ: dict[tuple[str, str], object] = {}
+
+
+@register(
+    "x_retrieval_graph_expand_warm",
+    bench=True,
+    oracle=GRAPH_EXPAND_ORACLE,
+    doc="Beam-search retrieval against a PRE-BUILT navigation "
+    "adjacency — result-identical to x_retrieval_graph_expand (same "
+    "oracle), the warm-variant convention applied to graph search: "
+    "the first call per dataset builds and localCheckpoints the "
+    "undirected edge list (graph_adjacency); every later call pays "
+    "ONLY prototype seeding + the greedy walk + the exact rerank — "
+    "the steady-state per-batch cost of graph retrieval, with index "
+    "construction amortized out exactly as in x_similarity_ivfpq_warm "
+    "and x_knn_graph_components_warm. In bench.py the cold/warm split "
+    "therefore attributes graph-build vs walk cost directly.",
+)
+def x_retrieval_graph_expand_warm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from blspark.ext.similarity import graph_adjacency, graph_expand_topk
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _WARM_GX_ADJ if k[0] != app]:
+        del _WARM_GX_ADJ[stale]
+    key = (app, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    adj = _WARM_GX_ADJ.get(key)
+    if adj is None:
+        adj = graph_adjacency(emb, _det_centroids(emb), knn_k=_KNN_K)
+        _WARM_GX_ADJ[key] = adj
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return graph_expand_topk(
+        emb,
+        _det_centroids(emb),
+        queries,
+        k=_GX_K,
+        knn_k=_KNN_K,
+        hops=_GX_HOPS,
+        beam=_GX_BEAM,
+        n_seeds=_GX_SEEDS,
+        adj=adj,
+    )
+
+
 _GX_TP_SQL = (
     "SELECT COUNT(*) FROM gxk a JOIN exact e "
     "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
@@ -1935,3 +1984,114 @@ def x_partitioned_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index as a partitioned table (FAISS-on-parquet)
+# ---------------------------------------------------------------------------
+
+_SQ8IDX_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def sq8_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The IVF-SQ8 index written ONCE as a cell_id-PARTITIONED
+    warehouse table — the storage-layout lever applied to the ANN
+    index itself: (vid, qvec int8-codes, scale) under one directory
+    per IVF cell, so a probe of nprobe cells is a PARTITION-PRUNED
+    scan that never opens the other nlist - nprobe directories. The
+    index frame is the graph family's shared corpus preparation
+    (``_quantized_cells`` — cell-assign + SQ8 quantize, one corpus
+    pass); same memo/GC/pid-name machinery as the other layout
+    demos (``_layout_tables``)."""
+    from blspark.ext.similarity import _quantized_cells
+
+    def build(it):
+        emb = load_table(spark, sf_dir, "embeddings")
+        (
+            _quantized_cells(emb, _det_centroids(emb))
+            # one file per cell directory (the partitioned-events
+            # convention: without this, tasks x cells small files)
+            .repartition(F.col("cell_id"))
+            .write.partitionBy("cell_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(it)
+        )
+
+    return _layout_tables(
+        _SQ8IDX_TABLES, spark, sf_dir, ("blspark_sq8_index",), build
+    )[0]
+
+
+@register(
+    "x_index_persist_scan",
+    bench=True,
+    oracle=IVF_SQ8_ORACLE,
+    doc="IVF-SQ8 against a PERSISTED, cell-partitioned index table — "
+    "result-identical to x_similarity_ivf_sq8 (same oracle), FAISS-"
+    "on-parquet: the index (int8 codes + scale, one directory per "
+    "IVF cell) is written once per dataset via the layout machinery, "
+    "and each query batch then (1) probes its nprobe=2 nearest cells "
+    "(metadata-sized), (2) scans ONLY those cells' directories — the "
+    "probed cell set is a LITERAL IN-filter on the partition column "
+    "(collected from the Q x nprobe probe frame, metadata-bounded by "
+    "the codebook convention), so the predicate lands in "
+    "PartitionFilters and df.inputFiles() stays inside the probed "
+    "directories (both plan-pinned) — and (3) scores the surviving "
+    "codes with the shared _sq8_rank tail. At 100 TB this is the "
+    "production serving shape: index construction amortized to zero, "
+    "per-batch IO = nprobe/nlist of the index bytes, never a full "
+    "scan. Completes the triad: x_similarity_ivf_sq8 prices the "
+    "inline shape, x_similarity_ivfpq_warm the memoized-frame shape, "
+    "this the on-disk shape.",
+)
+def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        _sq8_rank,
+        sq8_quantize,
+    )
+
+    it = sq8_index_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cent = _centroid_frame(_det_centroids(emb))
+    probes = _cell_assign(
+        queries.select(
+            "vec_id", "vec", _norm(F.col("vec")).alias("vnorm")
+        ),
+        cent,
+        "vec_id",
+        2,
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    qz = sq8_quantize(queries, id_col="vec_id", vec_col="vec").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    probe_q = probes.join(qz, "query_id")
+    # literal probed-cell set: Q x nprobe <= 10 values (metadata-
+    # bounded collect, the codebook convention) — a LITERAL partition
+    # predicate is what guarantees PartitionFilters pruning; a join
+    # alone would rely on runtime DPP
+    cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    idx = spark.table(it).select(
+        F.col("vid").alias("neighbor_id"),
+        "cell_id",
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    paired = (
+        idx.filter(F.col("cell_id").isin(cells))
+        .join(F.broadcast(probe_q), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _sq8_rank(paired, _SQ8_K)

@@ -362,3 +362,38 @@ def test_partitioned_scan_prunes_to_one_day(spark):
     files = df.inputFiles()
     assert len(files) > 0
     assert all(f"day={_PART_DAY}" in f for f in files)
+
+
+def test_persisted_index_scan_prunes_to_probed_cells(spark):
+    """The persisted-index query must read ONLY the probed cells'
+    directories: the literal cell_id IN-set appears INSIDE the
+    PartitionFilters bracket (empty brackets always print — gotcha:
+    substring presence alone is vacuous), every file the scan reads
+    lives under a probed cell_id= directory, and the probed set is a
+    strict subset of the cells on disk (otherwise nothing was
+    pruned). The probe side reaches the scan as a broadcast join —
+    the index side never exchanges."""
+    from pyspark.sql import functions as F
+
+    from blspark.queries.extensions10 import sq8_index_table
+
+    df = REG["x_index_persist_scan"].spark_fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    it = sq8_index_table(spark, SF_ORACLE)
+    # inputFiles() unions ALL scans (the probe side reads
+    # embeddings.parquet) — judge only the index table's files
+    idx_files = [f for f in df.inputFiles() if it in f]
+    assert len(idx_files) > 0
+    assert all(
+        f.rsplit("cell_id=", 1)[-1].split("/")[0] in {str(c) for c in probed}
+        for f in idx_files
+    ), idx_files
+    all_cells = {
+        r["cell_id"]
+        for r in spark.table(it).select("cell_id").distinct().collect()
+    }
+    assert probed < all_cells  # strict subset: real pruning happened
+    assert "BroadcastHashJoin" in plan
