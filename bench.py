@@ -111,6 +111,7 @@ def main() -> None:
         "x_knn_graph_capped", "x_knn_graph_components_warm",
         "x_retrieval_graph_expand", "x_knn_graph_split",
         "x_index_persist_scan", "x_retrieval_graph_expand_warm",
+        "x_negative_samples",
     )
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
@@ -124,7 +125,7 @@ def main() -> None:
     BASES = (
         ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
         ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
-        ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_39", R11_SET),
+        ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_40", R11_SET),
     )
     subtotals = {
         label: round(sum(timings[n] for n in names if n in timings), 3)

@@ -744,9 +744,11 @@ def _blocked_cell_join(
     bb = annotate(b, b_id, "blk_b", "tgt_a").withColumnRenamed(
         "cell_id", "cell_id_b"
     )
+    # merge hint: both sides are the replicated corpus — keyed join
+    # at any scale (see _graph_edges_float's hint rationale)
     return (
         aa.join(
-            bb,
+            bb.hint("merge"),
             (aa["cell_id"] == bb["cell_id_b"])
             & (aa["tgt_b"] == bb["blk_b"])
             & (aa["blk_a"] == bb["tgt_a"]),
@@ -849,8 +851,14 @@ def _graph_edges_float(
         F.col("vnorm").alias("bnorm"),
         "cell_id",
     )
+    # the merge hint pins the CORPUS-vs-CORPUS join shape: with the
+    # centroid frame now a true LocalTableScan, Catalyst can estimate
+    # the assigned sides and would broadcast one at TEST scale — at
+    # 100 TB the estimate exceeds any threshold and SMJ returns, so
+    # the hint only keeps the demonstrated plan honest (the bucketed-
+    # join convention)
     paired = (
-        a.join(b, "cell_id")
+        a.join(b.hint("merge"), "cell_id")
         if max_block is None
         else _blocked_cell_join(a, b, "src_id", "dst_id", max_block)
     )
@@ -885,7 +893,8 @@ def _graph_edges_float(
         F.col("src_id").alias("dst_id"),
         F.lit(True).alias("rev_hit"),
     )
-    return edges.join(rev, ["src_id", "dst_id"], "left").select(
+    # |corpus| x k edge list on both sides: keyed join, never broadcast
+    return edges.join(rev.hint("merge"), ["src_id", "dst_id"], "left").select(
         "src_id",
         "dst_id",
         F.round("cos_raw", 6).alias("cosine"),
@@ -1093,8 +1102,10 @@ def knn_graph_sq8(
         F.col("scale").alias("nscale"),
         "cell_id",
     )
+    # merge hint: see _graph_edges_float — pins the corpus-vs-corpus
+    # keyed shape against small-scale broadcast estimates
     paired = (
-        a.join(b, "cell_id")
+        a.join(b.hint("merge"), "cell_id")
         if max_block is None
         else _blocked_cell_join(a, b, "query_id", "neighbor_id", max_block)
     ).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1104,7 +1115,9 @@ def knn_graph_sq8(
         F.col("query_id").alias("neighbor_id"),
         F.lit(True).alias("rev_hit"),
     )
-    return edges.join(rev, ["query_id", "neighbor_id"], "left").select(
+    return edges.join(
+        rev.hint("merge"), ["query_id", "neighbor_id"], "left"
+    ).select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("dst_id"),
         "score",
@@ -1265,6 +1278,100 @@ def cell_prototypes(
         F.col("s.pid").alias("prototype_id"),
         F.round(-F.col("s.neg"), 6).alias("centrality"),
         "cell_size",
+    )
+
+
+def negative_samples(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training — for every
+    corpus vector, ``k`` deterministic draws from the NEAREST OTHER
+    IVF cell: semantically close enough to be informative negatives
+    (the adjacent region of embedding space), guaranteed non-neighbors
+    under the cell geometry (never the anchor's own cell, so never a
+    positive by the same rule the dedup/graph family uses). Draw rule:
+    the ``k`` members of the target cell minimizing the 48-bit
+    md5(anchor:member) prefix (the ``md5_prefix_int`` device — a
+    per-anchor deterministic pseudo-random sample, reproducible across
+    runs/engines/partitionings, no RNG state; ties break on member
+    id).
+
+    Scale shape: the cell-to-cell "nearest other cell" map is
+    |cells|^2 centroid cosines — metadata, broadcast; the anchor ->
+    target-cell-members pairing is a keyed equi-join on the target
+    cell whose per-anchor candidate count is bounded by CELL size
+    (the graph family's bound), and the per-anchor k-min is a rank
+    window over those bounded candidates. Returns (anchor_id,
+    negative_id, rank)."""
+    from blspark.ext.dedup import md5_prefix_int
+
+    cent = _centroid_frame(centroids)
+    # nearest OTHER cell per cell: |cells|^2 metadata crossJoin, the
+    # shared argmin struct device (zero-norm guard -inf, lowest
+    # target tie-break)
+    a_cent = cent.select(
+        F.col("cell_id").alias("acell"),
+        F.col("cvec").alias("avec"),
+        F.col("centnorm").alias("anorm"),
+    )
+    b_cent = cent.select(
+        F.col("cell_id").alias("ncell"),
+        F.col("cvec").alias("nvec"),
+        F.col("centnorm").alias("nnorm"),
+    )
+    cdenom = F.col("anorm") * F.col("nnorm")
+    ncell_map = F.broadcast(
+        a_cent.crossJoin(b_cent)
+        .filter(F.col("acell") != F.col("ncell"))
+        .select(
+            "acell",
+            "ncell",
+            F.when(cdenom > 0, _dot(F.col("avec"), F.col("nvec")) / cdenom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("csim"),
+        )
+        .groupBy("acell")
+        .agg(F.min(F.struct((-F.col("csim")).alias("neg"), "ncell")).alias("s"))
+        .select("acell", F.col("s.ncell").alias("ncell"))
+    )
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("aid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "aid",
+        1,
+    )
+    anchors = assigned.select(
+        F.col("aid").alias("anchor_id"), F.col("cell_id").alias("acell")
+    ).join(ncell_map, "acell")
+    members = assigned.select(
+        F.col("aid").alias("negative_id"), F.col("cell_id").alias("ncell")
+    )
+    cand = anchors.join(members, "ncell").withColumn(
+        "hkey",
+        md5_prefix_int(
+            F.concat_ws(
+                ":",
+                F.col("anchor_id").cast("string"),
+                F.col("negative_id").cast("string"),
+            ),
+            12,
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("hkey"), F.asc("negative_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank")
     )
 
 

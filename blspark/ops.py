@@ -125,6 +125,27 @@ def local_relation(df: DataFrame, schema: str) -> DataFrame:
     cache-manager entry (a persist() inside a lazy plan builder would
     leak past the function's lifetime; extensions3 convention). Only
     for frames bounded by construction (codebooks, centroids, seed
-    lists) — never for data-sized frames."""
+    lists) — never for data-sized frames.
+
+    The rebuild goes through pandas/Arrow ON PURPOSE: a plain
+    ``createDataFrame(rows, schema)`` produces a PYTHON-RDD-backed
+    plan (``Scan ExistingRDD``) that re-enters a Python worker on
+    EVERY downstream action — measured ~1-2 s per reference for a
+    10-row centroid frame, and pathological (12 s) when two such
+    frames cross-join. The Arrow path produces a true JVM
+    ``LocalTableScan``: no Python workers, instantly broadcastable,
+    visible to Catalyst as a local relation. Arrow float64 transfer
+    is exact, so the numeric policy is unaffected; if conversion is
+    impossible for a type, fall back to the RDD path (slower, same
+    semantics)."""
     rows = sorted(tuple(r) for r in df.collect())
-    return df.sparkSession.createDataFrame(rows, schema)
+    spark = df.sparkSession
+    try:
+        import pandas as pd
+
+        names = spark.createDataFrame([], schema).schema.names
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=names), schema
+        )
+    except Exception:
+        return spark.createDataFrame(rows, schema)

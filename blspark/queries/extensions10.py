@@ -1387,6 +1387,81 @@ def x_graph_expand_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training negatives)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+
+# centroid-to-centroid cosine with the family's zero-norm guard
+_NEG_CSIM = (
+    f"CASE WHEN ({_NORMQ.format(a='a.cvec')} * {_NORMQ.format(a='b.cvec')})"
+    " > 0 "
+    f"THEN {_DOTQ.format(a='a.cvec', b='b.cvec')} / "
+    f"({_NORMQ.format(a='a.cvec')} * {_NORMQ.format(a='b.cvec')}) "
+    "ELSE CAST('-infinity' AS DOUBLE) END"
+)
+
+
+def _neg_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+
+    hkey = hex_int_sql(
+        "md5(CAST(aa.vec_id AS VARCHAR) || ':' "
+        "|| CAST(mm.vec_id AS VARCHAR))",
+        12,
+    )
+    return f"""
+WITH {_IVF_PREFIX_SQL},
+nmap AS MATERIALIZED (
+  SELECT acell, ncell FROM (
+    SELECT a.cell_id AS acell, b.cell_id AS ncell,
+           ROW_NUMBER() OVER (PARTITION BY a.cell_id
+             ORDER BY {_NEG_CSIM} DESC, b.cell_id ASC) AS r
+    FROM cents a, cents b WHERE a.cell_id <> b.cell_id) t
+  WHERE r = 1
+),
+cand AS MATERIALIZED (
+  SELECT aa.vec_id AS anchor_id, mm.vec_id AS negative_id,
+         {hkey} AS hkey
+  FROM cassign aa
+  JOIN nmap n ON n.acell = aa.cell_id
+  JOIN cassign mm ON mm.cell_id = n.ncell
+)
+SELECT anchor_id, negative_id, rank FROM (
+  SELECT anchor_id, negative_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY hkey ASC, negative_id ASC) AS INT) AS rank
+  FROM cand) t
+WHERE rank <= {_NEG_K}
+"""
+
+
+@register(
+    "x_negative_samples",
+    bench=True,
+    oracle=_neg_oracle(),
+    doc="Hard-negative mining for contrastive training — for EVERY "
+    "corpus vector, 3 deterministic draws from its NEAREST OTHER IVF "
+    "cell: close enough in embedding space to be informative "
+    "negatives, guaranteed non-positives under the same cell "
+    "geometry the dedup/graph family shares. The cell-to-cell "
+    "nearest map is |cells|^2 centroid cosines (metadata, "
+    "broadcast); the anchor -> target-cell pairing is a keyed "
+    "equi-join bounded by CELL size (the graph family's bound); the "
+    "per-anchor draw is the k-min of the 48-bit md5(anchor:member) "
+    "prefix (the shared md5-prefix device — reproducible across "
+    "runs, engines and partitionings, no RNG state, id tie-break). "
+    "Full hash-checked oracle over the shared IVF prefix. "
+    "ext/similarity.negative_samples.",
+)
+def x_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import negative_samples
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_samples(emb, _det_centroids(emb), k=_NEG_K)
+
+
+# ---------------------------------------------------------------------------
 # Recursive-IVF refinement: the SEMANTIC hot-cell escape
 # ---------------------------------------------------------------------------
 

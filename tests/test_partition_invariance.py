@@ -63,6 +63,17 @@ QUERIES = [
     "x_sample_weighted_per_source",
     "x_bucketed_colocated_join",
     "x_partitioned_prune_scan",
+    # round-11 family: the blocked self-join must be partition-count
+    # invariant BY CONSTRUCTION (hash blocks derive from ids, not
+    # partitioning); the beam walk's frontier/rank tie-breaks, the
+    # split reassignment's argmin, and the hash-min negative draws
+    # all ride deterministic devices that must not flip with layout
+    "x_knn_graph_capped",
+    "x_retrieval_graph_expand",
+    "x_cells_split",
+    "x_knn_graph_split",
+    "x_negative_samples",
+    "x_index_persist_scan",
 ]
 
 
