@@ -1338,20 +1338,29 @@ def negative_samples(
         .agg(F.min(F.struct((-F.col("csim")).alias("neg"), "ncell")).alias("s"))
         .select("acell", F.col("s.ncell").alias("ncell"))
     )
-    assigned = _cell_assign(
-        with_double_vec(corpus, vec_col).select(
-            F.col(id_col).alias("aid"),
-            "vec",
-            _norm(F.col("vec")).alias("vnorm"),
-        ),
-        cent,
-        "aid",
-        1,
+    # both candidate-join sides derive from the one assignment — the
+    # compact (id, cell) projection checkpoints once so the corpus
+    # cell-assign scan runs ONCE per action, not per side (the
+    # blocked-join lesson: recompute of the assign subtree otherwise
+    # doubles the dominant cost)
+    cells_of = (
+        _cell_assign(
+            with_double_vec(corpus, vec_col).select(
+                F.col(id_col).alias("aid"),
+                "vec",
+                _norm(F.col("vec")).alias("vnorm"),
+            ),
+            cent,
+            "aid",
+            1,
+        )
+        .select("aid", "cell_id")
+        .localCheckpoint(eager=True)
     )
-    anchors = assigned.select(
+    anchors = cells_of.select(
         F.col("aid").alias("anchor_id"), F.col("cell_id").alias("acell")
     ).join(ncell_map, "acell")
-    members = assigned.select(
+    members = cells_of.select(
         F.col("aid").alias("negative_id"), F.col("cell_id").alias("ncell")
     )
     cand = anchors.join(members, "ncell").withColumn(

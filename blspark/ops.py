@@ -135,17 +135,36 @@ def local_relation(df: DataFrame, schema: str) -> DataFrame:
     frames cross-join. The Arrow path produces a true JVM
     ``LocalTableScan``: no Python workers, instantly broadcastable,
     visible to Catalyst as a local relation. Arrow float64 transfer
-    is exact, so the numeric policy is unaffected; if conversion is
-    impossible for a type, fall back to the RDD path (slower, same
-    semantics)."""
+    is exact for FINITE values, so the numeric policy is unaffected —
+    but pandas cannot distinguish NULL from NaN in a top-level float
+    column (NaN would arrive as NULL under Arrow, and NULL as NaN
+    without it), so any frame carrying NaN/NULL in a top-level
+    float/double field routes to the RDD path instead (slower,
+    semantics-preserving); likewise any type Arrow cannot convert."""
+    import math
+
+    from pyspark.sql.types import DoubleType, FloatType, _parse_datatype_string
+
     rows = sorted(tuple(r) for r in df.collect())
     spark = df.sparkSession
-    try:
-        import pandas as pd
+    st = _parse_datatype_string(schema)
+    float_idx = [
+        i
+        for i, f in enumerate(st.fields)
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+    nan_hazard = any(
+        r[i] is None or (isinstance(r[i], float) and math.isnan(r[i]))
+        for r in rows
+        for i in float_idx
+    )
+    if not nan_hazard:
+        try:
+            import pandas as pd
 
-        names = spark.createDataFrame([], schema).schema.names
-        return spark.createDataFrame(
-            pd.DataFrame(rows, columns=names), schema
-        )
-    except Exception:
-        return spark.createDataFrame(rows, schema)
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=st.fieldNames()), schema
+            )
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)

@@ -1286,14 +1286,18 @@ def x_retrieval_graph_expand_warm(
         del _WARM_GX_ADJ[stale]
     key = (app, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # one centroid derivation for build AND seeding — _det_centroids
+    # is EAGER (corpus aggregation + collect at call time), so a
+    # second call would run the whole aggregation job again
+    cents = _det_centroids(emb)
     adj = _WARM_GX_ADJ.get(key)
     if adj is None:
-        adj = graph_adjacency(emb, _det_centroids(emb), knn_k=_KNN_K)
+        adj = graph_adjacency(emb, cents, knn_k=_KNN_K)
         _WARM_GX_ADJ[key] = adj
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return graph_expand_topk(
         emb,
-        _det_centroids(emb),
+        cents,
         queries,
         k=_GX_K,
         knn_k=_KNN_K,
@@ -2128,6 +2132,7 @@ def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sq8_rank,
         sq8_quantize,
     )
+    from blspark.ops import local_relation
 
     it = sq8_index_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2137,26 +2142,32 @@ def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cent = _centroid_frame(_det_centroids(emb))
-    probes = _cell_assign(
-        queries.select(
-            "vec_id", "vec", _norm(F.col("vec")).alias("vnorm")
-        ),
-        cent,
-        "vec_id",
-        2,
-    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    # the probe frame is Q x nprobe <= 10 rows and is needed TWICE
+    # (as the join input and as the literal partition predicate) —
+    # materialize it once as a local relation so the query-side
+    # cell-assign job runs once, not per consumer
+    probes = local_relation(
+        _cell_assign(
+            queries.select(
+                "vec_id", "vec", _norm(F.col("vec")).alias("vnorm")
+            ),
+            cent,
+            "vec_id",
+            2,
+        ).select(F.col("vec_id").alias("query_id"), "cell_id"),
+        "query_id bigint, cell_id int",
+    )
     qz = sq8_quantize(queries, id_col="vec_id", vec_col="vec").select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qq"),
         F.col("scale").alias("qscale"),
     )
     probe_q = probes.join(qz, "query_id")
-    # literal probed-cell set: Q x nprobe <= 10 values (metadata-
-    # bounded collect, the codebook convention) — a LITERAL partition
-    # predicate is what guarantees PartitionFilters pruning; a join
-    # alone would rely on runtime DPP
+    # literal probed-cell set (metadata-bounded — the codebook
+    # convention): a LITERAL partition predicate is what guarantees
+    # PartitionFilters pruning; a join alone would rely on runtime DPP
     cells = sorted(
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+        {r["cell_id"] for r in probes.select("cell_id").collect()}
     )
     idx = spark.table(it).select(
         F.col("vid").alias("neighbor_id"),

@@ -157,3 +157,38 @@ def test_mad_outliers_constant_group_emits_nothing(spark, tmp_path):
     out = registry()["x_mad_outliers"].spark_fn(spark, str(sf)).collect()
     assert out == []
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_local_relation_is_jvm_local_and_preserves_nan_null(spark):
+    """ops.local_relation must (a) rebuild clean metadata frames as a
+    true JVM LocalTableScan (no Python-RDD re-entry per action — the
+    round-11 5x finding) and (b) route frames whose top-level float
+    columns carry NaN/NULL to the semantics-preserving RDD path,
+    because pandas cannot distinguish the two (Arrow would turn NaN
+    into NULL, and the no-Arrow path NULL into NaN)."""
+    import math
+
+    from blspark.ops import local_relation
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (0, [0.5, -1.0])], "id int, v array<double>"
+    )
+    out = local_relation(clean, "id int, v array<double>")
+    assert "LocalTableScan" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (0, [0.5, -1.0]),
+        (1, [1.0, 2.0]),
+    ]
+
+    hazard = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.5)], "id int, x double"
+    )
+    got = {
+        r["id"]: r["x"]
+        for r in local_relation(hazard, "id int, x double").collect()
+    }
+    assert math.isnan(got[1])
+    assert got[2] is None
+    assert got[3] == 1.5

@@ -373,8 +373,6 @@ def test_persisted_index_scan_prunes_to_probed_cells(spark):
     strict subset of the cells on disk (otherwise nothing was
     pruned). The probe side reaches the scan as a broadcast join —
     the index side never exchanges."""
-    from pyspark.sql import functions as F
-
     from blspark.queries.extensions10 import sq8_index_table
 
     df = REG["x_index_persist_scan"].spark_fn(spark, SF_ORACLE)
