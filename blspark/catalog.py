@@ -94,17 +94,18 @@ _PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r01..r10.json: latest driver round per query; the
     # helper lives in this comment's history — age tiers are r6: 28,
     # r7: 50, r8: 50, r9: 50, r10: 50). The 50-slot budget this round
-    # signs: the 9 round-11 first-timers (the skew-capped SQ8 graph,
+    # signs: the 10 round-11 first-timers (the skew-capped SQ8 graph,
     # the warm-edges components variant, the greedy-beam graph
     # retrieval pair, the recursive-IVF split pair, and the
-    # persisted partitioned-index scan and hard-negative miner — all
+    # persisted partitioned-index scan and the batch + streaming
+    # hard-negative miners — all
     # implemented and locally oracle-green
     # BEFORE being listed here; never pre-list unimplemented names),
-    # then ALL 28 remaining r6-stale, then the 13 alphabetically-
-    # first r7 — after this round the oldest signature is r7 (37
+    # then ALL 28 remaining r6-stale, then the 12 alphabetically-
+    # first r7 — after this round the oldest signature is r7 (38
     # left), permanently inside the ~4-round window. Later tiers
     # follow in age order so future rotations stay mechanical.
-    # round-11 first-timers (9):
+    # round-11 first-timers (10):
     "x_knn_graph_capped",
     "x_knn_graph_components_warm",
     "x_retrieval_graph_expand",
@@ -114,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_index_persist_scan",
     "x_retrieval_graph_expand_warm",
     "x_negative_samples",
+    "s_stream_negative_samples",
     # r6-stale, final tranche (28 — all of them):
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
@@ -143,8 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_topk_merge",
     "x_word_diversity",
     "x_xml_roundtrip",
-    # r7-stale (50; the first 13 fit this round's 50-slot budget —
-    # 9 first-timers + 28 r6 + 13 = 50 — the remaining 37 lead
+    # r7-stale (50; the first 12 fit this round's 50-slot budget —
+    # 10 first-timers + 28 r6 + 12 = 50 — the remaining 38 lead
     # round 12):
     "q1_population_stats",
     "q2_best_year",

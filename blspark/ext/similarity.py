@@ -1281,6 +1281,40 @@ def cell_prototypes(
     )
 
 
+def _nearest_other_cell(cent: DataFrame) -> DataFrame:
+    """(acell, ncell): each cell's nearest OTHER cell by centroid
+    cosine — |cells|^2 metadata crossJoin through the shared argmin
+    struct device (zero-norm guard -inf, lowest target tie-break),
+    broadcast. The ONE copy the batch negative sampler and the
+    streaming negative sampler share, so the two can never diverge
+    on which cell supplies an anchor's negatives."""
+    a_cent = cent.select(
+        F.col("cell_id").alias("acell"),
+        F.col("cvec").alias("avec"),
+        F.col("centnorm").alias("anorm"),
+    )
+    b_cent = cent.select(
+        F.col("cell_id").alias("ncell"),
+        F.col("cvec").alias("nvec"),
+        F.col("centnorm").alias("nnorm"),
+    )
+    cdenom = F.col("anorm") * F.col("nnorm")
+    return F.broadcast(
+        a_cent.crossJoin(b_cent)
+        .filter(F.col("acell") != F.col("ncell"))
+        .select(
+            "acell",
+            "ncell",
+            F.when(cdenom > 0, _dot(F.col("avec"), F.col("nvec")) / cdenom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("csim"),
+        )
+        .groupBy("acell")
+        .agg(F.min(F.struct((-F.col("csim")).alias("neg"), "ncell")).alias("s"))
+        .select("acell", F.col("s.ncell").alias("ncell"))
+    )
+
+
 def negative_samples(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1310,34 +1344,7 @@ def negative_samples(
     from blspark.ext.dedup import md5_prefix_int
 
     cent = _centroid_frame(centroids)
-    # nearest OTHER cell per cell: |cells|^2 metadata crossJoin, the
-    # shared argmin struct device (zero-norm guard -inf, lowest
-    # target tie-break)
-    a_cent = cent.select(
-        F.col("cell_id").alias("acell"),
-        F.col("cvec").alias("avec"),
-        F.col("centnorm").alias("anorm"),
-    )
-    b_cent = cent.select(
-        F.col("cell_id").alias("ncell"),
-        F.col("cvec").alias("nvec"),
-        F.col("centnorm").alias("nnorm"),
-    )
-    cdenom = F.col("anorm") * F.col("nnorm")
-    ncell_map = F.broadcast(
-        a_cent.crossJoin(b_cent)
-        .filter(F.col("acell") != F.col("ncell"))
-        .select(
-            "acell",
-            "ncell",
-            F.when(cdenom > 0, _dot(F.col("avec"), F.col("nvec")) / cdenom)
-            .otherwise(F.lit(float("-inf")))
-            .alias("csim"),
-        )
-        .groupBy("acell")
-        .agg(F.min(F.struct((-F.col("csim")).alias("neg"), "ncell")).alias("s"))
-        .select("acell", F.col("s.ncell").alias("ncell"))
-    )
+    ncell_map = _nearest_other_cell(cent)
     # both candidate-join sides derive from the one assignment — the
     # compact (id, cell) projection checkpoints once so the corpus
     # cell-assign scan runs ONCE per action, not per side (the
@@ -1381,6 +1388,84 @@ def negative_samples(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "rank")
+    )
+
+
+def cell_id_members(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Static ID-ONLY cell-member index for stateless streaming
+    negative sampling: the batch corpus cell-assigned (the one shared
+    rule) and grouped to ONE row per cell carrying a sorted member-id
+    array — the ``cell_member_index`` convention minus the codes
+    (negatives need only identities, so the index is ids, not
+    vectors). Row width bounded by CELL size. (ncell, mids)."""
+    assigned = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("mid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        _centroid_frame(centroids),
+        "mid",
+        1,
+    )
+    return assigned.groupBy(F.col("cell_id").alias("ncell")).agg(
+        F.array_sort(F.collect_list("mid")).alias("mids")
+    )
+
+
+def negatives_stateless(
+    arrivals: DataFrame,
+    member_ids: DataFrame,
+    ncell_map: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Per-arrival hard negatives against a FROZEN index — the
+    streaming-safe form of ``negative_samples``'s draw (the
+    ``knn_edges_stateless`` convention: append mode forbids windows
+    and aggregation, so the whole selection is ONE inline expression
+    per arrival). ``arrivals`` must carry (vec_id, cell_id) — i.e.
+    already stateless-cell-assigned; ``ncell_map`` is
+    ``_nearest_other_cell``'s broadcast frame (shared verbatim with
+    the batch operator) and ``member_ids`` is ``cell_id_members``'s
+    static frame, both joined stream-static. The k-min over the
+    target cell's md5(anchor:member) keys is transform -> struct
+    (hkey, id) -> array_sort -> slice k — bit-identical to the batch
+    window because the struct order (hkey, id) IS the window's
+    (hkey ASC, id ASC) total order. Returns (anchor_id, negative_id,
+    rank)."""
+    from blspark.ext.dedup import md5_prefix_int
+
+    def draw(m):
+        return F.struct(
+            md5_prefix_int(
+                F.concat_ws(
+                    ":", F.col("vec_id").cast("string"), m.cast("string")
+                ),
+                12,
+            ).alias("hkey"),
+            m.alias("negative_id"),
+        )
+
+    top = F.slice(F.array_sort(F.transform(F.col("mids"), draw)), 1, k)
+    return (
+        arrivals.join(
+            ncell_map.withColumnRenamed("acell", "cell_id"), "cell_id"
+        )
+        .join(member_ids, "ncell")
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.posexplode(top).alias("pos", "e"),
+        )
+        .select(
+            "anchor_id",
+            F.col("e.negative_id").alias("negative_id"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 

@@ -891,6 +891,63 @@ def s_stream_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming hard-negative mining (stateless draws vs a frozen index)
+# ---------------------------------------------------------------------------
+
+
+from blspark.queries.extensions10 import _neg_oracle as _NEG_ORACLE_FN
+
+
+@register(
+    "s_stream_negative_samples",
+    # the BATCH operator's oracle verbatim: replaying the corpus as
+    # the stream must reproduce x_negative_samples bit-for-bit
+    oracle=_NEG_ORACLE_FN(),
+    doc="Streaming hard-negative mining: each arriving vector is "
+    "stateless-cell-assigned (cell_assign_stateless, bit-identical "
+    "to the batch rule), routed to its cell's nearest OTHER cell "
+    "(_nearest_other_cell — the ONE map the batch operator uses) "
+    "and draws its 3 hash-min negatives from that cell's FROZEN "
+    "member-id index (cell_id_members, one compact id-array row per "
+    "cell) with ONE inline expression — transform to (md5 hkey, id) "
+    "structs, array_sort, slice 3 (the knn_edges_stateless "
+    "convention: append mode, no state store, no window; the struct "
+    "order IS the batch window's total order, so stream and batch "
+    "are bit-identical). Replaying the corpus as the stream "
+    "therefore hash-checks against the BATCH x_negative_samples "
+    "oracle verbatim — per-arrival incremental mining provably "
+    "matches a full rebuild.",
+)
+def s_stream_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        _centroid_frame,
+        _nearest_other_cell,
+        cell_assign_stateless,
+        cell_id_members,
+        negatives_stateless,
+    )
+    from blspark.queries.extensions9 import _det_centroids
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _det_centroids(static)
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    member_ids = cell_id_members(static, cents)
+    ncell_map = _nearest_other_cell(_centroid_frame(cents))
+
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    negs = negatives_stateless(
+        cell_assign_stateless(stream, cent_rows), member_ids, ncell_map, k=3
+    )
+    name = run_available_now(negs, output_mode="append")
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Streaming weighted subsampling (threshold keep over hash-min keys)
 # ---------------------------------------------------------------------------
 

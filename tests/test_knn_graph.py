@@ -523,3 +523,49 @@ def test_knn_graph_split_edges_stay_within_refined_cells(spark):
         if r["src_id"] in unsplit_nodes
     }
     assert got == plain
+
+
+def test_negatives_stateless_equals_batch_operator(spark):
+    """The streaming draw (inline transform/sort/slice against the
+    frozen id index) must be BIT-identical to the batch operator's
+    window rank over the same corpus — same nearest-other-cell map,
+    same md5 keys, same tie-breaks."""
+    from blspark.ext.similarity import (
+        _centroid_frame,
+        _nearest_other_cell,
+        cell_assign_stateless,
+        cell_id_members,
+        label_centroids,
+        negative_samples,
+        negatives_stateless,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    batch = sorted(
+        tuple(r) for r in negative_samples(emb, cents, k=3).collect()
+    )
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"]))
+        for r in _centroid_frame(cents)
+        .select("cell_id", F.col("cvec").alias("centroid"))
+        .collect()
+    ]
+    arrivals = cell_assign_stateless(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        ),
+        cent_rows,
+    )
+    stream_form = sorted(
+        tuple(r)
+        for r in negatives_stateless(
+            arrivals,
+            cell_id_members(emb, cents),
+            _nearest_other_cell(_centroid_frame(cents)),
+            k=3,
+        ).collect()
+    )
+    assert stream_form == batch
