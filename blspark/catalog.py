@@ -90,76 +90,18 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-11 rotation (recomputed programmatically from
-    # CORRECTNESS_r01..r10.json: latest driver round per query; the
-    # helper lives in this comment's history — age tiers are r6: 28,
-    # r7: 50, r8: 50, r9: 50, r10: 50). The 50-slot budget this round
-    # signs: the 10 round-11 first-timers (the skew-capped SQ8 graph,
-    # the warm-edges components variant, the greedy-beam graph
-    # retrieval pair, the recursive-IVF split pair, and the
-    # persisted partitioned-index scan and the batch + streaming
-    # hard-negative miners — all
-    # implemented and locally oracle-green
-    # BEFORE being listed here; never pre-list unimplemented names),
-    # then ALL 28 remaining r6-stale, then the 12 alphabetically-
-    # first r7 — after this round the oldest signature is r7 (38
-    # left), permanently inside the ~4-round window. Later tiers
-    # follow in age order so future rotations stay mechanical.
-    # round-11 first-timers (10):
-    "x_knn_graph_capped",
-    "x_knn_graph_components_warm",
-    "x_retrieval_graph_expand",
-    "x_graph_expand_eval",
-    "x_cells_split",
-    "x_knn_graph_split",
-    "x_index_persist_scan",
-    "x_retrieval_graph_expand_warm",
-    "x_negative_samples",
-    "s_stream_negative_samples",
-    # r6-stale, final tranche (28 — all of them):
-    "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_pipeline_lsh",
-    "x_dedup_simhash",
-    "x_dedup_span_removal",
-    "x_entity_resolution",
-    "x_ewma_smooth",
-    "x_group_split",
-    "x_histogram_quantile_merge",
-    "x_incremental_agg_refresh",
-    "x_kcore_prune",
-    "x_kmeans_checked",
-    "x_kmeans_clusters",
-    "x_label_knn_disagreement",
-    "x_listagg_sorted",
-    "x_mmr_rerank",
-    "x_multimodal_decode",
-    "x_multimodal_decode_checked",
-    "x_multimodal_resize",
-    "x_multimodal_resize_checked",
-    "x_padding_efficiency",
-    "x_similarity_ann_lsh",
-    "x_similarity_cosine_topk",
-    "x_similarity_ivf",
-    "x_similarity_ivf_checked",
-    "x_topk_merge",
-    "x_word_diversity",
-    "x_xml_roundtrip",
-    # r7-stale (50; the first 12 fit this round's 50-slot budget —
-    # 10 first-timers + 28 r6 + 12 = 50 — the remaining 38 lead
-    # round 12):
-    "q1_population_stats",
-    "q2_best_year",
-    "q3_combined_report",
-    "q_asof_prev_order",
-    "q_cube",
-    "q_datetime_functions",
-    "q_distinct_sorted",
-    "q_edit_distance",
-    "q_events_sliding_window",
-    "q_events_tumbling_window",
-    "q_filter_range_projection",
-    "q_filter_string_predicates",
+    # -- Round-12 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r11.json: latest driver signing round per query;
+    # age tiers at the start of round 12 are r7: 38, r8: 50, r9: 50,
+    # r10: 50, r11: 50 — zero latest-status fails). Ordering is pure
+    # age order: round-12 FIRST-TIMERS go at the very top as they are
+    # implemented and locally oracle-green (never pre-list
+    # unimplemented names), then the 38 r7-stale, then r8..r11 tiers
+    # alphabetically. The driver's 50-slot budget therefore signs the
+    # new queries + all 38 r7 + the alphabetically-first r8 fill, and
+    # after this round the oldest signature is r8 (window <= 4 rounds).
+    # round-12 first-timers:
+    # r7 signatures (38):
     "q_grouped_agg_pricing",
     "q_histogram_bins",
     "q_join_anti",
@@ -351,6 +293,57 @@ _PRIORITY: tuple[str, ...] = (
     "x_tokenizer_bpe_apply",
     "x_udtf_bigrams",
     "x_zorder_key",
+    # r11 signatures (50):
+    "q1_population_stats",
+    "q2_best_year",
+    "q3_combined_report",
+    "q_asof_prev_order",
+    "q_cube",
+    "q_datetime_functions",
+    "q_distinct_sorted",
+    "q_edit_distance",
+    "q_events_sliding_window",
+    "q_events_tumbling_window",
+    "q_filter_range_projection",
+    "q_filter_string_predicates",
+    "s_stream_negative_samples",
+    "x_cells_split",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_pipeline_lsh",
+    "x_dedup_simhash",
+    "x_dedup_span_removal",
+    "x_entity_resolution",
+    "x_ewma_smooth",
+    "x_graph_expand_eval",
+    "x_group_split",
+    "x_histogram_quantile_merge",
+    "x_incremental_agg_refresh",
+    "x_index_persist_scan",
+    "x_kcore_prune",
+    "x_kmeans_checked",
+    "x_kmeans_clusters",
+    "x_knn_graph_capped",
+    "x_knn_graph_components_warm",
+    "x_knn_graph_split",
+    "x_label_knn_disagreement",
+    "x_listagg_sorted",
+    "x_mmr_rerank",
+    "x_multimodal_decode",
+    "x_multimodal_decode_checked",
+    "x_multimodal_resize",
+    "x_multimodal_resize_checked",
+    "x_negative_samples",
+    "x_padding_efficiency",
+    "x_retrieval_graph_expand",
+    "x_retrieval_graph_expand_warm",
+    "x_similarity_ann_lsh",
+    "x_similarity_cosine_topk",
+    "x_similarity_ivf",
+    "x_similarity_ivf_checked",
+    "x_topk_merge",
+    "x_word_diversity",
+    "x_xml_roundtrip",
 )
 
 
