@@ -136,19 +136,26 @@ def main() -> None:
             sum(cold[n] for n in names if n in cold), 3
         )
     subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET if n in cold), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "blspark headline queries wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "subtotals": subtotals,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "blspark headline queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "subtotals": subtotals,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    # The driver records only the tail of stdout, which can clip the
+    # warm per-query dict. Persist the full JSON in-repo so every
+    # round's warm AND cold per-query numbers survive verbatim.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
     spark.stop()
 
 

@@ -47,7 +47,9 @@ _KEY_NIBBLES = 12
 MAX_WEIGHT = 8
 
 
-def hashmin_key(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
+def hashmin_key(
+    df: DataFrame, id_col: str, weight_col: str, overflow: str = "clamp"
+) -> DataFrame:
     """Append ``skey`` = min over ``j in 1..w`` of the 48-bit integer
     prefix of ``md5(id || ':' || j)``.
 
@@ -59,19 +61,36 @@ def hashmin_key(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     would silently corrupt the sample. Weights above ``MAX_WEIGHT``
     clamp down to it — the oracles replicate the draw set with a
     constant ``range(1, MAX_WEIGHT + 1)``, so the clamp keeps both
-    engines on the identical draw set (see MAX_WEIGHT). The md5 is
+    engines on the identical draw set (see MAX_WEIGHT); pass
+    ``overflow="error"`` to fail loudly on an out-of-contract weight
+    instead of silently truncating its draw set. The md5 is
     taken over the UTF-8 bytes of the ``id:j`` string via
     ``dedup.md5_prefix_int`` (the one md5-prefix device), so oracles
     replicate keys exactly.
     """
     from blspark.ext.dedup import md5_prefix_int
 
-    w = F.least(
-        F.lit(MAX_WEIGHT),
-        F.greatest(
-            F.lit(1), F.coalesce(F.col(weight_col).cast("int"), F.lit(1))
-        ),
-    )
+    if overflow not in ("clamp", "error"):
+        raise ValueError(f"overflow must be 'clamp' or 'error': {overflow!r}")
+
+    w_in = F.coalesce(F.col(weight_col).cast("int"), F.lit(1))
+    if overflow == "error":
+        # Out-of-contract surfacing: a weight above MAX_WEIGHT would
+        # silently truncate the draw set (biased sample) under the
+        # default clamp; this mode fails the job loudly instead.
+        w_in = F.when(
+            w_in > MAX_WEIGHT,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hashmin_key: weight exceeds MAX_WEIGHT={MAX_WEIGHT}"
+                        " (would clamp and bias the draw set); id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(w_in)
+    w = F.least(F.lit(MAX_WEIGHT), F.greatest(F.lit(1), w_in))
 
     def draw(j):
         return md5_prefix_int(

@@ -64,12 +64,16 @@ def cosine_topk(
         F.col("vec").alias("qvec"),
         _norm(F.col("vec")).alias("qnorm"),
     )
+    # Zero-norm guard (family-wide convention): a degenerate zero
+    # vector has no direction — rank it LAST (-inf) instead of NaN
+    # (which sorts FIRST under DESC) or an ANSI 0/0 abort.
+    denom = F.col("cnorm") * F.col("qnorm")
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("vec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
-            "cos_raw"
-        ),
+        F.when(denom > 0, _dot(F.col("vec"), F.col("qvec")) / denom)
+        .otherwise(F.lit(float("-inf")))
+        .alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
@@ -1500,6 +1504,146 @@ def graph_adjacency(
     )
 
 
+def proto_cross_edges(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_cross: int = 2,
+) -> DataFrame:
+    """LONG-RANGE navigation edges between cell prototypes — the
+    HNSW-style upper-layer links the within-cell kNN graph lacks:
+    each cell's prototype (its most-central member,
+    ``cell_prototypes``) gets a directed edge to the prototypes of
+    its ``m_cross`` most-similar OTHER cells (exact cosine between
+    the prototype vectors, tie-break lowest destination id). A
+    greedy walk can then leave its entry cell through the prototype
+    backbone — without these, reachability (and therefore recall) is
+    capped at the full-scan ceiling of the <= n_seeds entry cells.
+
+    Scale shape: ``cell_prototypes`` is one corpus aggregation pass
+    (map-side argmin/argmax, centroids broadcast); fetching the
+    |cells| prototype vectors is one broadcast semi-join against the
+    scan; the pairing is a |cells| x |cells| broadcast product of a
+    METADATA-sized frame (nlist ~ sqrt(N) keeps this trivially small
+    next to the corpus — at nlist = 10^4 it is 10^8 cheap float ops
+    on compact rows, still centroid-training scale, never
+    corpus-scale). Returns (src_id, dst_id) prototype id pairs."""
+    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
+        F.col("prototype_id").alias("pid")
+    )
+    vecs = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("pid"),
+        "vec",
+        _norm(F.col("vec")).alias("nrm"),
+    )
+    pv = protos.join(vecs, "pid")
+    a = pv.select(
+        F.col("pid").alias("src_id"),
+        F.col("vec").alias("avec"),
+        F.col("nrm").alias("anorm"),
+    )
+    b = pv.select(
+        F.col("pid").alias("dst_id"),
+        F.col("vec").alias("bvec"),
+        F.col("nrm").alias("bnorm"),
+    )
+    denom = F.col("anorm") * F.col("bnorm")
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.when(denom > 0, _dot(F.col("avec"), F.col("bvec")) / denom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_raw"), F.asc("dst_id")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m_cross)
+        .select("src_id", "dst_id")
+    )
+
+
+def graph_adjacency_xcell(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_k: int = 3,
+    m_cross: int = 2,
+) -> DataFrame:
+    """``graph_adjacency`` plus the prototype-backbone long-range
+    edges (``proto_cross_edges``) — the navigable-small-world edge
+    set: dense local links within each cell, sparse cross-cell links
+    between the |cells| prototypes. Undirected (both unions include
+    reversals), deduplicated, eagerly localCheckpointed — the same
+    amortize-across-query-batches artifact as the within-cell
+    adjacency, bigger by only 2 * m_cross * |cells| rows."""
+    edges = knn_graph(
+        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
+    ).select("src_id", "dst_id")
+    both = edges.union(proto_cross_edges(
+        corpus, centroids, id_col, vec_col, m_cross
+    ))
+    return (
+        both.select(
+            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
+        )
+        .union(
+            both.select(
+                F.col("dst_id").alias("cand_id"),
+                F.col("src_id").alias("nbr"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _proto_seeds(
+    q: DataFrame,
+    vecs: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_seeds: int,
+) -> DataFrame:
+    """The beam search's ENTRY step, extracted so the recall contracts
+    can name each query's seed prototypes (and their cells) with the
+    exact scoring/tie-break the walk itself uses: score every cell
+    prototype against every query (metadata-sized broadcast product),
+    keep the top-``n_seeds`` per query. Returns (query_id, cand_id,
+    cos_raw) — the walk's initial visited set."""
+    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
+        F.col("prototype_id").alias("cand_id")
+    )
+    pvec = F.broadcast(protos.join(vecs, "cand_id"))
+    denom = F.col("qnorm") * F.col("cnorm")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        q.crossJoin(pvec)
+        .select(
+            "query_id",
+            "cand_id",
+            F.when(denom > 0, _dot(F.col("qvec"), F.col("cvec")) / denom)
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
+        )
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= n_seeds)
+        .drop("r")
+    )
+
+
 def graph_expand_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1557,26 +1701,8 @@ def graph_expand_topk(
         F.col("vec").alias("qvec"),
         _norm(F.col("vec")).alias("qnorm"),
     )
-    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
-        F.col("prototype_id").alias("cand_id")
-    )
-    pvec = F.broadcast(protos.join(vecs, "cand_id"))
-    denom = F.col("qnorm") * F.col("cnorm")
-    pw = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("cand_id")
-    )
-    visited = (
-        q.crossJoin(pvec)
-        .select(
-            "query_id",
-            "cand_id",
-            F.when(denom > 0, _dot(F.col("qvec"), F.col("cvec")) / denom)
-            .otherwise(F.lit(float("-inf")))
-            .alias("cos_raw"),
-        )
-        .withColumn("r", F.row_number().over(pw))
-        .filter(F.col("r") <= n_seeds)
-        .drop("r")
+    visited = _proto_seeds(
+        q, vecs, corpus, centroids, id_col, vec_col, n_seeds
     )
     if adj is None:
         adj = graph_adjacency(corpus, centroids, id_col, vec_col, knn_k)

@@ -165,6 +165,15 @@ def local_relation(df: DataFrame, schema: str) -> DataFrame:
             return spark.createDataFrame(
                 pd.DataFrame(rows, columns=st.fieldNames()), schema
             )
-        except Exception:
-            pass
+        except Exception as exc:
+            # The RDD fallback silently forfeits the LocalTableScan
+            # performance contract (~5x on downstream actions) — make
+            # the regression detectable instead of invisible.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "local_relation: Arrow/pandas path failed (%s: %s); "
+                "falling back to the slow Python-RDD plan for schema %r",
+                type(exc).__name__, exc, schema,
+            )
     return spark.createDataFrame(rows, schema)

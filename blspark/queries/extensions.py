@@ -447,8 +447,10 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, c.neighbor_id,
-         {_DOT.format(a='c.vec', b='q.qvec')}
-           / ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')}) AS cos_raw
+         CASE WHEN ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')}) > 0
+              THEN {_DOT.format(a='c.vec', b='q.qvec')}
+                   / ({_NORM.format(a='c.vec')} * {_NORM.format(a='q.qvec')})
+              ELSE '-infinity'::DOUBLE END AS cos_raw
   FROM c, q WHERE c.neighbor_id <> q.query_id
 )
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank FROM (

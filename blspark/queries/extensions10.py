@@ -1132,16 +1132,20 @@ _GX_SIM = (
 )
 
 
-def _gx_chain(vec_filter: str = "") -> str:
+def _gx_chain(vec_filter: str = "", cross_m: int = 0) -> str:
     """ONE copy of the greedy-beam-search retrieval chain — the shared
     edges prefix (filtered or not), the undirected adjacency, the
     per-cell prototypes (the CELL_PROTOTYPES argmax device), the
     top-``_GX_SEEDS`` query->prototype seeding, ``_GX_HOPS`` unrolled
     greedy rounds (rank visited by query similarity, expand the top
     ``_GX_BEAM``, score the newly reached), and the final ranked
-    ``gx`` CTE. Serves both the retrieval oracle (unfiltered) and
-    the recall-contract oracle (fixed eval sample). The SQL mirror
-    of ext/similarity.graph_expand_topk's loop, hop by hop."""
+    ``gx`` CTE. Serves both the retrieval oracles (unfiltered) and
+    the recall-contract oracles (fixed eval sample). The SQL mirror
+    of ext/similarity.graph_expand_topk's loop, hop by hop.
+    ``cross_m`` > 0 adds the prototype-backbone long-range edges to
+    the adjacency (each prototype -> its cross_m most-similar OTHER
+    prototypes, cosine desc / dst id asc — the SQL mirror of
+    ext/similarity.proto_cross_edges)."""
     hop_blocks = []
     for i in range(_GX_HOPS):
         hop_blocks.append(f""",
@@ -1168,12 +1172,28 @@ v{i + 1} AS MATERIALIZED (
   JOIN qv q ON q.query_id = x.query_id
   JOIN sized n ON n.vec_id = x.cand
 )""")
-    return f"""{_knn_edges_prefix(vec_filter)},
-adj AS MATERIALIZED (
-  SELECT src_id AS node, dst_id AS nbr FROM edges
+    if cross_m > 0:
+        pp = f""",
+pp AS MATERIALIZED (
+  SELECT src_id, dst_id FROM (
+    SELECT a.proto_id AS src_id, b.proto_id AS dst_id,
+           ROW_NUMBER() OVER (PARTITION BY a.proto_id
+             ORDER BY CASE WHEN (a.nrm * b.nrm) > 0
+                           THEN {_DOTQ.format(a='a.vec', b='b.vec')}
+                                / (a.nrm * b.nrm)
+                           ELSE CAST('-infinity' AS DOUBLE) END DESC,
+                      b.proto_id ASC) AS r
+    FROM pv a JOIN pv b ON a.proto_id <> b.proto_id) t
+  WHERE r <= {cross_m}
+)"""
+        adj_cross = """
   UNION
-  SELECT dst_id, src_id FROM edges
-),
+  SELECT src_id, dst_id FROM pp
+  UNION
+  SELECT dst_id, src_id FROM pp"""
+    else:
+        pp, adj_cross = "", ""
+    return f"""{_knn_edges_prefix(vec_filter)},
 csim AS MATERIALIZED ({_cell_assign_sql(
     "v", "vec_id", 1, extra_expr=_PROTO_SIM, extra_name="sim")}),
 proto AS MATERIALIZED (
@@ -1183,13 +1203,18 @@ proto AS MATERIALIZED (
     FROM csim) t
   WHERE r = 1
 ),
-qv AS MATERIALIZED (
-  SELECT vec_id AS query_id, vec, nrm FROM sized
-  WHERE vec_id >= 10 AND vec_id < 15
-),
 pv AS MATERIALIZED (
   SELECT proto_id, s.vec, s.nrm FROM proto
   JOIN sized s ON s.vec_id = proto_id
+){pp},
+adj AS MATERIALIZED (
+  SELECT src_id AS node, dst_id AS nbr FROM edges
+  UNION
+  SELECT dst_id, src_id FROM edges{adj_cross}
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, vec, nrm FROM sized
+  WHERE vec_id >= 10 AND vec_id < 15
 ),
 v0 AS MATERIALIZED (
   SELECT query_id, cand, cos_raw FROM (
@@ -1322,8 +1347,11 @@ exact AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, n.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
-             ORDER BY {_DOTQ.format(a='q.vec', b='n.vec')}
-                      / (q.nrm * n.nrm) DESC, n.vec_id ASC) AS r
+             ORDER BY CASE WHEN (q.nrm * n.nrm) > 0
+                           THEN {_DOTQ.format(a='q.vec', b='n.vec')}
+                                / (q.nrm * n.nrm)
+                           ELSE '-infinity'::DOUBLE END DESC,
+                      n.vec_id ASC) AS r
     FROM qv q JOIN sized n ON n.vec_id <> q.query_id) t
   WHERE r <= {_GX_K}
 )
@@ -1839,13 +1867,15 @@ def _gc_orphan_layout_dirs(spark, prefixes, tag) -> None:
     Dirs owned by a LIVE pid belong to a concurrent session and are
     left alone — that is the whole point of the per-process names.
     Legacy dirs from the pre-pid STABLE naming scheme (bare
-    ``{prefix}_{tag}``) are removed unconditionally: no current
-    process can own one (every writer now pid-tags), and nothing
-    overwrites them in place anymore, so without this branch they
-    would leak forever in a pre-existing warehouse."""
+    ``{prefix}_{tag}``) are removed only once STALE (mtime older than
+    an hour): no current-version process can own one (every writer
+    now pid-tags), but a concurrent session still running an OLD code
+    version could be mid-scan on a fresh one — the age gate avoids
+    racing it while still draining the leak within the hour."""
     import os
     import re
     import shutil
+    import time
     import urllib.parse
 
     wpath = urllib.parse.urlparse(
@@ -1861,7 +1891,14 @@ def _gc_orphan_layout_dirs(spark, prefixes, tag) -> None:
         dead_owner = m and int(m.group(1)) != os.getpid() and not _pid_alive(
             int(m.group(1))
         )
-        if dead_owner or legacy.match(entry):
+        stale_legacy = False
+        if not dead_owner and legacy.match(entry):
+            try:
+                age = time.time() - os.path.getmtime(os.path.join(wpath, entry))
+            except OSError:
+                age = 0.0
+            stale_legacy = age > 3600.0
+        if dead_owner or stale_legacy:
             shutil.rmtree(os.path.join(wpath, entry), ignore_errors=True)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import time
 
 from tests.conftest import SF_ORACLE
 
@@ -80,7 +81,9 @@ def test_orphan_gc_reclaims_dead_pid_dirs(spark):
     live_dir = os.path.join(
         wpath, f"blspark_bkt_orders_{tag}_p{os.getpid()}"
     )
-    # pre-pid stable-name scheme: no owner concept, always reclaimed
+    # pre-pid stable-name scheme: no owner concept, but reclaimed only
+    # once STALE (mtime > 1h) so a concurrent session still running the
+    # old code version is not raced mid-scan
     legacy_dir = os.path.join(wpath, f"blspark_bkt_orders_{tag}")
     os.makedirs(dead_dir, exist_ok=True)
     os.makedirs(live_dir, exist_ok=True)
@@ -88,6 +91,14 @@ def test_orphan_gc_reclaims_dead_pid_dirs(spark):
     try:
         _gc_orphan_layout_dirs(spark, ("blspark_bkt_orders",), tag)
         assert not os.path.isdir(dead_dir)
+        # fresh legacy dir: could still be in use by an old-version
+        # session — survives the sweep
+        assert os.path.isdir(legacy_dir)
+        assert os.path.isdir(live_dir)
+        # age it past the 1h gate: now it is an orphan and is drained
+        old = time.time() - 2 * 3600
+        os.utime(legacy_dir, (old, old))
+        _gc_orphan_layout_dirs(spark, ("blspark_bkt_orders",), tag)
         assert not os.path.isdir(legacy_dir)
         assert os.path.isdir(live_dir)
     finally:

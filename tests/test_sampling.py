@@ -30,6 +30,25 @@ def test_hashmin_key_matches_independent_md5(spark):
         assert r["skey"] == _py_key(r["id"], r["w"]), r
 
 
+def test_hashmin_key_overflow_error_mode(spark):
+    """overflow='error' surfaces out-of-contract weights (silent clamp
+    would bias the draw set); in-contract weights behave identically
+    to the default clamp mode."""
+    import pytest
+
+    ok = spark.createDataFrame([(1, 8), (2, None)], "id long, w int")
+    assert {
+        r["id"]: r["skey"]
+        for r in hashmin_key(ok, "id", "w", overflow="error").collect()
+    } == {r["id"]: r["skey"] for r in hashmin_key(ok, "id", "w").collect()}
+
+    bad = spark.createDataFrame([(3, 9)], "id long, w int")
+    with pytest.raises(Exception, match="MAX_WEIGHT"):
+        hashmin_key(bad, "id", "w", overflow="error").collect()
+    with pytest.raises(ValueError, match="overflow"):
+        hashmin_key(bad, "id", "w", overflow="warn")
+
+
 def test_hashmin_key_monotone_in_weight(spark):
     """min over 1..8 draws is a min over a superset of 1..1 — raising
     any item's weight can only lower (never raise) its key. This is
