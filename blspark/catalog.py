@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     # new queries + all 38 r7 + the alphabetically-first r8 fill, and
     # after this round the oldest signature is r8 (window <= 4 rounds).
     # round-12 first-timers:
+    "x_retrieval_graph_expand_xcell",
+    "x_graph_expand_xcell_eval",
     # r7 signatures (38):
     "q_grouped_agg_pricing",
     "q_histogram_bins",

@@ -215,6 +215,7 @@ def _recall_contract(
     k: int,
     extra=None,
     chance_mult: int = 10,
+    extra_frames: tuple = (),
 ) -> DataFrame:
     """The ONE copy of the fixed-sample recall contract-row builder
     shared by x_sq8_eval / x_maxsim_eval / x_ivf_sq8_eval (a floor or
@@ -224,7 +225,9 @@ def _recall_contract(
     ``n_col`` the name of the approx-count column in the contract row
     (n_sq8 / n_pruned), ``extra`` an optional callable mapping the
     joined 1-row frame to additional contract columns (x_sq8_eval's
-    recall_hi_ok)."""
+    recall_hi_ok); ``extra_frames`` additional 1-row count frames
+    crossJoined in for ``extra`` to read (the xcell eval's
+    escaped-seed-cells count)."""
     a = approx_ranked.select("query_id", "neighbor_id")
     tp = a.join(exact_pairs, ["query_id", "neighbor_id"])
 
@@ -249,6 +252,8 @@ def _recall_contract(
         .crossJoin(n_corpus)
         .crossJoin(card)
     )
+    for xf in extra_frames:
+        joined = joined.crossJoin(xf)
     cols = [
         F.col("n_queries"),
         F.col(n_col),
@@ -1132,7 +1137,12 @@ _GX_SIM = (
 )
 
 
-def _gx_chain(vec_filter: str = "", cross_m: int = 0) -> str:
+def _gx_chain(
+    vec_filter: str = "",
+    cross_m: int = 0,
+    hops: int = _GX_HOPS,
+    beam: int = _GX_BEAM,
+) -> str:
     """ONE copy of the greedy-beam-search retrieval chain — the shared
     edges prefix (filtered or not), the undirected adjacency, the
     per-cell prototypes (the CELL_PROTOTYPES argmax device), the
@@ -1145,15 +1155,16 @@ def _gx_chain(vec_filter: str = "", cross_m: int = 0) -> str:
     ``cross_m`` > 0 adds the prototype-backbone long-range edges to
     the adjacency (each prototype -> its cross_m most-similar OTHER
     prototypes, cosine desc / dst id asc — the SQL mirror of
-    ext/similarity.proto_cross_edges)."""
+    ext/similarity.proto_cross_edges); ``hops``/``beam`` pick the
+    search budget (the xcell rung runs a deeper walk)."""
     hop_blocks = []
-    for i in range(_GX_HOPS):
+    for i in range(hops):
         hop_blocks.append(f""",
 f{i} AS MATERIALIZED (
   SELECT query_id, cand FROM (
     SELECT query_id, cand, ROW_NUMBER() OVER (PARTITION BY query_id
       ORDER BY cos_raw DESC, cand ASC) AS r FROM v{i}) t
-  WHERE r <= {_GX_BEAM}
+  WHERE r <= {beam}
 ),
 x{i} AS MATERIALIZED (
   SELECT DISTINCT f.query_id, a.nbr AS cand
@@ -1229,7 +1240,7 @@ gx AS MATERIALIZED (
   SELECT query_id, cand AS neighbor_id, cos_raw,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos_raw DESC, cand ASC) AS INT) AS rank
-  FROM v{_GX_HOPS}
+  FROM v{hops}
   WHERE cand <> query_id
 )"""
 
@@ -1415,6 +1426,223 @@ def x_graph_expand_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _recall_contract(
         emb, queries, gx, exact, "n_gx", _GX_K, chance_mult=_GX_CHANCE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-cell graph retrieval: prototype-backbone long-range edges
+# ---------------------------------------------------------------------------
+
+# The xcell rung's operating point: within-cell edges alone cap the
+# walk at its <= _GX_SEEDS entry cells, so the r11 doc honestly called
+# 2400 bp (sf0.01) the full-cell-scan ceiling. The prototype backbone
+# (m_cross=3 long-range links) plus a DEEPER walk (HNSW's efSearch
+# lever: 10 hops, beam 20 — per-query cost still O(hops*beam*degree),
+# constant in corpus size) measured 4000/3200 bp at sf0.01/sf0.1 vs
+# 3200/2000 for the within-only walk at the SAME budget and 2400/800
+# at the r11 budget — the long-range edges, not the budget, lift the
+# reachability ceiling, so this rung pins the family-standard 10x
+# chance floor (_GX_CHANCE only claims 5x) plus escaped_ok: at least
+# one returned neighbor lies OUTSIDE its query's seed cells, which the
+# within-cell walk can never produce.
+_GXX_M = 3
+_GXX_HOPS = 10
+_GXX_BEAM = 20
+
+GRAPH_EXPAND_XCELL_ORACLE = f"""
+WITH {_gx_chain(cross_m=_GXX_M, hops=_GXX_HOPS, beam=_GXX_BEAM)}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM gx WHERE rank <= {_GX_K}
+"""
+
+
+def _xcell_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
+    """Shared body of the xcell retrieval query and its recall
+    contract: build the cross-cell adjacency, run the deep walk."""
+    from blspark.ext.similarity import (
+        graph_adjacency_xcell,
+        graph_expand_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if eval_sample:
+        emb = emb.filter(F.col("vec_id") < _SQ8_EVAL_N)
+    cents = _det_centroids(emb)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    adj = graph_adjacency_xcell(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
+    )
+    gx = graph_expand_topk(
+        emb,
+        cents,
+        queries,
+        k=_GX_K,
+        knn_k=_KNN_K,
+        hops=_GXX_HOPS,
+        beam=_GXX_BEAM,
+        n_seeds=_GX_SEEDS,
+        adj=adj,
+    )
+    return emb, cents, queries, gx
+
+
+@register(
+    "x_retrieval_graph_expand_xcell",
+    bench=True,
+    oracle=GRAPH_EXPAND_XCELL_ORACLE,
+    doc="Graph retrieval over a NAVIGABLE-SMALL-WORLD edge set: the "
+    "within-cell kNN edges plus HNSW-style long-range links — each "
+    "cell's prototype connects to its 3 most-similar OTHER cells' "
+    "prototypes (proto_cross_edges: a |cells| x |cells| broadcast "
+    "product of a metadata-sized frame, never corpus-scale) — walked "
+    "by the same greedy beam search at a deeper operating point "
+    "(hops=10, beam=20: the efSearch recall/latency knob; per-query "
+    "cost stays O(hops*beam*degree), independent of corpus and cell "
+    "size). The long-range edges remove the structural recall "
+    "ceiling of the within-cell rung: a walk can leave its entry "
+    "cells through the prototype backbone, which "
+    "x_retrieval_graph_expand structurally cannot. Full hash-checked "
+    "oracle: the shared beam chain with the prototype-pair edge CTE "
+    "unioned into the adjacency, 10 hops unrolled. "
+    "ext/similarity.graph_adjacency_xcell / proto_cross_edges.",
+)
+def x_retrieval_graph_expand_xcell(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _xcell_gx(spark, sf_dir, eval_sample=False)[3]
+
+
+_GXX_TP_SQL = (
+    "SELECT COUNT(*) FROM gxk a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+GRAPH_EXPAND_XCELL_EVAL_ORACLE = f"""
+WITH {_gx_chain(f"WHERE vec_id < {_SQ8_EVAL_N}", cross_m=_GXX_M,
+                hops=_GXX_HOPS, beam=_GXX_BEAM)},
+gxk AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM gx WHERE rank <= {_GX_K}
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY CASE WHEN (q.nrm * n.nrm) > 0
+                           THEN {_DOTQ.format(a='q.vec', b='n.vec')}
+                                / (q.nrm * n.nrm)
+                           ELSE '-infinity'::DOUBLE END DESC,
+                      n.vec_id ASC) AS r
+    FROM qv q JOIN sized n ON n.vec_id <> q.query_id) t
+  WHERE r <= {_GX_K}
+),
+esc AS MATERIALIZED (
+  SELECT g.query_id, g.neighbor_id FROM gxk g
+  JOIN cassign ca ON ca.vec_id = g.neighbor_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v0 s JOIN cassign pc ON pc.vec_id = s.cand
+    WHERE s.query_id = g.query_id AND pc.cell_id = ca.cell_id)
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM qv) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM gxk) AS INT) AS n_gxx,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_GXX_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_GXX_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_GXX_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_GX_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  CAST((SELECT COUNT(*) FROM esc) AS INT) AS n_escaped,
+  (SELECT COUNT(*) FROM esc) > 0 AS escaped_ok,
+  (SELECT bool_and(n = {_GX_K} AND mr = {_GX_K}) FROM (
+     SELECT query_id, COUNT(*) AS n, MAX(rank) AS mr
+     FROM gxk GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_graph_expand_xcell_eval",
+    oracle=GRAPH_EXPAND_XCELL_EVAL_ORACLE,
+    doc="Recall contract for the cross-cell graph-retrieval rung, "
+    "with the STRUCTURAL pin the within-cell rung cannot make: "
+    "escaped_ok asserts at least one returned neighbor lies outside "
+    "its query's seed cells — reachable only through the prototype "
+    "backbone (x_retrieval_graph_expand's adjacency never crosses a "
+    "cell boundary, so its n_escaped is zero by construction). "
+    "recall_ok pins the family-standard 10x-chance floor (the "
+    "within rung only claims 5x, _GX_CHANCE): measured 4000 bp "
+    "(sf0.01) / 3200 bp (sf0.1) vs 100 bp chance — ABOVE both the "
+    "2400 bp full-cell-scan ceiling the r11 rung documented and the "
+    "3200/2000 bp the within-only walk scores at the SAME deepened "
+    "budget (tests/test_similarity_graph.py pins the comparison). "
+    "Seed cells come from the SAME _proto_seeds step the walk uses; "
+    "the oracle mirrors it via v0 x cassign. Deterministic contract "
+    "row, sample-scale universe (the x_pq_eval device).",
+)
+def x_graph_expand_xcell_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        _proto_seeds,
+        cosine_topk,
+        with_double_vec,
+    )
+
+    emb, cents, queries, gx = _xcell_gx(spark, sf_dir, eval_sample=True)
+    exact = cosine_topk(emb, queries, k=_GX_K).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = with_double_vec(emb, "embedding").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("cvec"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    q = with_double_vec(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    seeds = _proto_seeds(
+        q, vecs, emb, cents, "vec_id", "embedding", _GX_SEEDS
+    )
+    assigned = _cell_assign(
+        with_double_vec(emb, "embedding").select(
+            F.col("vec_id").alias("nid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        _centroid_frame(cents),
+        "nid",
+        1,
+    ).select("nid", "cell_id")
+    seed_cells = (
+        seeds.join(assigned, seeds["cand_id"] == assigned["nid"])
+        .select("query_id", "cell_id")
+        .distinct()
+    )
+    nbr_cells = gx.join(
+        assigned, gx["neighbor_id"] == assigned["nid"]
+    ).select("query_id", "cell_id")
+    n_escaped = (
+        nbr_cells.join(seed_cells, ["query_id", "cell_id"], "left_anti")
+        .agg(F.count("*").cast("int").alias("n_escaped"))
+    )
+    return _recall_contract(
+        emb,
+        queries,
+        gx,
+        exact,
+        "n_gxx",
+        _GX_K,
+        extra=lambda j: [
+            F.col("n_escaped"),
+            (F.col("n_escaped") > 0).alias("escaped_ok"),
+        ],
+        chance_mult=10,
+        extra_frames=(n_escaped,),
     )
 
 

@@ -430,6 +430,110 @@ def test_graph_expand_no_self_and_k_bound(spark):
 
 
 # ---------------------------------------------------------------------------
+# Cross-cell long-range edges (proto_cross_edges / graph_adjacency_xcell)
+# ---------------------------------------------------------------------------
+
+
+def test_proto_cross_edges_tiny_connects_prototypes(spark):
+    """On the two-cell frame each cell's prototype links to the OTHER
+    cell's prototype (m_cross=1, only one other cell exists), and the
+    endpoints really are the per-cell most-central members."""
+    from blspark.ext.similarity import cell_prototypes, proto_cross_edges
+
+    emb, cents = _tiny(spark)
+    protos = {
+        r["cell_id"]: r["prototype_id"]
+        for r in cell_prototypes(emb, cents).collect()
+    }
+    edges = {
+        (r["src_id"], r["dst_id"])
+        for r in proto_cross_edges(emb, cents, m_cross=1).collect()
+    }
+    assert edges == {
+        (protos[0], protos[1]),
+        (protos[1], protos[0]),
+    }
+
+
+def test_xcell_adjacency_superset_and_symmetric(spark):
+    """The xcell adjacency contains every within-cell edge, is
+    symmetric, and its EXTRA edges connect prototypes only."""
+    from blspark.ext.similarity import (
+        cell_prototypes,
+        graph_adjacency,
+        graph_adjacency_xcell,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    within = {
+        (r["cand_id"], r["nbr"])
+        for r in graph_adjacency(emb, cents, knn_k=3).collect()
+    }
+    xcell = {
+        (r["cand_id"], r["nbr"])
+        for r in graph_adjacency_xcell(
+            emb, cents, knn_k=3, m_cross=2
+        ).collect()
+    }
+    assert within <= xcell
+    assert {(b, a) for a, b in xcell} == xcell
+    protos = {
+        r["prototype_id"] for r in cell_prototypes(emb, cents).collect()
+    }
+    for a, b in xcell - within:
+        assert a in protos and b in protos
+
+
+def test_xcell_recall_beats_within_at_same_budget(spark):
+    """The round-12 claim behind x_graph_expand_xcell_eval: at the
+    SAME deepened budget (hops=10, beam=20) the prototype-backbone
+    edges recover strictly MORE true top-5 neighbors than the
+    within-cell-only adjacency, and beat the 2400 bp full-cell-scan
+    ceiling the r11 rung documented (measured 4000 vs 3200 bp at
+    sf0.01, 3200 vs 2000 bp at sf0.1 — both SFs hold, gotcha 17)."""
+    from blspark.ext.similarity import (
+        cosine_topk,
+        graph_adjacency,
+        graph_adjacency_xcell,
+        graph_expand_topk,
+    )
+    from blspark.queries.extensions10 import _det_centroids
+    from tests.conftest import SF_ORACLE
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .filter(F.col("vec_id") < 500)
+    )
+    cents = _det_centroids(emb)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    tps = {}
+    for tag, adj in (
+        ("within", graph_adjacency(emb, cents, knn_k=3)),
+        ("xcell", graph_adjacency_xcell(emb, cents, knn_k=3, m_cross=3)),
+    ):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in graph_expand_topk(
+                emb, cents, queries,
+                k=5, knn_k=3, hops=10, beam=20, n_seeds=3, adj=adj,
+            ).select("query_id", "neighbor_id").collect()
+        }
+        tps[tag] = len(got & exact)
+    assert tps["xcell"] > tps["within"]
+    assert tps["xcell"] * 10000 // len(exact) > 2400
+
+
+# ---------------------------------------------------------------------------
 # Recursive-IVF refinement (split_oversized_cells / knn_graph_split)
 # ---------------------------------------------------------------------------
 
