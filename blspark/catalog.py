@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-12 first-timers:
     "x_retrieval_graph_expand_xcell",
     "x_graph_expand_xcell_eval",
+    "s_stream_index_persist",
     # r7 signatures (38):
     "q_grouped_agg_pricing",
     "q_histogram_bins",

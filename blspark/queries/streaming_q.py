@@ -891,6 +891,140 @@ def s_stream_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming insert into the PERSISTED cell-partitioned index table
+# ---------------------------------------------------------------------------
+
+# arrivals = vec_id < _SIDX_NEW; the base index is built from the rest
+_SIDX_NEW = 50
+_SIDX_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def streamed_sq8_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """(raw, compacted) IVF,SQ8 index tables maintained BY THE STREAM:
+    the base index (corpus minus the 'new' rows) is written once as a
+    cell_id-partitioned table (the x_index_persist_scan layout), then
+    arrivals stateless-encode (cell_assign_stateless + sq8_quantize —
+    bit-identical to the batch rule) and foreachBatch-APPEND into the
+    SAME table via positional insertInto: each micro-batch lands as
+    partition-LOCAL files under the arrivals' cell directories, no
+    rewrite of existing data. The compaction pass then rewrites the
+    accumulated small files back to one file per cell directory (the
+    physical half of x_compaction_plan's planning shape) into the
+    compacted twin — content-identical, scan-efficient. Same
+    memo/pid-name/GC machinery as every layout demo."""
+    from blspark.ext.similarity import (
+        _quantized_cells,
+        cell_assign_stateless,
+        sq8_quantize,
+    )
+    from blspark.queries.extensions9 import _det_centroids
+    from blspark.queries.extensions10 import _layout_tables
+
+    def build(raw: str, compact: str) -> None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = _det_centroids(emb)  # frozen FULL-corpus centroids
+        base = _quantized_cells(
+            emb.filter(F.col("vec_id") >= _SIDX_NEW), cents
+        )
+        (
+            base.repartition(F.col("cell_id"))
+            .write.partitionBy("cell_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(raw)
+        )
+        cent_rows = [
+            (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+        ]
+        stream = (
+            file_arrival_stream(
+                spark, sf_dir, schema=emb.schema, glob="embeddings.parquet"
+            )
+            .filter(F.col("vec_id") < _SIDX_NEW)
+            .select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            )
+        )
+        codes = sq8_quantize(
+            cell_assign_stateless(stream, cent_rows),
+            id_col="vid",
+            keep=("cell_id",),
+        )
+
+        def append_batch(batch: DataFrame, _epoch: int) -> None:
+            # positional insertInto: table schema is (vid, qvec,
+            # scale) + cell_id LAST (the partition column) — appends
+            # create files only under the arrivals' cell directories
+            batch.select("vid", "qvec", "scale", "cell_id").write.mode(
+                "append"
+            ).insertInto(raw)
+
+        run_available_now(codes, batch_fn=append_batch)
+        (
+            spark.table(raw)
+            .repartition(F.col("cell_id"))
+            .write.partitionBy("cell_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(compact)
+        )
+
+    return _layout_tables(
+        _SIDX_TABLES,
+        spark,
+        sf_dir,
+        ("blspark_sq8_sidx_raw", "blspark_sq8_sidx_cmp"),
+        build,
+    )
+
+
+@register(
+    "s_stream_index_persist",
+    # the rebuilt-from-scratch oracle: the s_stream_index_ivf_sq8
+    # chain verbatim — base + arrivals + compaction must equal it
+    oracle=_ivf_sq8_stream_oracle(),
+    doc="Streaming insert into the PERSISTED partitioned ANN index — "
+    "composing the two halves that existed separately: "
+    "x_index_persist_scan's cell-partitioned index TABLE and "
+    "s_stream_index_ivf_sq8's stateless arrival encode. Arrivals "
+    "append via foreachBatch insertInto as partition-local files "
+    "(no existing data rewritten — at 100 TB an arrival batch costs "
+    "its own bytes, never an index rebuild), then the compaction "
+    "pass (the physical twin of x_compaction_plan) rewrites the "
+    "accumulated per-batch small files to one file per cell. The "
+    "returned frame is the COMPACTED table's full content, "
+    "hash-checked against the batch rebuild-from-scratch oracle "
+    "(the s_stream_index_ivf_sq8 chain verbatim): base + streamed "
+    "arrivals + compaction provably equals a full batch rebuild, "
+    "the invariant that makes incremental index maintenance sound. "
+    "tests/test_stream_index_persist.py pins the physical claims "
+    "(partition-local appends, compacted file count = |cells|, "
+    "raw/compacted content identity).",
+)
+def s_stream_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _raw, compact = streamed_sq8_index_tables(spark, sf_dir)
+    return (
+        spark.table(compact)
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell_id",
+            F.posexplode("qvec").alias("pos", "q"),
+            "scale",
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("pos").cast("int").alias("pos"),
+            "q",
+            "scale",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming hard-negative mining (stateless draws vs a frozen index)
 # ---------------------------------------------------------------------------
 
