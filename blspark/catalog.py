@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_retrieval_graph_expand_xcell",
     "x_graph_expand_xcell_eval",
     "s_stream_index_persist",
+    "x_index_persist_scan_warm",
     # r7 signatures (38):
     "q_grouped_agg_pricing",
     "q_histogram_bins",

@@ -2446,3 +2446,27 @@ def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _sq8_rank(paired, _SQ8_K)
+
+
+@register(
+    "x_index_persist_scan_warm",
+    bench=True,
+    oracle=IVF_SQ8_ORACLE,
+    doc="The persisted-index probe path ALONE — result-identical to "
+    "x_index_persist_scan (same oracle, same body: the probe against "
+    "the cell-partitioned index table), registered separately so the "
+    "bench attributes build vs probe the way the components/expand "
+    "warm variants do: the plain entry's cold number charges the "
+    "one-time index TABLE build + the probe, while this entry runs "
+    "after it (bench passes are name-sorted) and finds the table "
+    "already memoized for the session (sq8_index_table's "
+    "_layout_tables memo), so its cold number prices exactly the "
+    "production steady-state: probe the nprobe=2 cells' directories "
+    "(PartitionFilters-pruned literal IN), broadcast the query "
+    "codes, score with the shared _sq8_rank tail. A regression in "
+    "either half is now attributable from the cold dict alone.",
+)
+def x_index_persist_scan_warm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return x_index_persist_scan(spark, sf_dir)
