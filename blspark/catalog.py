@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     # new queries + all 38 r7 + the alphabetically-first r8 fill, and
     # after this round the oldest signature is r8 (window <= 4 rounds).
     # round-12 first-timers:
+    "x_similarity_ivf_adaptive",
+    "x_ivf_adaptive_eval",
     "x_retrieval_graph_expand_xcell",
     "x_graph_expand_xcell_eval",
     "s_stream_index_persist",

@@ -661,16 +661,29 @@ def ivf_topk(
     ).select(
         "query_id", F.col("vec").alias("qvec"), F.col("vnorm").alias("qnorm"), "cell_id"
     )
+    return _ivf_float_rank(c, q, k)
+
+
+def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """The ONE exact-cosine IVF scoring tail shared by ``ivf_topk`` and
+    ``ivf_adaptive_topk``: equi-join the cell-assigned corpus ``c``
+    (neighbor_id, vec, vnorm, cell_id) with the probe list ``q``
+    (query_id, qvec, qnorm, cell_id), score with the family's zero-norm
+    guard (a degenerate vector ranks LAST as -inf instead of an ANSI
+    0/0 abort; finite sims are untouched), and take the per-query
+    top-k. Each neighbor lives in exactly one cell, so (query,
+    neighbor) pairs are unique even with multiple probes — no distinct
+    needed."""
+    denom = F.col("vnorm") * F.col("qnorm")
     scored = c.join(
         q, (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id"))
     ).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("vec"), F.col("qvec"))
-         / (F.col("vnorm") * F.col("qnorm"))).alias("cos_raw"),
+        F.when(denom > 0, _dot(F.col("vec"), F.col("qvec")) / denom)
+        .otherwise(F.lit(float("-inf")))
+        .alias("cos_raw"),
     )
-    # each neighbor lives in exactly one cell, so (query, neighbor) pairs
-    # are already unique even with nprobe > 1 — no distinct needed
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -679,6 +692,149 @@ def ivf_topk(
             "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
         )
     )
+
+
+def adaptive_probes(
+    queries: DataFrame,
+    cent: DataFrame,
+    idc: str,
+    probe_lo: int,
+    probe_hi: int,
+    margin_threshold: float,
+) -> DataFrame:
+    """Query-adaptive probe list — the recall/latency knob a fixed
+    ``nprobe`` lacks: a query whose top-1 cell wins by a CLEAR margin
+    (top1 - top2 cosine >= ``margin_threshold``) scans only its
+    ``probe_lo`` nearest cells; an AMBIGUOUS query (small margin — it
+    sits near a cell boundary, where true neighbors spill into the
+    runner-up cells) widens to ``probe_hi``. ``cent`` is a
+    ``_centroid_frame`` output (broadcast). Returns (idc, vec → qvec
+    caller-side, vnorm, cell_id, nprobe_used) rows, ``probe_lo`` or
+    ``probe_hi`` per query.
+
+    The margin guards the family's degenerate cases: with fewer than
+    two cells, or a zero-norm query/centroid (cell_sim pinned to -inf
+    by the shared guard), the margin is forced to 0.0 — the query is
+    treated as ambiguous and scans ``probe_hi`` cells, never NaN
+    (-inf minus -inf) which the two engines ORDER oppositely.
+
+    Scale shape: queries x |cells| is metadata-sized (centroids
+    broadcast); the per-query rank window and the two conditional-max
+    windows partition by query id — no corpus-sized work anywhere."""
+    if probe_lo > probe_hi:
+        raise ValueError("probe_lo must be <= probe_hi")
+    denom = F.col("vnorm") * F.col("centnorm")
+    scored = queries.crossJoin(F.broadcast(cent)).select(
+        F.col(idc),
+        "vec",
+        "vnorm",
+        "cell_id",
+        F.when(denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom)
+        .otherwise(F.lit(float("-inf")))
+        .alias("cell_sim"),
+    )
+    w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    wq = Window.partitionBy(idc)
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    s1 = F.max(F.when(F.col("crank") == 1, F.col("cell_sim"))).over(wq)
+    s2 = F.max(F.when(F.col("crank") == 2, F.col("cell_sim"))).over(wq)
+    neg_inf = F.lit(float("-inf"))
+    margin = F.when(
+        s2.isNotNull() & (s1 > neg_inf) & (s2 > neg_inf), s1 - s2
+    ).otherwise(F.lit(0.0))
+    nprobe_used = F.when(
+        margin >= F.lit(margin_threshold), F.lit(probe_lo)
+    ).otherwise(F.lit(probe_hi))
+    return (
+        ranked.withColumn("nprobe_used", nprobe_used)
+        .filter(F.col("crank") <= F.col("nprobe_used"))
+        .drop("cell_sim", "crank")
+    )
+
+
+def ivf_adaptive_probe_frame(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    probe_lo: int = 2,
+    probe_hi: int = 4,
+    margin_threshold: float = 0.05,
+) -> DataFrame:
+    """Public (query_id, cell_id, nprobe_used) probe-list view of
+    ``adaptive_probes`` — what eval contracts count scanned-cell
+    budgets from. With ``probe_lo == probe_hi == n`` this is exactly
+    the fixed-``nprobe`` probe list (the margin branch is vacuous), so
+    fixed-budget comparators come from the same single code path."""
+    cent = _centroid_frame(centroids)
+    return adaptive_probes(
+        with_double_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "query_id",
+        probe_lo,
+        probe_hi,
+        margin_threshold,
+    ).select("query_id", "cell_id", "nprobe_used")
+
+
+def ivf_adaptive_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    k: int = 5,
+    probe_lo: int = 2,
+    probe_hi: int = 4,
+    margin_threshold: float = 0.05,
+) -> DataFrame:
+    """IVF ANN with QUERY-ADAPTIVE probing: per-query ``nprobe`` chosen
+    from the query <-> centroid similarity margin (``adaptive_probes``)
+    instead of one fixed fan-out — confident queries pay ``probe_lo``
+    cells, boundary queries widen to ``probe_hi``. At 100 TB this is
+    the standard serving knob: the scan budget concentrates on the
+    queries whose recall actually needs it, so the fleet-wide
+    cells-scanned budget drops below fixed-``probe_hi`` while recall
+    holds above fixed-``probe_lo`` (the x_ivf_adaptive_eval contract
+    measures both against exact ground truth).
+
+    Corpus side is the shared ``_cell_assign`` probes=1 rule (map-side
+    hash-agg argmin — identical cell geometry to the whole IVF
+    family); scoring/ranking is ``_ivf_float_rank``, shared verbatim
+    with ``ivf_topk``, so with ``probe_lo == probe_hi == n`` results
+    equal ``ivf_topk(nprobe=n)`` exactly (property-tested). Returns
+    (query_id, neighbor_id, cosine, rank, nprobe_used)."""
+    cent = _centroid_frame(centroids)
+    c = _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "neighbor_id",
+        1,
+    )
+    q = adaptive_probes(
+        with_double_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        cent,
+        "query_id",
+        probe_lo,
+        probe_hi,
+        margin_threshold,
+    ).select(
+        "query_id", F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"), "cell_id", "nprobe_used",
+    )
+    ranked = _ivf_float_rank(c, q.drop("nprobe_used"), k)
+    return ranked.join(
+        F.broadcast(q.select("query_id", "nprobe_used").distinct()), "query_id"
+    ).select("query_id", "neighbor_id", "cosine", "rank", "nprobe_used")
 
 
 def _blocked_cell_join(

@@ -1,0 +1,354 @@
+"""Round-12 extension operators: query-adaptive IVF probing.
+
+- ``x_similarity_ivf_adaptive``: per-query ``nprobe`` chosen from the
+  query <-> centroid similarity margin — confident queries (clear
+  top-1 cell) scan ``probe_lo`` cells, ambiguous queries (near a cell
+  boundary, where true neighbors spill into runner-up cells) widen to
+  ``probe_hi``. The standard IVF recall/latency knob (FAISS exposes it
+  as per-query nprobe / adaptive search parameters) the fixed-nprobe
+  family lacked.
+- ``x_ivf_adaptive_eval``: the contract that prices the knob against
+  exact ground truth — recall ABOVE fixed nprobe=3 at one scanned
+  cell more (16 vs 15 over the 5-query set), UNDER fixed nprobe=4's
+  20-cell budget, measured at both SFs before pinning.
+
+Reference scope: the reference pipeline (lambda_functions/
+report_processor.py, sync_and_fetch.py — pandas/boto3, no vector
+search) has none of this; the family extends SURVEY.md §2's
+"training-data pipeline" charter like the rest of the IVF/PQ grid.
+
+Oracle devices shared with extensions9/10 (one copy of the cell
+geometry): ``_ivf_prefix_sql`` for vecs/cents/cassign, ``_DOTQ`` /
+``_NORMQ`` for the fold fragments, ``_SQ8_EVAL_N`` for the fixed
+eval universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blspark.catalog import load_table, register
+from blspark.queries.extensions9 import (
+    _DOTQ,
+    _NORMQ,
+    _SQ8_K,
+    _det_centroids,
+    _ivf_prefix_sql,
+    _IVF_PREFIX_SQL,
+)
+from blspark.queries.extensions10 import _SQ8_EVAL_N, _recall_contract
+
+# Adaptive-probing configuration: measured on the family's query set
+# (vec_id 10..15) at BOTH SFs before pinning (gotcha 17 — the
+# embeddings are not prefix-stable across SFs): margins straddle the
+# 0.05 threshold 2 confident / 3 ambiguous at sf0.01 AND sf0.1, with
+# the nearest margin 0.009 away from the threshold (and cosines are
+# bitwise-identical across engines, so the classification is exact).
+_ADAPT_LO = 2
+_ADAPT_HI = 4
+_ADAPT_THR = 0.05
+
+_COSQ = "{dot} / ({na} * {nb})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Zero-norm-guarded cosine fragment — mirrors the library's
+    family-wide F.when(denom > 0, ...).otherwise(-inf) guard (a
+    degenerate vector ranks LAST, never NaN / an ANSI 0/0 abort)."""
+    na, nb = _NORMQ.format(a=a), _NORMQ.format(a=b)
+    dot = _DOTQ.format(a=a, b=b)
+    return (
+        f"CASE WHEN ({na} * {nb}) > 0 THEN {dot} / ({na} * {nb}) "
+        f"ELSE CAST('-infinity' AS DOUBLE) END"
+    )
+
+
+def _adaptive_probe_sql(id_filter: str) -> str:
+    """qsim / qmargin / probe CTE chain — the SQL mirror of
+    ``adaptive_probes``: rank all cells per query by guarded cosine,
+    margin = top1 - top2 (forced to 0.0 — ambiguous — when either is
+    -inf or the second cell is missing, exactly the library's NaN
+    guard), per-query nprobe from the margin CASE."""
+    cos = _cos_sql("q.vec", "c.cvec")
+    return f"""qsim AS MATERIALIZED (
+  SELECT query_id, cell_id, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, cell_id ASC) AS INT) AS r
+  FROM (
+    SELECT q.vec_id AS query_id, c.cell_id, {cos} AS s
+    FROM vecs q, cents c {id_filter}) t
+),
+qmargin AS MATERIALIZED (
+  SELECT query_id,
+         CASE WHEN MAX(CASE WHEN r = 2 THEN s END) IS NOT NULL
+               AND MAX(CASE WHEN r = 1 THEN s END)
+                   > CAST('-infinity' AS DOUBLE)
+               AND MAX(CASE WHEN r = 2 THEN s END)
+                   > CAST('-infinity' AS DOUBLE)
+              THEN MAX(CASE WHEN r = 1 THEN s END)
+                   - MAX(CASE WHEN r = 2 THEN s END)
+              ELSE 0.0 END AS margin
+  FROM qsim GROUP BY query_id
+),
+probe AS MATERIALIZED (
+  SELECT s.query_id, s.cell_id,
+         CASE WHEN m.margin >= {_ADAPT_THR} THEN {_ADAPT_LO}
+              ELSE {_ADAPT_HI} END AS nprobe_used
+  FROM qsim s JOIN qmargin m ON s.query_id = m.query_id
+  WHERE s.r <= CASE WHEN m.margin >= {_ADAPT_THR} THEN {_ADAPT_LO}
+               ELSE {_ADAPT_HI} END
+)"""
+
+
+_Q_FILTER = "WHERE q.vec_id >= 10 AND q.vec_id < 15"
+
+IVF_ADAPTIVE_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+{_adaptive_probe_sql(_Q_FILTER)},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.nprobe_used,
+         {_cos_sql("n.vec", "q.vec")} AS cos_raw
+  FROM cassign a
+  JOIN probe p ON a.cell_id = p.cell_id
+  JOIN vecs n ON n.vec_id = a.vec_id
+  JOIN vecs q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank,
+       nprobe_used
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_similarity_ivf_adaptive",
+    bench=True,
+    oracle=IVF_ADAPTIVE_ORACLE,
+    doc="IVF ANN with QUERY-ADAPTIVE probing, full SQL oracle — the "
+    "recall/latency knob the fixed-nprobe family lacked: each query's "
+    "nprobe is chosen from its own query<->centroid similarity margin "
+    "(top1 - top2 cosine >= 0.05 -> confident, scan probe_lo=2 cells; "
+    "below -> ambiguous, near a cell boundary where true neighbors "
+    "spill into runner-up cells, widen to probe_hi=4). At 100 TB the "
+    "scan budget concentrates on the queries whose recall needs it — "
+    "x_ivf_adaptive_eval prices the trade against exact ground truth. "
+    "Corpus side is the shared _cell_assign probes=1 rule (map-side "
+    "hash-agg argmin, identical cell geometry to the whole family); "
+    "the margin decision is metadata-sized (queries x |cells|, "
+    "centroids broadcast); scoring/ranking is shared verbatim with "
+    "ivf_topk (_ivf_float_rank), so probe_lo == probe_hi == n equals "
+    "fixed nprobe=n exactly (property-tested). nprobe_used rides the "
+    "output so the per-query decision is visible and hash-checked. "
+    "ext/similarity.ivf_adaptive_topk / adaptive_probes.",
+)
+def x_similarity_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import ivf_adaptive_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivf_adaptive_topk(
+        vecs, queries, cents, k=_SQ8_K,
+        probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
+        margin_threshold=_ADAPT_THR,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-probing evaluation (vs exact ground truth AND fixed budgets)
+# ---------------------------------------------------------------------------
+
+_RANKED_COS_SQL = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_cos_sql("n.vec", "q.vec")} DESC,
+                      a.vec_id ASC) AS r
+    FROM cassign a
+    JOIN {{probe}} p ON a.cell_id = p.cell_id
+    JOIN vecs n ON n.vec_id = a.vec_id
+    JOIN vecs q ON q.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id) t
+  WHERE r <= {_SQ8_K}
+"""
+
+_TP_SQL = (
+    "SELECT COUNT(*) FROM approx a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+_TP3_SQL = (
+    "SELECT COUNT(*) FROM approx3 a JOIN exact e "
+    "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+)
+
+IVF_ADAPTIVE_EVAL_ORACLE = f"""
+WITH {_ivf_prefix_sql(f"WHERE vec_id < {_SQ8_EVAL_N}")},
+{_adaptive_probe_sql(_Q_FILTER)},
+probe3 AS MATERIALIZED (
+  SELECT query_id, cell_id FROM qsim WHERE r <= 3
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_sql("n.vec", "q.vec")} DESC,
+                      n.vec_id ASC) AS r
+    FROM vecs q, vecs n
+    WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id) t
+  WHERE r <= {_SQ8_K}
+),
+approx AS MATERIALIZED ({_RANKED_COS_SQL.format(probe="probe")}),
+approx3 AS MATERIALIZED ({_RANKED_COS_SQL.format(probe="probe3")}),
+split AS (
+  SELECT
+    CAST(SUM(CASE WHEN nprobe_used = {_ADAPT_LO} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_confident,
+    CAST(SUM(CASE WHEN nprobe_used = {_ADAPT_HI} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_ambiguous
+  FROM (SELECT DISTINCT query_id, nprobe_used FROM probe) t
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM approx) AS INT) AS n_adaptive,
+  CAST((SELECT COUNT(*) FROM exact) AS INT) AS n_truth,
+  CAST(({_TP_SQL}) AS INT) AS n_tp,
+  CAST(({_TP_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_bp,
+  ({_TP_SQL}) * ((SELECT COUNT(*) FROM vecs) - 1)
+    >= 10 * {_SQ8_K} * (SELECT COUNT(*) FROM exact) AS recall_ok,
+  CAST((SELECT COUNT(*) FROM probe) AS INT) AS cells_adaptive,
+  CAST((SELECT COUNT(*) FROM probe3) AS INT) AS cells_fixed3,
+  CAST((SELECT COUNT(*) FROM qsim WHERE r <= 4) AS INT) AS cells_fixed4,
+  CAST(({_TP3_SQL}) AS INT) AS n_tp_fixed3,
+  CAST(({_TP3_SQL}) * 10000 // (SELECT COUNT(*) FROM exact)
+       AS BIGINT) AS recall_fixed3_bp,
+  ({_TP_SQL}) >= ({_TP3_SQL}) AS recall_ge_fixed3,
+  (SELECT COUNT(*) FROM probe)
+    < (SELECT COUNT(*) FROM qsim WHERE r <= 4) AS budget_lt_fixed4,
+  (SELECT n_confident >= 1 AND n_ambiguous >= 1 FROM split)
+    AS genuinely_adaptive,
+  (SELECT bool_and(n = {_SQ8_K}) FROM (
+     SELECT query_id, COUNT(*) AS n FROM approx GROUP BY query_id) t)
+    AS ranks_ok
+"""
+
+
+@register(
+    "x_ivf_adaptive_eval",
+    oracle=IVF_ADAPTIVE_EVAL_ORACLE,
+    doc="Adaptive-probing evaluation — prices the margin knob against "
+    "exact cosine ground truth AND both fixed-budget comparators over "
+    "the fixed 500-vector sample universe (the x_pq_eval device; "
+    "measured independently at sf0.01 and sf0.1 before pinning, "
+    "gotcha 17): recall_ge_fixed3 pins that adaptive (2,4,0.05) "
+    "recalls AT LEAST fixed nprobe=3 (measured 6800 vs 4800 bp at "
+    "sf0.01, 5600 vs 5200 at sf0.1) while budget_lt_fixed4 pins the "
+    "scanned-cell count strictly under fixed nprobe=4's (16 vs 20 — "
+    "the recall gain does NOT come from secretly scanning hi "
+    "everywhere), and genuinely_adaptive pins that BOTH branches of "
+    "the margin CASE fire on this data (2 confident / 3 ambiguous at "
+    "each SF). Scanned-cell budgets are COUNTED from the same probe "
+    "frames the queries run (ivf_adaptive_probe_frame with lo == hi "
+    "is exactly fixed nprobe — one code path), never computed as "
+    "n * Q. Standard contract columns (counts, recall_bp fixed-point, "
+    "the scale-free >= 10x-chance floor, per-query rank cardinality) "
+    "via the shared _recall_contract builder.",
+)
+def x_ivf_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        cosine_topk,
+        ivf_adaptive_probe_frame,
+        ivf_adaptive_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SQ8_EVAL_N
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _det_centroids(emb)
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+
+    adaptive = ivf_adaptive_topk(
+        vecs, queries, cents, k=_SQ8_K,
+        probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
+        margin_threshold=_ADAPT_THR,
+    )
+    fixed3 = ivf_topk(
+        vecs, queries, cents, vec_col="vec", k=_SQ8_K, nprobe=3
+    )
+    exact = cosine_topk(vecs, queries, vec_col="vec", k=_SQ8_K).select(
+        "query_id", "neighbor_id"
+    )
+
+    probe_a = ivf_adaptive_probe_frame(
+        queries, cents,
+        probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
+        margin_threshold=_ADAPT_THR,
+    )
+    probe_f3 = ivf_adaptive_probe_frame(
+        queries, cents, probe_lo=3, probe_hi=3,
+        margin_threshold=_ADAPT_THR,
+    )
+    probe_f4 = ivf_adaptive_probe_frame(
+        queries, cents, probe_lo=4, probe_hi=4,
+        margin_threshold=_ADAPT_THR,
+    )
+    cells_a = probe_a.agg(F.count("*").cast("int").alias("cells_adaptive"))
+    cells_f3 = probe_f3.agg(F.count("*").cast("int").alias("cells_fixed3"))
+    cells_f4 = probe_f4.agg(F.count("*").cast("int").alias("cells_fixed4"))
+    ntp_f3 = (
+        fixed3.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count("*").cast("int").alias("n_tp_fixed3"))
+    )
+    split = (
+        probe_a.select("query_id", "nprobe_used")
+        .distinct()
+        .agg(
+            F.sum(
+                F.when(F.col("nprobe_used") == _ADAPT_LO, 1).otherwise(0)
+            ).alias("n_confident"),
+            F.sum(
+                F.when(F.col("nprobe_used") == _ADAPT_HI, 1).otherwise(0)
+            ).alias("n_ambiguous"),
+        )
+    )
+
+    def extra(joined: DataFrame) -> list:
+        return [
+            F.col("cells_adaptive"),
+            F.col("cells_fixed3"),
+            F.col("cells_fixed4"),
+            F.col("n_tp_fixed3"),
+            F.expr(
+                "CAST(n_tp_fixed3 * 10000 div n_truth AS BIGINT)"
+            ).alias("recall_fixed3_bp"),
+            (F.col("n_tp") >= F.col("n_tp_fixed3")).alias(
+                "recall_ge_fixed3"
+            ),
+            (F.col("cells_adaptive") < F.col("cells_fixed4")).alias(
+                "budget_lt_fixed4"
+            ),
+            (
+                (F.col("n_confident") >= 1) & (F.col("n_ambiguous") >= 1)
+            ).alias("genuinely_adaptive"),
+        ]
+
+    return _recall_contract(
+        vecs, queries, adaptive, exact, "n_adaptive", _SQ8_K,
+        extra=extra,
+        extra_frames=(cells_a, cells_f3, cells_f4, ntp_f3, split),
+    )

@@ -1,0 +1,154 @@
+"""Query-adaptive IVF probing properties: degenerate thresholds
+collapse to the fixed-nprobe operator exactly; the probe list is a
+rank-prefix of length probe_lo or probe_hi per query; recall is
+monotone between the fixed lo/hi envelopes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blspark.ext.similarity import (
+    ivf_adaptive_probe_frame,
+    ivf_adaptive_topk,
+    ivf_topk,
+    label_centroids,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = label_centroids(emb).withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    return emb, queries, cents
+
+
+def _keyed(rows):
+    return {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in rows
+    }
+
+
+def test_adaptive_lo_eq_hi_equals_fixed(spark):
+    """probe_lo == probe_hi == n short-circuits the margin entirely:
+    results must equal ivf_topk(nprobe=n) bit-for-bit (shared
+    _ivf_float_rank tail)."""
+    emb, queries, cents = _load(spark)
+    for n in (1, 2):
+        fixed = _keyed(
+            ivf_topk(
+                emb, queries, cents, vec_col="embedding", k=5, nprobe=n
+            ).collect()
+        )
+        rows = ivf_adaptive_topk(
+            emb, queries, cents, vec_col="embedding", k=5,
+            probe_lo=n, probe_hi=n, margin_threshold=0.5,
+        ).collect()
+        assert _keyed(rows) == fixed
+        assert all(r["nprobe_used"] == n for r in rows)
+
+
+def test_adaptive_extreme_thresholds_pick_one_branch(spark):
+    """margin_threshold = -1 -> every finite margin qualifies ->
+    everyone scans probe_lo (== fixed lo); threshold = 2.0 (no cosine
+    margin can exceed 2) -> everyone ambiguous -> fixed hi."""
+    emb, queries, cents = _load(spark)
+    lo_fixed = _keyed(
+        ivf_topk(
+            emb, queries, cents, vec_col="embedding", k=5, nprobe=1
+        ).collect()
+    )
+    hi_fixed = _keyed(
+        ivf_topk(
+            emb, queries, cents, vec_col="embedding", k=5, nprobe=3
+        ).collect()
+    )
+    all_lo = ivf_adaptive_topk(
+        emb, queries, cents, vec_col="embedding", k=5,
+        probe_lo=1, probe_hi=3, margin_threshold=-1.0,
+    ).collect()
+    all_hi = ivf_adaptive_topk(
+        emb, queries, cents, vec_col="embedding", k=5,
+        probe_lo=1, probe_hi=3, margin_threshold=2.0,
+    ).collect()
+    assert _keyed(all_lo) == lo_fixed
+    assert all(r["nprobe_used"] == 1 for r in all_lo)
+    assert _keyed(all_hi) == hi_fixed
+    assert all(r["nprobe_used"] == 3 for r in all_hi)
+
+
+def test_adaptive_probe_frame_is_rank_prefix(spark):
+    """Every query's probe set has exactly probe_lo or probe_hi cells
+    (clamped by |cells|), and with lo == hi the frame equals the
+    fixed-nprobe probe list — one code path for both budgets."""
+    emb, queries, cents = _load(spark)
+    n_cells = cents.count()
+    pf = ivf_adaptive_probe_frame(
+        queries, cents, vec_col="embedding",
+        probe_lo=1, probe_hi=3, margin_threshold=0.05,
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in pf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == queries.count()
+    for q, rs in by_q.items():
+        used = {r["nprobe_used"] for r in rs}
+        assert len(used) == 1  # one decision per query
+        n = used.pop()
+        assert n in (1, 3)
+        assert len(rs) == min(n, n_cells)
+        assert len({r["cell_id"] for r in rs}) == len(rs)
+    fixed2 = {
+        (r["query_id"], r["cell_id"])
+        for r in ivf_adaptive_probe_frame(
+            queries, cents, vec_col="embedding",
+            probe_lo=2, probe_hi=2, margin_threshold=0.05,
+        ).collect()
+    }
+    # lo==hi==2 must be exactly the 2-nearest-cells list: a superset of
+    # every query's 1-probe list, 2 cells per query
+    assert len(fixed2) == 2 * queries.count()
+
+
+def test_adaptive_recall_between_fixed_envelopes(spark):
+    """Adaptive candidates per query are a superset of fixed-lo's and
+    a subset of fixed-hi's probed cells, so recall (vs exact, same
+    scoring) must sit between the fixed envelopes."""
+    from blspark.ext.similarity import cosine_topk
+    from tests.test_ivf import _recall_at_k
+
+    emb, queries, cents = _load(spark)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    r_lo = _recall_at_k(
+        exact,
+        ivf_topk(
+            emb, queries, cents, vec_col="embedding", k=5, nprobe=1
+        ).collect(),
+    )
+    r_hi = _recall_at_k(
+        exact,
+        ivf_topk(
+            emb, queries, cents, vec_col="embedding", k=5, nprobe=3
+        ).collect(),
+    )
+    r_ad = _recall_at_k(
+        exact,
+        ivf_adaptive_topk(
+            emb, queries, cents, vec_col="embedding", k=5,
+            probe_lo=1, probe_hi=3, margin_threshold=0.05,
+        ).collect(),
+    )
+    assert r_lo - 1e-9 <= r_ad <= r_hi + 1e-9
+
+
+def test_adaptive_rejects_inverted_budget(spark):
+    emb, queries, cents = _load(spark)
+    with pytest.raises(ValueError):
+        ivf_adaptive_topk(
+            emb, queries, cents, vec_col="embedding", k=5,
+            probe_lo=3, probe_hi=1,
+        ).collect()
