@@ -103,6 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-12 first-timers:
     "x_similarity_ivf_adaptive",
     "x_ivf_adaptive_eval",
+    "x_index_persist_adaptive",
+    "x_index_persist_filtered",
     "x_retrieval_graph_expand_xcell",
     "x_graph_expand_xcell_eval",
     "s_stream_index_persist",

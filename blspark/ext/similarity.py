@@ -193,15 +193,18 @@ def sq8_topk(
     return _sq8_rank(paired, k)
 
 
-def _sq8_rank(paired: DataFrame, k: int) -> DataFrame:
+def _sq8_rank(paired: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
     """The SQ8 scoring + top-k tail shared by ``sq8_topk`` and
     ``ivf_sq8_topk`` (one copy, so the exact int64 core and the
     rank/tie-break rules can never diverge between the plain and the
     cell-pruned paths). ``paired`` must carry (query_id, neighbor_id,
-    nq, nscale, qq, qscale)."""
+    nq, nscale, qq, qscale); ``keep`` names extra ``paired`` columns
+    to carry through to the output unchanged (the filtered-index
+    query rides the neighbor's attribute along)."""
     scored = paired.select(
         "query_id",
         "neighbor_id",
+        *keep,
         _idot(F.col("nq"), F.col("qq")).alias("iprod"),
         (F.col("nscale") * F.col("qscale")).alias("ss"),
     )
@@ -214,6 +217,7 @@ def _sq8_rank(paired: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            *keep,
             F.round(F.col("iprod") * F.col("ss"), 6).alias("score"),
             "iprod",
             F.col("rank").cast("int").alias("rank"),

@@ -2353,6 +2353,13 @@ def sq8_index_table(spark: SparkSession, sf_dir: str) -> str:
         emb = load_table(spark, sf_dir, "embeddings")
         (
             _quantized_cells(emb, _det_centroids(emb))
+            # carry the filterable attribute INTO the index (the
+            # production filtered-ANN layout: predicates push down
+            # into the probed-cell scan instead of post-filtering a
+            # shortlist) — a one-time keyed join at BUILD time; the
+            # probe-path queries that don't filter never read the
+            # column (pruned from ReadSchema)
+            .join(emb.select(F.col("vec_id").alias("vid"), "label"), "vid")
             # one file per cell directory (the partitioned-events
             # convention: without this, tasks x cells small files)
             .repartition(F.col("cell_id"))

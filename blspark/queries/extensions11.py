@@ -33,11 +33,16 @@ from blspark.queries.extensions9 import (
     _DOTQ,
     _NORMQ,
     _SQ8_K,
+    _SQ8_QZ_SQL,
     _det_centroids,
     _ivf_prefix_sql,
     _IVF_PREFIX_SQL,
 )
-from blspark.queries.extensions10 import _SQ8_EVAL_N, _recall_contract
+from blspark.queries.extensions10 import (
+    _SQ8_EVAL_N,
+    _SQ8_IPROD,
+    _recall_contract,
+)
 
 # Adaptive-probing configuration: measured on the family's query set
 # (vec_id 10..15) at BOTH SFs before pinning (gotcha 17 — the
@@ -48,9 +53,6 @@ from blspark.queries.extensions10 import _SQ8_EVAL_N, _recall_contract
 _ADAPT_LO = 2
 _ADAPT_HI = 4
 _ADAPT_THR = 0.05
-
-_COSQ = "{dot} / ({na} * {nb})"
-
 
 def _cos_sql(a: str, b: str) -> str:
     """Zero-norm-guarded cosine fragment — mirrors the library's
@@ -351,4 +353,231 @@ def x_ivf_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, queries, adaptive, exact, "n_adaptive", _SQ8_K,
         extra=extra,
         extra_frames=(cells_a, cells_f3, cells_f4, ntp_f3, split),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive probing against the PERSISTED cell-partitioned index
+# ---------------------------------------------------------------------------
+
+IVF_SQ8_ADAPTIVE_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+{_adaptive_probe_sql(_Q_FILTER)},
+{_SQ8_QZ_SQL},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.nprobe_used,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM cassign a
+  JOIN probe p ON a.cell_id = p.cell_id
+  JOIN qz n ON n.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod, rank,
+       nprobe_used
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS INT)
+      AS rank
+  FROM scored) t
+WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_index_persist_adaptive",
+    bench=True,
+    oracle=IVF_SQ8_ADAPTIVE_ORACLE,
+    doc="Query-adaptive probing applied AT THE STORAGE LAYER — the "
+    "persisted cell-partitioned SQ8 index (sq8_index_table, one "
+    "directory per IVF cell) probed with the margin-adaptive cell "
+    "set instead of a fixed nprobe: a confident query's literal "
+    "IN-predicate names probe_lo=2 partition directories, an "
+    "ambiguous query's names probe_hi=4 — so the per-batch IO "
+    "budget itself (PartitionFilters-pruned directories opened, not "
+    "just vectors scored) adapts to query difficulty. At 100 TB "
+    "this is the complete production serving shape: index build "
+    "amortized to zero by the layout, and the recall/latency knob "
+    "expressed as pure partition pruning — hard queries read more "
+    "bytes, easy queries fewer, nobody full-scans. The probe frame "
+    "is the ONE adaptive_probes rule (shared with "
+    "x_similarity_ivf_adaptive); scoring is the shared _sq8_rank "
+    "int64 tail over the table's codes; nprobe_used rides the "
+    "output so the per-query IO decision is hash-checked.",
+)
+def x_index_persist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        ivf_adaptive_probe_frame,
+        sq8_quantize,
+        _sq8_rank,
+    )
+    from blspark.ops import local_relation
+    from blspark.queries.extensions10 import sq8_index_table
+
+    it = sq8_index_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # Q x nprobe_used <= 20 rows, needed twice (join input + literal
+    # partition predicate) — one local relation, one query-side job
+    probes = local_relation(
+        ivf_adaptive_probe_frame(
+            queries, _det_centroids(emb),
+            probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
+            margin_threshold=_ADAPT_THR,
+        ),
+        "query_id bigint, cell_id int, nprobe_used int",
+    )
+    qz = sq8_quantize(queries, id_col="vec_id", vec_col="vec").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    probe_q = probes.join(qz, "query_id")
+    # literal probed-cell set -> guaranteed PartitionFilters pruning
+    # (the x_index_persist_scan convention; a join alone would rely
+    # on runtime DPP)
+    cells = sorted(
+        {r["cell_id"] for r in probes.select("cell_id").collect()}
+    )
+    idx = spark.table(it).select(
+        F.col("vid").alias("neighbor_id"),
+        "cell_id",
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    paired = (
+        idx.filter(F.col("cell_id").isin(cells))
+        .join(F.broadcast(probe_q.drop("nprobe_used")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    ranked = _sq8_rank(paired, _SQ8_K)
+    return ranked.join(
+        F.broadcast(probes.select("query_id", "nprobe_used").distinct()),
+        "query_id",
+    ).select(
+        "query_id", "neighbor_id", "score", "iprod", "rank", "nprobe_used"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN over the persisted index (predicate pushdown x pruning)
+# ---------------------------------------------------------------------------
+
+_FILTER_MAX_LABEL = 5  # label < 5: ~half the corpus survives
+
+IVF_SQ8_FILTERED_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+{_adaptive_probe_sql(_Q_FILTER)},
+{_SQ8_QZ_SQL},
+lbl AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, l.label AS n_label,
+         p.nprobe_used,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM cassign a
+  JOIN probe p ON a.cell_id = p.cell_id
+  JOIN lbl l ON l.vec_id = a.vec_id
+  JOIN qz n ON n.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id AND l.label < {_FILTER_MAX_LABEL}
+)
+SELECT query_id, neighbor_id, n_label,
+       ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod, rank,
+       nprobe_used
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC) AS INT)
+      AS rank
+  FROM scored) t
+WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_index_persist_filtered",
+    oracle=IVF_SQ8_FILTERED_ORACLE,
+    doc="FILTERED ANN over the persisted index — the production query "
+    "shape none of the family exercised: top-k nearest neighbors "
+    "AMONG vectors satisfying a metadata predicate (label < 5, ~half "
+    "the corpus). The index table carries the filterable attribute "
+    "(written once at build — the filtered-ANN layout), so the "
+    "predicate PUSHES DOWN into the probed-cell scan: ONE "
+    "FileSourceScan carries BOTH PartitionFilters (the adaptive "
+    "probed-cell IN-set — partition pruning) and PushedFilters "
+    "(label < 5 — parquet row-group predicate pushdown), composed "
+    "(plan-pinned). This is PRE-filtering: candidates are restricted "
+    "BEFORE the top-k, so every returned rank is a true filtered "
+    "neighbor — post-filtering an unfiltered shortlist instead would "
+    "silently return < k (or zero) survivors for selective "
+    "predicates, the classic filtered-ANN failure. Probing is the "
+    "adaptive margin rule (shared adaptive_probes); scoring the "
+    "shared _sq8_rank int64 tail; n_label rides the output so the "
+    "predicate's effect is hash-checked row-by-row. At 100 TB: "
+    "per-batch IO = probed directories x filter selectivity, "
+    "never a full scan, never a recall-broken post-filter.",
+)
+def x_index_persist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import (
+        ivf_adaptive_probe_frame,
+        sq8_quantize,
+        _sq8_rank,
+    )
+    from blspark.ops import local_relation
+    from blspark.queries.extensions10 import sq8_index_table
+
+    it = sq8_index_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    probes = local_relation(
+        ivf_adaptive_probe_frame(
+            queries, _det_centroids(emb),
+            probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
+            margin_threshold=_ADAPT_THR,
+        ),
+        "query_id bigint, cell_id int, nprobe_used int",
+    )
+    qz = sq8_quantize(queries, id_col="vec_id", vec_col="vec").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    probe_q = probes.join(qz, "query_id")
+    cells = sorted(
+        {r["cell_id"] for r in probes.select("cell_id").collect()}
+    )
+    idx = spark.table(it).select(
+        F.col("vid").alias("neighbor_id"),
+        "cell_id",
+        F.col("label").alias("n_label"),
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    paired = (
+        idx.filter(
+            F.col("cell_id").isin(cells)
+            & (F.col("n_label") < _FILTER_MAX_LABEL)
+        )
+        .join(F.broadcast(probe_q.drop("nprobe_used")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    ranked = _sq8_rank(paired, _SQ8_K, keep=("n_label",))
+    return ranked.join(
+        F.broadcast(probes.select("query_id", "nprobe_used").distinct()),
+        "query_id",
+    ).select(
+        "query_id", "neighbor_id", "n_label", "score", "iprod", "rank",
+        "nprobe_used",
     )

@@ -395,3 +395,84 @@ def test_persisted_index_scan_prunes_to_probed_cells(spark):
     }
     assert probed < all_cells  # strict subset: real pruning happened
     assert "BroadcastHashJoin" in plan
+
+
+def test_persisted_index_adaptive_prunes_and_adapts(spark):
+    """The ADAPTIVE persisted-index probe keeps the same physical
+    pins as the fixed one (literal cell_id IN-set inside
+    PartitionFilters, index files only under probed directories,
+    strict-subset pruning, broadcast probe side) AND genuinely
+    adapts: per-query nprobe_used is one decision in {lo, hi}, both
+    branches fire on this data, and an ambiguous query's result set
+    names at most hi cells."""
+    from blspark.queries.extensions10 import sq8_index_table
+    from blspark.queries.extensions11 import _ADAPT_HI, _ADAPT_LO
+
+    df = REG["x_index_persist_adaptive"].spark_fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    it = sq8_index_table(spark, SF_ORACLE)
+    idx_files = [f for f in df.inputFiles() if it in f]
+    assert len(idx_files) > 0
+    assert all(
+        f.rsplit("cell_id=", 1)[-1].split("/")[0] in {str(c) for c in probed}
+        for f in idx_files
+    ), idx_files
+    all_cells = {
+        r["cell_id"]
+        for r in spark.table(it).select("cell_id").distinct().collect()
+    }
+    assert probed < all_cells  # strict subset: pruning is real
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    used = {}
+    for r in rows:
+        used.setdefault(r["query_id"], set()).add(r["nprobe_used"])
+    assert all(len(v) == 1 for v in used.values())  # one decision/query
+    decisions = {v.pop() for v in used.values()}
+    assert decisions <= {_ADAPT_LO, _ADAPT_HI}
+    # both margin branches fire on the oracle-SF data (measured
+    # 2 confident / 3 ambiguous at sf0.01 AND sf0.1 before pinning)
+    assert decisions == {_ADAPT_LO, _ADAPT_HI}
+
+
+def test_persisted_index_filtered_pushes_both_predicates(spark):
+    """Filtered ANN must compose BOTH storage levers in the ONE index
+    scan: PartitionFilters carries the probed-cell IN-set (pruning)
+    AND PushedFilters carries the label predicate (row-group
+    pushdown) — plus every returned neighbor actually satisfies the
+    predicate (pre-filtering: ranks are true filtered neighbors,
+    never a post-filtered shortfall)."""
+    from blspark.queries.extensions10 import sq8_index_table
+    from blspark.queries.extensions11 import _FILTER_MAX_LABEL
+
+    df = REG["x_index_persist_filtered"].spark_fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    # the label predicate must reach the index scan's PushedFilters
+    # (regex INSIDE the bracket — empty brackets always print)
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThan\(label,"
+        + str(_FILTER_MAX_LABEL) + r"\)",
+        plan,
+    ), plan
+    it = sq8_index_table(spark, SF_ORACLE)
+    idx_files = [f for f in df.inputFiles() if it in f]
+    assert len(idx_files) > 0
+    assert all(
+        f.rsplit("cell_id=", 1)[-1].split("/")[0] in {str(c) for c in probed}
+        for f in idx_files
+    ), idx_files
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["n_label"] < _FILTER_MAX_LABEL for r in rows)
+    # per-query cardinality: pre-filtering still yields full top-k on
+    # this data (cells are label-mixed — measured before pinning)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
