@@ -2598,6 +2598,83 @@ def cell_assign_stateless(
     ).drop(vn)
 
 
+def probe_cells_stateless(
+    df: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "vec",
+    probe_lo: int = 2,
+    probe_hi: int = 4,
+    margin_threshold: float = 0.05,
+) -> DataFrame:
+    """Query-ADAPTIVE probe routing against a FROZEN centroid list as
+    pure per-row expressions — no aggregation, no window, no state —
+    so it runs identically in batch and inside a Structured Streaming
+    micro-batch in append mode: the serving tier's routing half, where
+    each arriving query decides which index partitions its
+    scatter-gather will read. Appends two columns: ``nprobe_used``
+    (probe_lo or probe_hi from the margin rule) and ``probe_cells``
+    (the decided cells as an array<int> in rank order).
+
+    Bit-identical to ``adaptive_probes``: the candidate structs are
+    ``cell_assign_stateless``'s (-sim, cell_id) with the same -inf
+    zero-norm guard and driver-side centroid norms (same fold
+    association), ``array_sort`` on them IS the rank window's total
+    order (neg asc = cosine desc, then lowest cell_id — IEEE negation
+    exact), the margin is top1 - top2 forced to 0.0 (ambiguous) when
+    either is -inf or fewer than two cells exist (never a NaN), and
+    the slice length is always >= 1 (gotcha 21: F.slice never sees a
+    nonpositive length). Equality of the two paths is
+    property-tested."""
+    import math
+
+    if probe_lo > probe_hi:
+        raise ValueError("probe_lo must be <= probe_hi")
+    if probe_lo < 1:
+        raise ValueError("probe_lo must be >= 1")
+    vn = "__probe_vnorm"
+    with_n = df.withColumn(vn, _norm(F.col(vec_col)))
+    cands = []
+    for cell_id, cvec in sorted(centroid_rows):
+        c = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
+        acc = 0.0
+        for x in cvec:  # left-to-right — _norm's fold order exactly
+            acc += float(x) * float(x)
+        cnorm = math.sqrt(acc)
+        denom = F.col(vn) * F.lit(cnorm).cast("double")
+        sim = F.when(denom > 0, _dot(F.col(vec_col), c) / denom).otherwise(
+            F.lit(float("-inf"))
+        )
+        cands.append(
+            F.struct(
+                (-sim).alias("neg"),
+                F.lit(int(cell_id)).cast("int").alias("cell_id"),
+            )
+        )
+    ranked = F.array_sort(F.array(*cands))
+    neg_inf = F.lit(float("-inf"))
+    s1 = -F.element_at(ranked, 1).getField("neg")
+    s2 = F.when(
+        F.size(ranked) >= 2, -F.element_at(ranked, 2).getField("neg")
+    )
+    margin = F.when(
+        s2.isNotNull() & (s1 > neg_inf) & (s2 > neg_inf), s1 - s2
+    ).otherwise(F.lit(0.0))
+    n = F.when(
+        margin >= F.lit(margin_threshold), F.lit(probe_lo)
+    ).otherwise(F.lit(probe_hi))
+    return (
+        with_n.withColumn("nprobe_used", n)
+        .withColumn(
+            "probe_cells",
+            F.transform(
+                F.slice(ranked, F.lit(1), F.col("nprobe_used")),
+                lambda s: s.getField("cell_id"),
+            ),
+        )
+        .drop(vn)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame, id_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

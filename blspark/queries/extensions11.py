@@ -94,7 +94,7 @@ qmargin AS MATERIALIZED (
   FROM qsim GROUP BY query_id
 ),
 probe AS MATERIALIZED (
-  SELECT s.query_id, s.cell_id,
+  SELECT s.query_id, s.cell_id, s.r AS probe_rank,
          CASE WHEN m.margin >= {_ADAPT_THR} THEN {_ADAPT_LO}
               ELSE {_ADAPT_HI} END AS nprobe_used
   FROM qsim s JOIN qmargin m ON s.query_id = m.query_id

@@ -1135,3 +1135,86 @@ def s_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(kept, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming adaptive probe routing (the serving tier's routing half)
+# ---------------------------------------------------------------------------
+
+def _adaptive_route_oracle() -> str:
+    from blspark.queries.extensions11 import (
+        _adaptive_probe_sql,
+        _Q_FILTER,
+    )
+    from blspark.queries.extensions9 import _IVF_PREFIX_SQL
+
+    return f"""
+WITH {_IVF_PREFIX_SQL},
+{_adaptive_probe_sql(_Q_FILTER)}
+SELECT query_id, probe_rank, cell_id, nprobe_used FROM probe
+"""
+
+
+@register(
+    "s_stream_adaptive_route",
+    oracle=_adaptive_route_oracle(),
+    doc="Streaming ADAPTIVE probe routing — the query-side half of "
+    "adaptive ANN serving as a stateless stream: each arriving query "
+    "decides, from its own centroid-similarity margin, HOW MANY and "
+    "WHICH index cells its scatter-gather will read "
+    "(ext/similarity.probe_cells_stateless: candidate structs + "
+    "array_sort + margin CASE + rank-prefix slice, all pure per-row "
+    "expressions over inlined frozen-centroid literals — no window, "
+    "no aggregation, no state store, append mode). Bit-identical to "
+    "the batch adaptive_probes rule (property-tested parity; the "
+    "array_sort struct order IS the rank window's total order, the "
+    "same -inf guard and 0.0-margin degeneracy), and hash-checked "
+    "against the SAME oracle CTE chain the batch adaptive queries "
+    "use. At 100 TB this is the production split: routing runs "
+    "per-query in the stream tier (cost: |cells| dot products, "
+    "centroids inlined), and the partition-pruned index scan "
+    "(x_index_persist_adaptive) executes the decision batch-side.",
+)
+def s_stream_adaptive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import probe_cells_stateless
+    from blspark.queries.extensions9 import _det_centroids
+    from blspark.queries.extensions11 import (
+        _ADAPT_HI,
+        _ADAPT_LO,
+        _ADAPT_THR,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"]))
+        for r in _det_centroids(emb).collect()
+    ]
+    stream = (
+        file_arrival_stream(
+            spark, sf_dir, schema=emb.schema, glob="embeddings.parquet"
+        )
+        .filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    )
+    routed = probe_cells_stateless(
+        stream,
+        cent_rows,
+        probe_lo=_ADAPT_LO,
+        probe_hi=_ADAPT_HI,
+        margin_threshold=_ADAPT_THR,
+    )
+    out = routed.select(
+        "query_id",
+        F.posexplode("probe_cells").alias("pos", "cell_id"),
+        "nprobe_used",
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("probe_rank"),
+        "cell_id",
+        "nprobe_used",
+    )
+    name = run_available_now(out, output_mode="append")
+    return spark.table(name)

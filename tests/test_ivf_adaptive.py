@@ -152,3 +152,84 @@ def test_adaptive_rejects_inverted_budget(spark):
             emb, queries, cents, vec_col="embedding", k=5,
             probe_lo=3, probe_hi=1,
         ).collect()
+
+
+def test_probe_cells_stateless_matches_batch_rule(spark):
+    """The streaming routing expression (probe_cells_stateless) must
+    be bit-identical to the batch adaptive_probes rule: same decided
+    nprobe per query, same cells in the same rank order."""
+    from blspark.ext.similarity import (
+        _centroid_frame,
+        _norm,
+        adaptive_probes,
+        probe_cells_stateless,
+        with_double_vec,
+    )
+
+    emb, queries, cents = _load(spark)
+    batch = adaptive_probes(
+        with_double_vec(queries, "embedding").select(
+            F.col("vec_id").alias("query_id"), "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        _centroid_frame(cents),
+        "query_id",
+        1,
+        3,
+        0.05,
+    ).collect()
+    # batch collect() order is not guaranteed — compare as
+    # (query -> decided n, cell set); the stateless side's explicit
+    # rank ORDER is then checked against a driver-side recomputation
+    # with the same left-to-right fold association (bit-identical in
+    # IEEE doubles).
+    batch_by_q: dict[int, dict] = {}
+    for r in batch:
+        d = batch_by_q.setdefault(
+            r["query_id"], {"n": r["nprobe_used"], "cells": set()}
+        )
+        assert d["n"] == r["nprobe_used"]
+        d["cells"].add(r["cell_id"])
+
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    stream_like = probe_cells_stateless(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        ),
+        cent_rows,
+        probe_lo=1,
+        probe_hi=3,
+        margin_threshold=0.05,
+    ).collect()
+    import math
+
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in queries.select("vec_id", "embedding").collect()
+    }
+
+    def rank_cells(vec):
+        vn = math.sqrt(sum(x * x for x in vec))
+        out = []
+        for cid, cv in sorted(cent_rows):
+            cn = math.sqrt(sum(float(x) * float(x) for x in cv))
+            d = vn * cn
+            s = (
+                sum(a * float(b) for a, b in zip(vec, cv)) / d
+                if d > 0 else float("-inf")
+            )
+            out.append((-s, cid))
+        return [c for _, c in sorted(out)]
+
+    assert len(stream_like) == len(batch_by_q)
+    for r in stream_like:
+        b = batch_by_q[r["query_id"]]
+        assert r["nprobe_used"] == b["n"]
+        assert set(r["probe_cells"]) == b["cells"]
+        expected_order = rank_cells(qvecs[r["query_id"]])[
+            : len(b["cells"])
+        ]
+        assert list(r["probe_cells"]) == expected_order
