@@ -2598,6 +2598,67 @@ def cell_assign_stateless(
     ).drop(vn)
 
 
+def cell_reassign_delta(
+    corpus: DataFrame,
+    old_centroids: DataFrame,
+    new_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-maintenance reassignment delta: for every corpus vector,
+    its nearest cell under the OLD (serving) centroids and under the
+    REFRESHED centroids, in ONE corpus scan — the union of both
+    centroid sets (tagged, still metadata-sized, broadcast) is scored
+    per row and a single hash-aggregate takes BOTH argmins as
+    conditional ``min(when(tag, struct(-sim, cell_id)))`` — the exact
+    ``_cell_assign`` probes=1 rule per tag (IEEE negation exact, same
+    lowest-cell tie-break, same -inf zero-norm guard;
+    equality-to-two-_cell_assign-calls is property-tested). Returns
+    (id, old_cell, new_cell).
+
+    At 100 TB this is THE maintenance primitive: after drift, the
+    delta names exactly which index partitions must rewrite (a vector
+    moves old_cell -> new_cell: delete from one directory, append to
+    the other — everything else is untouched), and the one-scan
+    two-argmin shape costs one pass over the corpus instead of two
+    passes plus a corpus-sized self-join on id."""
+    old = _centroid_frame(old_centroids).withColumn("is_new", F.lit(False))
+    new = _centroid_frame(new_centroids).withColumn("is_new", F.lit(True))
+    cents = old.unionByName(new)
+    denom = F.col("vnorm") * F.col("centnorm")
+    scored = (
+        with_double_vec(corpus, vec_col)
+        .select(
+            F.col(id_col), "vec", _norm(F.col("vec")).alias("vnorm")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "is_new",
+            F.struct(
+                (
+                    -F.when(
+                        denom > 0, _dot(F.col("vec"), F.col("cvec")) / denom
+                    ).otherwise(F.lit(float("-inf")))
+                ).alias("neg"),
+                "cell_id",
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(F.when(~F.col("is_new"), F.col("s"))).alias("o"),
+            F.min(F.when(F.col("is_new"), F.col("s"))).alias("n"),
+        )
+        .select(
+            id_col,
+            F.col("o.cell_id").alias("old_cell"),
+            F.col("n.cell_id").alias("new_cell"),
+        )
+    )
+
+
 def probe_cells_stateless(
     df: DataFrame,
     centroid_rows: list[tuple[int, list[float]]],

@@ -581,3 +581,98 @@ def x_index_persist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "n_label", "score", "iprod", "rank",
         "nprobe_used",
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: centroid refresh -> reassignment delta
+# ---------------------------------------------------------------------------
+
+# The "old" index geometry was trained before the arrivals landed:
+# base corpus = vec_id >= _REFRESH_BASE, refreshed = full corpus.
+_REFRESH_BASE = 100
+
+
+def _cents_sql(name: str, filt: str) -> str:
+    """cm/cents CTE pair under a NAME — the _ivf_prefix_sql centroid
+    device (ROUND(AVG, 6) label means) instantiated twice (old/new)
+    for the refresh-delta oracle, where the shared prefix's fixed CTE
+    names cannot be reused."""
+    return f"""cm_{name} AS MATERIALIZED (
+  SELECT label, t.i AS pos, ROUND(AVG(embedding[t.i + 1]::DOUBLE), 6) AS m
+  FROM embeddings, range(0, 64) t(i) {filt}
+  GROUP BY label, t.i
+),
+cents_{name} AS (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS cvec
+  FROM cm_{name} GROUP BY label
+)"""
+
+
+def _assign_sql(name: str) -> str:
+    """Guarded-cosine argmin assignment of the full corpus against
+    ``cents_{name}`` — the _cell_assign_sql rule with the family's
+    zero-norm guard."""
+    cos = _cos_sql("v.vec", "c.cvec")
+    return f"""ca_{name} AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos} DESC, c.cell_id ASC) AS r
+    FROM vecs v, cents_{name} c) t
+  WHERE r = 1
+)"""
+
+
+INDEX_REFRESH_DELTA_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+{_cents_sql("old", f"WHERE vec_id >= {_REFRESH_BASE}")},
+{_cents_sql("new", "")},
+{_assign_sql("old")},
+{_assign_sql("new")}
+SELECT o.cell_id AS old_cell, n.cell_id AS new_cell,
+       COUNT(*) AS n_moved
+FROM ca_old o JOIN ca_new n ON o.vec_id = n.vec_id
+WHERE o.cell_id <> n.cell_id
+GROUP BY o.cell_id, n.cell_id
+ORDER BY old_cell, new_cell
+"""
+
+
+@register(
+    "x_index_refresh_delta",
+    oracle=INDEX_REFRESH_DELTA_ORACLE,
+    doc="Index-maintenance reassignment delta — the rebalancing "
+    "primitive the persisted-index family needed: after arrivals "
+    "drift the corpus, centroids are refreshed (label means over the "
+    "FULL corpus vs the pre-arrival base they were trained on) and "
+    "the delta names every (old_cell -> new_cell) move as a count "
+    "matrix — exactly which partition directories of the persisted "
+    "index must rewrite (move sources delete, move targets append; "
+    "untouched cells cost nothing — at 100 TB maintenance IO is "
+    "proportional to DRIFT, never to index size). One corpus scan: "
+    "ext/similarity.cell_reassign_delta scores the tagged union of "
+    "both centroid sets (broadcast) and takes both argmins in a "
+    "single hash-aggregate as conditional min(when(tag, struct)) — "
+    "the exact _cell_assign probes=1 rule per tag (property-tested "
+    "equal to two separate calls), instead of two passes plus a "
+    "corpus-sized self-join. Full SQL oracle: the centroid/assign "
+    "devices instantiated twice (old/new) with the family's guarded "
+    "cosine. Non-degeneracy measured before pinning: 192 moved "
+    "vectors (71 move pairs) at sf0.01, 372 (89) at sf0.1.",
+)
+def x_index_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cell_reassign_delta
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= _REFRESH_BASE)
+    delta = cell_reassign_delta(
+        emb, _det_centroids(base), _det_centroids(emb)
+    )
+    return (
+        delta.filter(F.col("old_cell") != F.col("new_cell"))
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count("*").alias("n_moved"))
+        .orderBy("old_cell", "new_cell")
+    )

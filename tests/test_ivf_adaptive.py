@@ -233,3 +233,45 @@ def test_probe_cells_stateless_matches_batch_rule(spark):
             : len(b["cells"])
         ]
         assert list(r["probe_cells"]) == expected_order
+
+
+def test_cell_reassign_delta_equals_two_assignments(spark):
+    """The one-scan two-argmin composition must equal two separate
+    _cell_assign probes=1 calls bit-for-bit — the shared-rule
+    guarantee that index maintenance can never drift from serving."""
+    from blspark.ext.similarity import (
+        _cell_assign,
+        _centroid_frame,
+        _norm,
+        cell_reassign_delta,
+        with_double_vec,
+    )
+
+    emb, _queries, cents = _load(spark)
+    old_cents = label_centroids(
+        emb.filter(F.col("vec_id") % 3 != 0)
+    ).withColumn("cell_id", F.col("cell_id").cast("int"))
+
+    def assign(c):
+        return {
+            r["vec_id"]: r["cell_id"]
+            for r in _cell_assign(
+                with_double_vec(emb, "embedding").select(
+                    "vec_id", "vec", _norm(F.col("vec")).alias("vnorm")
+                ),
+                _centroid_frame(c),
+                "vec_id",
+                1,
+            ).collect()
+        }
+
+    expect_old = assign(old_cents)
+    expect_new = assign(cents)
+    delta = {
+        r["vec_id"]: (r["old_cell"], r["new_cell"])
+        for r in cell_reassign_delta(emb, old_cents, cents).collect()
+    }
+    assert set(delta) == set(expect_old) == set(expect_new)
+    for vid, (o, n) in delta.items():
+        assert o == expect_old[vid]
+        assert n == expect_new[vid]
