@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_index_persist_filtered",
     "s_stream_adaptive_route",
     "x_index_refresh_delta",
+    "x_index_refresh_apply",
     "x_retrieval_graph_expand_xcell",
     "x_graph_expand_xcell_eval",
     "s_stream_index_persist",

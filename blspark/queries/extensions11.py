@@ -676,3 +676,216 @@ def x_index_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_moved"))
         .orderBy("old_cell", "new_cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: APPLY the refresh delta via dynamic partition overwrite
+# ---------------------------------------------------------------------------
+
+_RIDX_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
+# pre-apply file listing per untouched-partition pin (tests read it):
+# table name -> {cell_id: sorted file basenames before the apply}
+_RIDX_PRE_FILES: dict[str, dict[int, list[str]]] = {}
+_RIDX_REWRITE_CELLS: dict[str, list[int]] = {}
+
+
+def _partition_files(spark, table: str) -> dict[int, list[str]]:
+    import os
+    import urllib.parse
+
+    loc = urllib.parse.urlparse(
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    ).path
+    out: dict[int, list[str]] = {}
+    for entry in os.listdir(loc):
+        if entry.startswith("cell_id="):
+            cell = int(entry.split("=", 1)[1])
+            out[cell] = sorted(os.listdir(os.path.join(loc, entry)))
+    return out
+
+
+def apply_refresh_delta(
+    spark: SparkSession,
+    it: str,
+    corpus: DataFrame,
+    old_cents: DataFrame,
+    new_cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The apply step alone, parameterized over the corpus and both
+    centroid frames so the physical claim (only move-set partitions
+    rewrite) is testable on a controlled fixture where drift provably
+    localizes — on the label-mean testdata geometry every refresh
+    moves SOME vector into or out of every one of the 10 coarse
+    cells, so untouched partitions only exist under finer or
+    better-separated geometries. Snapshots the pre-apply per-partition
+    file listing into _RIDX_PRE_FILES and the rewrite set into
+    _RIDX_REWRITE_CELLS for the pin."""
+    from blspark.ext.similarity import cell_reassign_delta
+
+    _RIDX_PRE_FILES[it] = _partition_files(spark, it)
+    moved = cell_reassign_delta(
+        corpus, old_cents, new_cents, id_col=id_col, vec_col=vec_col
+    ).filter(F.col("old_cell") != F.col("new_cell"))
+    # metadata-bounded: |cells| is the nlist, never corpus-sized
+    rewrite_cells = sorted(
+        {
+            r["c"]
+            for r in moved.select(F.col("old_cell").alias("c"))
+            .union(moved.select(F.col("new_cell").alias("c")))
+            .distinct()
+            .collect()
+        }
+    )
+    _RIDX_REWRITE_CELLS[it] = rewrite_cells
+    if not rewrite_cells:
+        return
+    current = spark.table(it).filter(F.col("cell_id").isin(rewrite_cells))
+    remapped = (
+        current.join(
+            F.broadcast(
+                moved.select(
+                    F.col(id_col).alias("vid"), F.col("new_cell")
+                )
+            ),
+            "vid",
+            "left",
+        )
+        .withColumn(
+            "cell_id", F.coalesce(F.col("new_cell"), F.col("cell_id"))
+        )
+        .drop("new_cell")
+    )
+    # dynamic overwrite only rewrites partitions PRESENT in the
+    # frame: a rewrite cell emptied of ALL rows would silently keep
+    # its stale files — refuse loudly instead (cannot occur on this
+    # data; a production apply would drop-partition it)
+    present = {
+        r["cell_id"]
+        for r in remapped.select("cell_id").distinct().collect()
+    }
+    missing = [c for c in rewrite_cells if c not in present]
+    if missing:
+        raise ValueError(
+            f"refresh apply would empty partitions {missing}; "
+            "dynamic overwrite cannot express partition deletion"
+        )
+    # materialize before the write: Spark (correctly) refuses an
+    # overwrite whose plan still READS the target table; the
+    # checkpoint snapshots the move-set rows (drift-sized, never
+    # index-sized) and breaks the lineage — the at-scale analogue
+    # is staging the rewritten partitions before the swap
+    staged = (
+        remapped.select("vid", "qvec", "scale", "cell_id")
+        .localCheckpoint(eager=True)
+        .repartition(F.col("cell_id"))
+    )
+    # the SESSION conf, not a writer option: insertInto IGNORES the
+    # per-write partitionOverwriteMode option and would run a STATIC
+    # overwrite — truncating every partition NOT present in the frame
+    # (the controlled-fixture pin caught exactly that: an untouched
+    # cell directory vanished). Set/restore around the one write.
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "dynamic")
+    try:
+        staged.write.mode("overwrite").insertInto(it)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def refreshed_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the SQ8 index under the OLD (pre-arrival) centroid
+    geometry, then APPLY the centroid-refresh reassignment delta as a
+    DYNAMIC PARTITION OVERWRITE (apply_refresh_delta): only partitions
+    in the move set (sources that lose vectors + targets that gain
+    them) are rewritten — untouched cell directories keep their exact
+    files, pinned in tests/test_plans.py on a controlled fixture
+    (this testdata's 10 coarse label-mean cells ALL exchange vectors
+    under a full refresh, so the locality pin needs separated
+    clusters). SQ8 codes are centroid-independent (training-free
+    quantization), so a move edits ONLY the partition column — the
+    rewrite ships the same bytes to a new directory, never
+    re-encodes.
+
+    The maintenance invariant: the refreshed table must equal a full
+    rebuild under the new centroids — the registered query hash-checks
+    exactly that (the s_stream_index_persist device applied to
+    rebalancing instead of ingestion)."""
+    from blspark.ext.similarity import _quantized_cells
+    from blspark.queries.extensions10 import _layout_tables
+
+    def build(it):
+        emb = load_table(spark, sf_dir, "embeddings")
+        old_cents = _det_centroids(
+            emb.filter(F.col("vec_id") >= _REFRESH_BASE)
+        )
+        new_cents = _det_centroids(emb)
+        (
+            _quantized_cells(emb, old_cents)
+            .repartition(F.col("cell_id"))
+            .write.partitionBy("cell_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(it)
+        )
+        apply_refresh_delta(spark, it, emb, old_cents, new_cents)
+
+    return _layout_tables(
+        _RIDX_TABLES, spark, sf_dir, ("blspark_sq8_ridx",), build
+    )[0]
+
+
+def _refresh_apply_oracle() -> str:
+    # full rebuild under the NEW (full-corpus) centroids — the shared
+    # prefix verbatim + the shared SQ8 quantization CTE: the refreshed
+    # table must equal this exactly
+    return f"""
+WITH {_IVF_PREFIX_SQL},
+{_SQ8_QZ_SQL}
+SELECT a.vec_id, a.cell_id, CAST(t.i AS INT) AS pos,
+       z.qvec[t.i + 1] AS q, z.scale
+FROM cassign a
+JOIN qz z ON a.vec_id = z.vec_id
+CROSS JOIN range(0, 64) t(i)
+"""
+
+
+@register(
+    "x_index_refresh_apply",
+    oracle=_refresh_apply_oracle(),
+    doc="APPLY the centroid-refresh delta to the persisted index — "
+    "the physical half of index rebalancing, closing the maintenance "
+    "loop x_index_refresh_delta opened: the index is built under the "
+    "OLD (pre-arrival) geometry, the reassignment delta is computed "
+    "(one scan, shared cell_reassign_delta), and ONLY the move-set "
+    "partitions are rewritten via Spark's dynamic partition "
+    "overwrite (insertInto with partitionOverwriteMode=dynamic) — "
+    "untouched cell directories keep their exact files (snapshot-"
+    "pinned in tests/test_plans.py), so at 100 TB maintenance IO is "
+    "proportional to drift, and SQ8 codes being centroid-independent "
+    "means a move re-ships bytes, never re-encodes. Hash-checked "
+    "against the FULL-REBUILD oracle (the shared IVF prefix + SQ8 "
+    "quantization under new centroids): incremental apply provably "
+    "equals rebuild-from-scratch — the same invariant "
+    "s_stream_index_persist pins for ingestion, now for "
+    "rebalancing. An emptied partition (inexpressible under dynamic "
+    "overwrite) is refused loudly rather than left stale.",
+)
+def x_index_refresh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    it = refreshed_index_table(spark, sf_dir)
+    return spark.table(it).select(
+        F.col("vid").alias("vec_id"),
+        "cell_id",
+        F.posexplode("qvec").alias("pos", "q"),
+        "scale",
+    ).select(
+        "vec_id", "cell_id", F.col("pos").cast("int").alias("pos"),
+        "q", "scale",
+    )

@@ -476,3 +476,77 @@ def test_persisted_index_filtered_pushes_both_predicates(spark):
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_index_refresh_apply_touches_only_move_partitions(spark):
+    """The refresh apply must rewrite ONLY the move-set partitions.
+    Controlled fixture (the testdata's 10 coarse label-mean cells ALL
+    exchange vectors under a full refresh, so locality needs separated
+    clusters): three orthogonal clusters, one boundary vector, and a
+    refreshed centroid that pulls that vector from cell 1 to cell 0 —
+    the apply must rewrite exactly {0, 1}, keep cell 2's files
+    byte-identical, and land the moved vector in its new partition."""
+    import os
+
+    from blspark.ext.similarity import _quantized_cells
+    from blspark.queries.extensions10 import _replace_warehouse_table
+    from blspark.queries.extensions11 import (
+        _RIDX_PRE_FILES,
+        _RIDX_REWRITE_CELLS,
+        _partition_files,
+        apply_refresh_delta,
+    )
+
+    rows = (
+        [(i, [1.0, 0.02 * i, 0.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.02 * i, 1.0, 0.0, 0.0]) for i in range(5)]
+        + [(20, [0.9, 1.0, 0.0, 0.0])]  # boundary: moves 1 -> 0
+        + [(30 + i, [0.0, 0.0, 1.0, 0.02 * i]) for i in range(5)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    old_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id int, centroid array<double>",
+    )
+    new_cents = spark.createDataFrame(
+        [(0, [1.0, 0.3, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id int, centroid array<double>",
+    )
+    it = f"blspark_sq8_ridx_fixture_p{os.getpid()}"
+    _replace_warehouse_table(spark, it)
+    try:
+        (
+            _quantized_cells(emb, old_cents)
+            .repartition(F.col("cell_id"))
+            .write.partitionBy("cell_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(it)
+        )
+        pre_assign = {
+            r["vid"]: r["cell_id"]
+            for r in spark.table(it).select("vid", "cell_id").collect()
+        }
+        assert pre_assign[20] == 1
+        apply_refresh_delta(spark, it, emb, old_cents, new_cents)
+        pre = _RIDX_PRE_FILES[it]
+        rewrite = set(_RIDX_REWRITE_CELLS[it])
+        post = _partition_files(spark, it)
+        assert rewrite == {0, 1}  # drift-proportional, not index-wide
+        assert set(post) == set(pre) == {0, 1, 2}
+        assert post[2] == pre[2]  # untouched partition: exact files
+        assert post[0] != pre[0] and post[1] != pre[1]
+        post_assign = {
+            r["vid"]: r["cell_id"]
+            for r in spark.table(it).select("vid", "cell_id").collect()
+        }
+        assert post_assign[20] == 0
+        assert {v: c for v, c in post_assign.items() if v != 20} == {
+            v: c for v, c in pre_assign.items() if v != 20
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {it}")
