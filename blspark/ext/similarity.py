@@ -668,7 +668,7 @@ def ivf_topk(
     return _ivf_float_rank(c, q, k)
 
 
-def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
     """The ONE exact-cosine IVF scoring tail shared by ``ivf_topk`` and
     ``ivf_adaptive_topk``: equi-join the cell-assigned corpus ``c``
     (neighbor_id, vec, vnorm, cell_id) with the probe list ``q``
@@ -677,13 +677,17 @@ def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     0/0 abort; finite sims are untouched), and take the per-query
     top-k. Each neighbor lives in exactly one cell, so (query,
     neighbor) pairs are unique even with multiple probes — no distinct
-    needed."""
+    needed. ``keep`` carries extra ``q``-side columns through to the
+    output (the _sq8_rank device — the adaptive query rides
+    nprobe_used along instead of re-running the probe subtree for a
+    second join)."""
     denom = F.col("vnorm") * F.col("qnorm")
     scored = c.join(
         q, (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id"))
     ).select(
         "query_id",
         "neighbor_id",
+        *keep,
         F.when(denom > 0, _dot(F.col("vec"), F.col("qvec")) / denom)
         .otherwise(F.lit(float("-inf")))
         .alias("cos_raw"),
@@ -693,7 +697,8 @@ def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+            "query_id", "neighbor_id", *keep,
+            F.round("cos_raw", 6).alias("cosine"), "rank",
         )
     )
 
@@ -727,6 +732,11 @@ def adaptive_probes(
     windows partition by query id — no corpus-sized work anywhere."""
     if probe_lo > probe_hi:
         raise ValueError("probe_lo must be <= probe_hi")
+    if probe_lo < 1:
+        # probe_cells_stateless raises on the same input — the two
+        # routing paths must agree; a silent 0-probe confident query
+        # would vanish from results instead of erroring
+        raise ValueError("probe_lo must be >= 1")
     denom = F.col("vnorm") * F.col("centnorm")
     scored = queries.crossJoin(F.broadcast(cent)).select(
         F.col(idc),
@@ -835,10 +845,11 @@ def ivf_adaptive_topk(
         "query_id", F.col("vec").alias("qvec"),
         F.col("vnorm").alias("qnorm"), "cell_id", "nprobe_used",
     )
-    ranked = _ivf_float_rank(c, q.drop("nprobe_used"), k)
-    return ranked.join(
-        F.broadcast(q.select("query_id", "nprobe_used").distinct()), "query_id"
-    ).select("query_id", "neighbor_id", "cosine", "rank", "nprobe_used")
+    # nprobe_used rides the scoring join (keep=) — re-joining the probe
+    # frame for it would execute the adaptive_probes subtree twice
+    return _ivf_float_rank(c, q, k, keep=("nprobe_used",)).select(
+        "query_id", "neighbor_id", "cosine", "rank", "nprobe_used"
+    )
 
 
 def _blocked_cell_join(
@@ -1689,6 +1700,8 @@ def proto_cross_edges(
     next to the corpus — at nlist = 10^4 it is 10^8 cheap float ops
     on compact rows, still centroid-training scale, never
     corpus-scale). Returns (src_id, dst_id) prototype id pairs."""
+    from blspark.ops import local_relation
+
     protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
         F.col("prototype_id").alias("pid")
     )
@@ -1697,7 +1710,13 @@ def proto_cross_edges(
         "vec",
         _norm(F.col("vec")).alias("nrm"),
     )
-    pv = protos.join(vecs, "pid")
+    # |cells| rows used on BOTH sides of the crossJoin: materialize
+    # once as a local relation or the cell_prototypes corpus
+    # aggregation (and the vector fetch join) executes per branch
+    pv = local_relation(
+        protos.join(vecs, "pid"),
+        "pid bigint, vec array<double>, nrm double",
+    )
     a = pv.select(
         F.col("pid").alias("src_id"),
         F.col("vec").alias("avec"),

@@ -389,7 +389,11 @@ WHERE rank <= {_SQ8_K}
 
 @register(
     "x_index_persist_adaptive",
-    bench=True,
+    # deliberately NOT benched: it sorts BEFORE x_index_persist_scan
+    # in bench.py's name-sorted cold pass and would absorb the
+    # one-time index-table build, destroying the scan-vs-scan_warm
+    # build/probe attribution; x_similarity_ivf_adaptive carries the
+    # adaptive family's bench signal
     oracle=IVF_SQ8_ADAPTIVE_ORACLE,
     doc="Query-adaptive probing applied AT THE STORAGE LAYER — the "
     "persisted cell-partitioned SQ8 index (sq8_index_table, one "
@@ -409,6 +413,26 @@ WHERE rank <= {_SQ8_K}
     "output so the per-query IO decision is hash-checked.",
 )
 def x_index_persist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _persist_adaptive_rank(spark, sf_dir).select(
+        "query_id", "neighbor_id", "score", "iprod", "rank", "nprobe_used"
+    )
+
+
+def _persist_adaptive_rank(
+    spark: SparkSession, sf_dir: str, max_label: int | None = None
+) -> DataFrame:
+    """The ONE adaptive probe pipeline over the persisted index,
+    shared by x_index_persist_adaptive (max_label=None) and
+    x_index_persist_filtered (max_label set: the index scan carries
+    the neighbor's label as n_label and pre-filters label < max_label
+    — pushed down into the same scan as the partition pruning):
+    adaptive probe frame as ONE local relation (needed twice — join
+    input + literal partition predicate), quantized queries broadcast,
+    literal probed-cell IN-set for guaranteed PartitionFilters (the
+    x_index_persist_scan convention; a join alone would rely on
+    runtime DPP), shared _sq8_rank tail, nprobe_used re-joined from
+    the already-materialized local relation (metadata-sized — no
+    subtree re-execution)."""
     from blspark.ext.similarity import (
         ivf_adaptive_probe_frame,
         sq8_quantize,
@@ -424,8 +448,6 @@ def x_index_persist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # Q x nprobe_used <= 20 rows, needed twice (join input + literal
-    # partition predicate) — one local relation, one query-side job
     probes = local_relation(
         ivf_adaptive_probe_frame(
             queries, _det_centroids(emb),
@@ -440,29 +462,31 @@ def x_index_persist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scale").alias("qscale"),
     )
     probe_q = probes.join(qz, "query_id")
-    # literal probed-cell set -> guaranteed PartitionFilters pruning
-    # (the x_index_persist_scan convention; a join alone would rely
-    # on runtime DPP)
     cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").collect()}
     )
-    idx = spark.table(it).select(
+    keep = () if max_label is None else ("n_label",)
+    idx_cols = [
         F.col("vid").alias("neighbor_id"),
-        "cell_id",
+        F.col("cell_id"),
         F.col("qvec").alias("nq"),
         F.col("scale").alias("nscale"),
-    )
+    ]
+    if max_label is not None:
+        idx_cols.insert(2, F.col("label").alias("n_label"))
+    idx = spark.table(it).select(*idx_cols)
+    pred = F.col("cell_id").isin(cells)
+    if max_label is not None:
+        pred = pred & (F.col("n_label") < max_label)
     paired = (
-        idx.filter(F.col("cell_id").isin(cells))
+        idx.filter(pred)
         .join(F.broadcast(probe_q.drop("nprobe_used")), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    ranked = _sq8_rank(paired, _SQ8_K)
+    ranked = _sq8_rank(paired, _SQ8_K, keep=keep)
     return ranked.join(
         F.broadcast(probes.select("query_id", "nprobe_used").distinct()),
         "query_id",
-    ).select(
-        "query_id", "neighbor_id", "score", "iprod", "rank", "nprobe_used"
     )
 
 
@@ -526,57 +550,8 @@ WHERE rank <= {_SQ8_K}
     "never a full scan, never a recall-broken post-filter.",
 )
 def x_index_persist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.similarity import (
-        ivf_adaptive_probe_frame,
-        sq8_quantize,
-        _sq8_rank,
-    )
-    from blspark.ops import local_relation
-    from blspark.queries.extensions10 import sq8_index_table
-
-    it = sq8_index_table(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(
-        (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
-    ).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    probes = local_relation(
-        ivf_adaptive_probe_frame(
-            queries, _det_centroids(emb),
-            probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
-            margin_threshold=_ADAPT_THR,
-        ),
-        "query_id bigint, cell_id int, nprobe_used int",
-    )
-    qz = sq8_quantize(queries, id_col="vec_id", vec_col="vec").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("qq"),
-        F.col("scale").alias("qscale"),
-    )
-    probe_q = probes.join(qz, "query_id")
-    cells = sorted(
-        {r["cell_id"] for r in probes.select("cell_id").collect()}
-    )
-    idx = spark.table(it).select(
-        F.col("vid").alias("neighbor_id"),
-        "cell_id",
-        F.col("label").alias("n_label"),
-        F.col("qvec").alias("nq"),
-        F.col("scale").alias("nscale"),
-    )
-    paired = (
-        idx.filter(
-            F.col("cell_id").isin(cells)
-            & (F.col("n_label") < _FILTER_MAX_LABEL)
-        )
-        .join(F.broadcast(probe_q.drop("nprobe_used")), "cell_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    ranked = _sq8_rank(paired, _SQ8_K, keep=("n_label",))
-    return ranked.join(
-        F.broadcast(probes.select("query_id", "nprobe_used").distinct()),
-        "query_id",
+    return _persist_adaptive_rank(
+        spark, sf_dir, max_label=_FILTER_MAX_LABEL
     ).select(
         "query_id", "neighbor_id", "n_label", "score", "iprod", "rank",
         "nprobe_used",
