@@ -115,7 +115,7 @@ def main() -> None:
     )
     R12_SET = R11_SET + (
         "x_retrieval_graph_expand_xcell", "x_index_persist_scan_warm",
-        "x_similarity_ivf_adaptive",
+        "x_similarity_ivf_adaptive", "x_retrieval_graph_expand_xcell_warm",
     )
     # The persisted-cache queries (LSH/dedup family): their cold sum is
     # the headline cold-path evidence.
@@ -130,7 +130,7 @@ def main() -> None:
         ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
         ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
         ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_40", R11_SET),
-        ("r12_43", R12_SET),
+        ("r12_44", R12_SET),
     )
     subtotals = {
         label: round(sum(timings[n] for n in names if n in timings), 3)

@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_index_refresh_delta",
     "x_index_refresh_apply",
     "x_retrieval_graph_expand_xcell",
+    "x_retrieval_graph_expand_xcell_warm",
     "x_graph_expand_xcell_eval",
     "s_stream_index_persist",
     "x_index_persist_scan_warm",

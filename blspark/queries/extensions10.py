@@ -1512,6 +1512,67 @@ def x_retrieval_graph_expand_xcell(
     return _xcell_gx(spark, sf_dir, eval_sample=False)[3]
 
 
+# session-keyed memo of the NSW adjacency (within-cell kNN edges +
+# prototype backbone, compact id pairs, already localCheckpointed by
+# graph_adjacency_xcell — the _WARM_GX_ADJ convention including
+# dead-session eviction)
+_WARM_GXX_ADJ: dict[tuple[str, str], object] = {}
+
+
+@register(
+    "x_retrieval_graph_expand_xcell_warm",
+    bench=True,
+    oracle=GRAPH_EXPAND_XCELL_ORACLE,
+    doc="NSW beam-search retrieval against a PRE-BUILT cross-cell "
+    "adjacency — result-identical to x_retrieval_graph_expand_xcell "
+    "(same oracle), the warm-variant convention applied to the "
+    "navigable-small-world rung: the first call per dataset builds "
+    "and localCheckpoints the within-cell kNN edges + prototype "
+    "backbone (graph_adjacency_xcell); every later call pays ONLY "
+    "prototype seeding + the deep greedy walk (hops=10, beam=20) + "
+    "the exact rerank — the steady-state per-batch cost of NSW "
+    "retrieval with graph construction amortized out. Sorts AFTER "
+    "the plain xcell entry in bench.py's name-sorted passes, so the "
+    "plain entry's cold number charges the one-time graph build and "
+    "this one prices the walk (the scan/scan_warm attribution "
+    "device).",
+)
+def x_retrieval_graph_expand_xcell_warm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from blspark.ext.similarity import (
+        graph_adjacency_xcell,
+        graph_expand_topk,
+    )
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _WARM_GXX_ADJ if k[0] != app]:
+        del _WARM_GXX_ADJ[stale]
+    key = (app, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one centroid derivation for build AND seeding (_det_centroids
+    # is eager — a second call re-runs the corpus aggregation)
+    cents = _det_centroids(emb)
+    adj = _WARM_GXX_ADJ.get(key)
+    if adj is None:
+        adj = graph_adjacency_xcell(
+            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
+        )
+        _WARM_GXX_ADJ[key] = adj
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return graph_expand_topk(
+        emb,
+        cents,
+        queries,
+        k=_GX_K,
+        knn_k=_KNN_K,
+        hops=_GXX_HOPS,
+        beam=_GXX_BEAM,
+        n_seeds=_GX_SEEDS,
+        adj=adj,
+    )
+
+
 _GXX_TP_SQL = (
     "SELECT COUNT(*) FROM gxk a JOIN exact e "
     "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
