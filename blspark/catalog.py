@@ -97,9 +97,10 @@ _PRIORITY: tuple[str, ...] = (
     # age order: round-12 FIRST-TIMERS go at the very top as they are
     # implemented and locally oracle-green (never pre-list
     # unimplemented names), then the 38 r7-stale, then r8..r11 tiers
-    # alphabetically. The driver's 50-slot budget therefore signs the
-    # new queries + all 38 r7 + the alphabetically-first r8 fill, and
-    # after this round the oldest signature is r8 (window <= 4 rounds).
+    # alphabetically. The 12 round-12 first-timers + all 38 r7-stale
+    # fill the driver's 50-slot budget EXACTLY — no r8 fill gets
+    # signed this round — and after this round the oldest signature
+    # is r8 (window <= 4 rounds; round 13 leads with the r8 tranche).
     # round-12 first-timers:
     "x_similarity_ivf_adaptive",
     "x_ivf_adaptive_eval",

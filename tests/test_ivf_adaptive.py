@@ -284,11 +284,12 @@ def test_filtered_ann_prefilter_beats_postfilter(spark):
     query 13 keeps ZERO at sf0.1), while the registered pre-filtering
     query returns exactly k true filtered neighbors for every query."""
     from blspark.catalog import load_table, registry
+    from blspark.queries.extensions9 import _SQ8_K
     from blspark.queries.extensions11 import _FILTER_MAX_LABEL
     from tests.conftest import SF_ORACLE
 
     reg = registry()
-    k = 5
+    k = _SQ8_K
     labels = {
         r["vec_id"]: r["label"]
         for r in load_table(spark, SF_ORACLE, "embeddings")
