@@ -680,10 +680,18 @@ def _ivf_float_rank(c: DataFrame, q: DataFrame, k: int, keep: tuple = ()) -> Dat
     needed. ``keep`` carries extra ``q``-side columns through to the
     output (the _sq8_rank device — the adaptive query rides
     nprobe_used along instead of re-running the probe subtree for a
-    second join)."""
+    second join).
+
+    The probe list is Q x nprobe rows — metadata-sized by contract —
+    and is BROADCAST explicitly (the ivf_sq8_topk/_ivf_candidates
+    convention): its window-over-crossJoin lineage defeats Catalyst's
+    size estimate, which otherwise plans a SortMergeJoin that
+    shuffles the whole cell-assigned corpus on cell_id — at 100 TB
+    that shuffle IS the query cost."""
     denom = F.col("vnorm") * F.col("qnorm")
     scored = c.join(
-        q, (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id"))
+        F.broadcast(q),
+        (c.cell_id == q.cell_id) & (F.col("neighbor_id") != F.col("query_id")),
     ).select(
         "query_id",
         "neighbor_id",

@@ -317,3 +317,20 @@ def test_filtered_ann_prefilter_beats_postfilter(spark):
         sorted(x["rank"] for x in v) == list(range(1, k + 1))
         for v in per_q.values()
     )
+
+
+def test_ivf_float_probe_join_broadcasts(spark):
+    """The float-rung probe join must broadcast the Q x nprobe probe
+    list (its window-over-crossJoin lineage defeats Catalyst's size
+    estimate, which otherwise shuffles the whole cell-assigned corpus
+    on cell_id as a SortMergeJoin — at 100 TB that shuffle IS the
+    query cost). Pinned for both the adaptive and fixed operators."""
+    from blspark.catalog import registry
+    from tests.conftest import SF_ORACLE
+
+    reg = registry()
+    for name in ("x_similarity_ivf_adaptive", "x_similarity_ivf_checked"):
+        df = reg[name].spark_fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
