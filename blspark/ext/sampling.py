@@ -63,7 +63,11 @@ def hashmin_key(
     constant ``range(1, MAX_WEIGHT + 1)``, so the clamp keeps both
     engines on the identical draw set (see MAX_WEIGHT); pass
     ``overflow="error"`` to fail loudly on an out-of-contract weight
-    instead of silently truncating its draw set. The md5 is
+    instead of silently truncating its draw set. Error mode guards
+    ONLY the truncating (``> MAX_WEIGHT``) side: null, zero, and
+    negative weights still clamp UP to 1 in both modes — that clamp
+    is a correctness guard (two-draw / NULL-ordering hazards above),
+    not a draw-set truncation. The md5 is
     taken over the UTF-8 bytes of the ``id:j`` string via
     ``dedup.md5_prefix_int`` (the one md5-prefix device), so oracles
     replicate keys exactly.

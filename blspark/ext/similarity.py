@@ -731,9 +731,13 @@ def adaptive_probes(
 
     The margin guards the family's degenerate cases: with fewer than
     two cells, or a zero-norm query/centroid (cell_sim pinned to -inf
-    by the shared guard), the margin is forced to 0.0 — the query is
-    treated as ambiguous and scans ``probe_hi`` cells, never NaN
-    (-inf minus -inf) which the two engines ORDER oppositely.
+    by the shared guard), the margin is forced to 0.0 — never NaN
+    (-inf minus -inf), which the two engines ORDER oppositely. Under
+    the usual ``margin_threshold > 0`` a 0.0 margin classifies as
+    ambiguous and scans ``probe_hi``; with ``margin_threshold <= 0``
+    (allowed — tests use it to force one branch) the 0.0 sentinel
+    qualifies as confident and a degenerate query scans ``probe_lo``
+    instead, exactly like every other query.
 
     Scale shape: queries x |cells| is metadata-sized (centroids
     broadcast); the per-query rank window and the two conditional-max
@@ -778,7 +782,7 @@ def ivf_adaptive_probe_frame(
     queries: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
-    vec_col: str = "vec",
+    vec_col: str = "embedding",
     probe_lo: int = 2,
     probe_hi: int = 4,
     margin_threshold: float = 0.05,
@@ -807,7 +811,7 @@ def ivf_adaptive_topk(
     queries: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
-    vec_col: str = "vec",
+    vec_col: str = "embedding",
     k: int = 5,
     probe_lo: int = 2,
     probe_hi: int = 4,
@@ -1801,16 +1805,22 @@ def _proto_seeds(
     id_col: str,
     vec_col: str,
     n_seeds: int,
+    protos: DataFrame | None = None,
 ) -> DataFrame:
     """The beam search's ENTRY step, extracted so the recall contracts
     can name each query's seed prototypes (and their cells) with the
     exact scoring/tie-break the walk itself uses: score every cell
     prototype against every query (metadata-sized broadcast product),
     keep the top-``n_seeds`` per query. Returns (query_id, cand_id,
-    cos_raw) — the walk's initial visited set."""
-    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
-        F.col("prototype_id").alias("cand_id")
-    )
+    cos_raw) — the walk's initial visited set.
+
+    ``protos``: optional precomputed ``cell_prototypes`` output (any
+    frame carrying ``prototype_id``) — the persisted-index walk
+    derives it once for seeding AND the seed-cell map, so passing it
+    here avoids a second corpus aggregation pass."""
+    if protos is None:
+        protos = cell_prototypes(corpus, centroids, id_col, vec_col)
+    protos = protos.select(F.col("prototype_id").alias("cand_id"))
     pvec = F.broadcast(protos.join(vecs, "cand_id"))
     denom = F.col("qnorm") * F.col("cnorm")
     pw = Window.partitionBy("query_id").orderBy(
@@ -1843,6 +1853,7 @@ def graph_expand_topk(
     beam: int = 3,
     n_seeds: int = 2,
     adj: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based retrieval by GREEDY BEAM SEARCH over the kNN graph
     — the HNSW/NSW search step re-expressed in batch DataFrame terms,
@@ -1874,6 +1885,17 @@ def graph_expand_topk(
     batches: pass a prebuilt ``adj`` to pay only the walk (the warm
     registered variant memoizes it per dataset). Recall is priced by
     x_graph_expand_eval against brute force.
+
+    ``allowed``: optional single-column (``cand_id``) frame of result-
+    eligible node ids — the FILTERED-ANN rung at the graph layer, with
+    the standard filtered-HNSW subtlety done right: the walk itself is
+    UNfiltered (non-matching nodes still navigate — pruning them from
+    the graph would disconnect routes exactly where the predicate is
+    selective), and the predicate applies only to the final exact
+    rerank over everything visited (a semi-join, so it can push into
+    the rank's input scan). Contrast post-filtering the top-k, which
+    silently returns fewer than k and strictly lower recall
+    (x_graph_filtered_eval prices the difference).
 
     Returns (query_id, neighbor_id, cosine, rank); the query's own
     node navigates (its out-edges are the best possible moves) but
@@ -1926,6 +1948,18 @@ def graph_expand_topk(
         visited = visited.unionByName(scored_new).localCheckpoint(
             eager=True
         )
+    return _visited_rank(visited, k, allowed)
+
+
+def _visited_rank(
+    visited: DataFrame, k: int, allowed: DataFrame | None = None
+) -> DataFrame:
+    """Final exact rerank over a beam walk's visited set — one copy
+    shared by the in-memory and persisted-index walks (same tie-break,
+    same optional result predicate, so the parity pin compares walks,
+    never rank plumbing)."""
+    if allowed is not None:
+        visited = visited.join(allowed, "cand_id", "semi")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("cand_id")
     )
@@ -1940,6 +1974,135 @@ def graph_expand_topk(
             "rank",
         )
     )
+
+
+def graph_expand_topk_indexed(
+    spark,
+    edge_table: str,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    hops: int = 3,
+    beam: int = 3,
+    n_seeds: int = 2,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The greedy beam search of ``graph_expand_topk`` walked against
+    a PERSISTED cell-partitioned edge table instead of an in-memory
+    adjacency — the graph counterpart of the x_index_persist_scan
+    serving shape: ``edge_table`` is a warehouse table (node, nbr,
+    nbr_cell) partitioned by ``src_cell`` (the source node's IVF
+    cell), so each hop's edge fetch is a PARTITION-PRUNED scan of
+    only the frontier's cells — a literal IN-set on the partition
+    column (the probed-cell convention: guaranteed PartitionFilters,
+    not DPP-dependent), never a full edge-table read.
+
+    The frontier's cells are known WITHOUT touching a corpus-sized
+    node->cell map: seeds are cell prototypes (their cells come with
+    the |cells|-sized prototype frame), and every node a hop reaches
+    carries ``nbr_cell`` in from the edge row that reached it — the
+    visited frame threads (query_id, cand_id, cell, cos_raw), so the
+    per-hop cell set is a metadata-bounded collect over
+    |queries| x beam rows, the same device as the persisted IVF
+    probe's cell-set collect.
+
+    Everything semantic is shared with the in-memory walk verbatim —
+    ``_proto_seeds`` entry (one ``cell_prototypes`` pass reused for
+    the seed-cell map), per-hop greedy frontier by query similarity,
+    the family's zero-norm cosine guard, ``_visited_rank``'s final
+    exact rerank and tie-break — so the result is bit-identical to
+    ``graph_expand_topk`` over the same edge set (parity-pinned in
+    tests/test_graph_index.py). At 100 TB the edge table is the
+    amortized artifact: built once (the one-time kNN-graph cost),
+    probed per batch at IO = |frontier cells| / |cells| of the edge
+    bytes per hop."""
+    from blspark.ops import local_relation
+
+    vecs = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("vec").alias("cvec"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    # |cells| rows, used twice (seed scoring + seed-cell map):
+    # materialize once so the prototype corpus aggregation runs once
+    protos = local_relation(
+        cell_prototypes(corpus, centroids, id_col, vec_col).select(
+            "cell_id", "prototype_id"
+        ),
+        "cell_id int, prototype_id bigint",
+    )
+    seeds = _proto_seeds(
+        q, vecs, corpus, centroids, id_col, vec_col, n_seeds,
+        protos=protos,
+    )
+    visited = seeds.join(
+        F.broadcast(
+            protos.select(
+                F.col("prototype_id").alias("cand_id"),
+                F.col("cell_id").alias("cell"),
+            )
+        ),
+        "cand_id",
+    ).select("query_id", "cand_id", "cell", "cos_raw")
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    for _ in range(hops):
+        frontier = (
+            visited.withColumn("r", F.row_number().over(bw))
+            .filter(F.col("r") <= beam)
+            .select("query_id", "cand_id", "cell")
+        )
+        # metadata-bounded: <= |queries| x beam distinct cells
+        cells = sorted(
+            {r["cell"] for r in frontier.select("cell").distinct().collect()}
+        )
+        edges = (
+            spark.table(edge_table)
+            .filter(F.col("src_cell").isin(cells))
+            .select(
+                F.col("node").alias("cand_id"), "nbr", "nbr_cell"
+            )
+        )
+        new = (
+            frontier.select("query_id", "cand_id")
+            .join(edges, "cand_id")
+            .select(
+                "query_id",
+                F.col("nbr").alias("cand_id"),
+                F.col("nbr_cell").alias("cell"),
+            )
+            .distinct()
+            .join(
+                visited.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+        )
+        hop_denom = F.col("qnorm") * F.col("cnorm")
+        scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
+            "query_id",
+            "cand_id",
+            "cell",
+            F.when(
+                hop_denom > 0,
+                _dot(F.col("qvec"), F.col("cvec")) / hop_denom,
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
+        )
+        visited = visited.unionByName(scored_new).localCheckpoint(
+            eager=True
+        )
+    return _visited_rank(visited.drop("cell"), k, allowed)
 
 
 def _d2(a: Column, b: Column) -> Column:
@@ -2182,7 +2345,12 @@ def _pq_lut(qsv: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-def _adc_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFrame:
+def _adc_rank(
+    scored: DataFrame,
+    k: int,
+    base_col: str | None = None,
+    keep: tuple = (),
+) -> DataFrame:
     """Per-pair ordered ADC fold + top-k rank — the determinism-critical
     device shared by ``pq_adc_topk``, ``ivfpq_topk`` and
     ``ivfpq_residual_topk`` (one copy, so a numeric-policy fix can
@@ -2197,7 +2365,12 @@ def _adc_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFra
     within the group). It is added AFTER the fold completes
     (``fold + base``, one commutative addition — the same association
     DuckDB's ``list_sum(...) + min(base)`` evaluates), never folded in,
-    which would change the association and drift last-ulp."""
+    which would change the association and drift last-ulp.
+
+    ``keep``: extra ``scored`` columns, CONSTANT per query, to carry
+    through to the output unchanged (the adaptive rung rides each
+    query's ``nprobe_used`` decision along — the ``_sq8_rank`` keep
+    convention; per-query-constant, so ``min`` is exact)."""
     fold = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "val"))),
@@ -2208,7 +2381,7 @@ def _adc_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFra
     )
     score = fold + F.min(base_col) if base_col is not None else fold
     per_pair = scored.groupBy("query_id", "neighbor_id").agg(
-        score.alias("score_raw")
+        score.alias("score_raw"), *[F.min(c).alias(c) for c in keep]
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_raw"), F.asc("neighbor_id")
@@ -2219,6 +2392,7 @@ def _adc_rank(scored: DataFrame, k: int, base_col: str | None = None) -> DataFra
         .select(
             "query_id",
             "neighbor_id",
+            *keep,
             F.round("score_raw", 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
@@ -2461,6 +2635,91 @@ def ivfpq_query(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _adc_rank(scored, k)
+
+
+def ivfpq_adaptive_query(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    probe_lo: int = 2,
+    probe_hi: int = 4,
+    margin_threshold: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """``ivfpq_query`` with QUERY-ADAPTIVE probing — the margin knob
+    (``adaptive_probes``: top1 - top2 centroid-cosine margin picks
+    ``probe_lo`` or ``probe_hi`` cells per query) threaded through the
+    compressed-domain ADC pipeline, the rung a 100 TB deployment
+    actually serves: the probed-cell restriction AND the one-byte ADC
+    scan compose, so a confident query's scan budget is probe_lo
+    cells of M one-byte codes while only boundary queries widen.
+
+    The probe decision, the LUT build, and the ordered ADC fold are
+    the SAME helpers the fixed-nprobe family uses (``adaptive_probes``
+    shared with ``ivf_adaptive_topk``; ``_pq_lut`` / ``_adc_rank``
+    shared with ``ivfpq_topk``) — with ``probe_lo == probe_hi == n``
+    results equal ``ivfpq_query(nprobe=n)`` exactly (property-tested).
+    Returns (query_id, neighbor_id, nprobe_used, score, rank);
+    ``nprobe_used`` rides the scoring join (``_adc_rank`` keep=) so
+    the per-query decision is visible without re-running the probe
+    subtree."""
+    cent = _centroid_frame(centroids)
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), "vec",
+        _norm(F.col("vec")).alias("vnorm"),
+    )
+    q_probe = adaptive_probes(
+        q, cent, "query_id", probe_lo, probe_hi, margin_threshold
+    )
+    qsv = pq_subvectors(
+        q.select("query_id", "vec"), n_subspaces, subdim,
+        id_col="query_id",
+    )
+    lut = _pq_lut(qsv, codebooks)
+    probes = q_probe.select("query_id", "cell_id", "nprobe_used")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_rank(scored, k, keep=("nprobe_used",))
+
+
+def ivfpq_adaptive_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    subdim: int,
+    k: int = 3,
+    probe_lo: int = 2,
+    probe_hi: int = 4,
+    margin_threshold: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """``ivfpq_topk`` with query-adaptive probing: the write-once
+    corpus side is ``ivfpq_build_index`` verbatim; the per-batch query
+    side is ``ivfpq_adaptive_query``. Kept as the same build/query
+    split so production callers persist the codes frame once and pay
+    only the adaptive probe + ADC scan per batch."""
+    codes = ivfpq_build_index(
+        corpus, centroids, codebooks, n_subspaces, subdim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_adaptive_query(
+        codes, queries, centroids, codebooks, n_subspaces, subdim,
+        k=k, probe_lo=probe_lo, probe_hi=probe_hi,
+        margin_threshold=margin_threshold, id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 def ivfpq_residual_topk(

@@ -1146,6 +1146,7 @@ def _gx_chain(
     cross_m: int = 0,
     hops: int = _GX_HOPS,
     beam: int = _GX_BEAM,
+    result_filter: str = "",
 ) -> str:
     """ONE copy of the greedy-beam-search retrieval chain — the shared
     edges prefix (filtered or not), the undirected adjacency, the
@@ -1160,7 +1161,11 @@ def _gx_chain(
     the adjacency (each prototype -> its cross_m most-similar OTHER
     prototypes, cosine desc / dst id asc — the SQL mirror of
     ext/similarity.proto_cross_edges); ``hops``/``beam`` pick the
-    search budget (the xcell rung runs a deeper walk)."""
+    search budget (the xcell rung runs a deeper walk).
+    ``result_filter`` is an extra "AND ..." predicate on the final
+    rank's candidates (the filtered-ANN rung: the WALK stays
+    unfiltered — waypoints route — only the rerank filters, the SQL
+    mirror of graph_expand_topk's ``allowed`` semi-join)."""
     hop_blocks = []
     for i in range(hops):
         hop_blocks.append(f""",
@@ -1245,7 +1250,7 @@ gx AS MATERIALIZED (
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos_raw DESC, cand ASC) AS INT) AS rank
   FROM v{hops}
-  WHERE cand <> query_id
+  WHERE cand <> query_id{result_filter}
 )"""
 
 
@@ -1632,7 +1637,9 @@ SELECT
     "(sf0.01) / 3200 bp (sf0.1) vs 100 bp chance — ABOVE both the "
     "2400 bp full-cell-scan ceiling the r11 rung documented and the "
     "3200/2000 bp the within-only walk scores at the SAME deepened "
-    "budget (tests/test_similarity_graph.py pins the comparison). "
+    "budget (tests/test_knn_graph.py::"
+    "test_xcell_recall_beats_within_at_same_budget pins the "
+    "comparison). "
     "Seed cells come from the SAME _proto_seeds step the walk uses; "
     "the oracle mirrors it via v0 x cassign. Deterministic contract "
     "row, sample-scale universe (the x_pq_eval device).",

@@ -159,7 +159,7 @@ def x_similarity_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _det_centroids(emb)
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return ivf_adaptive_topk(
-        vecs, queries, cents, k=_SQ8_K,
+        vecs, queries, cents, vec_col="vec", k=_SQ8_K,
         probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
         margin_threshold=_ADAPT_THR,
     )
@@ -284,7 +284,7 @@ def x_ivf_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
 
     adaptive = ivf_adaptive_topk(
-        vecs, queries, cents, k=_SQ8_K,
+        vecs, queries, cents, vec_col="vec", k=_SQ8_K,
         probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
         margin_threshold=_ADAPT_THR,
     )
@@ -296,16 +296,16 @@ def x_ivf_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     probe_a = ivf_adaptive_probe_frame(
-        queries, cents,
+        queries, cents, vec_col="vec",
         probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
         margin_threshold=_ADAPT_THR,
     )
     probe_f3 = ivf_adaptive_probe_frame(
-        queries, cents, probe_lo=3, probe_hi=3,
+        queries, cents, vec_col="vec", probe_lo=3, probe_hi=3,
         margin_threshold=_ADAPT_THR,
     )
     probe_f4 = ivf_adaptive_probe_frame(
-        queries, cents, probe_lo=4, probe_hi=4,
+        queries, cents, vec_col="vec", probe_lo=4, probe_hi=4,
         margin_threshold=_ADAPT_THR,
     )
     cells_a = probe_a.agg(F.count("*").cast("int").alias("cells_adaptive"))
@@ -450,7 +450,7 @@ def _persist_adaptive_rank(
     )
     probes = local_relation(
         ivf_adaptive_probe_frame(
-            queries, _det_centroids(emb),
+            queries, _det_centroids(emb), vec_col="vec",
             probe_lo=_ADAPT_LO, probe_hi=_ADAPT_HI,
             margin_threshold=_ADAPT_THR,
         ),

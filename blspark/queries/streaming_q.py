@@ -899,70 +899,83 @@ _SIDX_NEW = 50
 _SIDX_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
 
 
-def streamed_sq8_index_tables(
-    spark: SparkSession, sf_dir: str
-) -> tuple[str, str]:
-    """(raw, compacted) IVF,SQ8 index tables maintained BY THE STREAM:
+def build_streamed_raw_index(spark: SparkSession, sf_dir: str, raw: str) -> None:
+    """ONE copy of the streamed-index raw-table build, shared by
+    s_stream_index_persist (which then writes a compacted twin) and
+    x_index_compact_apply (which compacts the raw table IN PLACE):
     the base index (corpus minus the 'new' rows) is written once as a
     cell_id-partitioned table (the x_index_persist_scan layout), then
     arrivals stateless-encode (cell_assign_stateless + sq8_quantize —
     bit-identical to the batch rule) and foreachBatch-APPEND into the
     SAME table via positional insertInto: each micro-batch lands as
     partition-LOCAL files under the arrivals' cell directories, no
-    rewrite of existing data. The compaction pass then rewrites the
-    accumulated small files back to one file per cell directory (the
-    physical half of x_compaction_plan's planning shape) into the
-    compacted twin — content-identical, scan-efficient. Same
-    memo/pid-name/GC machinery as every layout demo."""
+    rewrite of existing data."""
     from blspark.ext.similarity import (
         _quantized_cells,
         cell_assign_stateless,
         sq8_quantize,
     )
     from blspark.queries.extensions9 import _det_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _det_centroids(emb)  # frozen FULL-corpus centroids
+    base = _quantized_cells(
+        emb.filter(F.col("vec_id") >= _SIDX_NEW), cents
+    )
+    (
+        base.repartition(F.col("cell_id"))
+        .write.partitionBy("cell_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(raw)
+    )
+    cent_rows = [
+        (r["cell_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    stream = (
+        file_arrival_stream(
+            spark, sf_dir, schema=emb.schema, glob="embeddings.parquet"
+        )
+        .filter(F.col("vec_id") < _SIDX_NEW)
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    )
+    codes = sq8_quantize(
+        cell_assign_stateless(stream, cent_rows),
+        id_col="vid",
+        keep=("cell_id",),
+    )
+
+    def append_batch(batch: DataFrame, _epoch: int) -> None:
+        # positional insertInto: table schema is (vid, qvec,
+        # scale) + cell_id LAST (the partition column) — appends
+        # create files only under the arrivals' cell directories
+        batch.select("vid", "qvec", "scale", "cell_id").write.mode(
+            "append"
+        ).insertInto(raw)
+
+    run_available_now(codes, batch_fn=append_batch)
+
+
+def streamed_sq8_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """(raw, compacted) IVF,SQ8 index tables maintained BY THE STREAM
+    (``build_streamed_raw_index`` — base write + partition-local
+    arrival appends), plus the compaction pass rewriting the
+    accumulated small files back to one file per cell directory (the
+    physical half of x_compaction_plan's planning shape) into the
+    compacted twin — content-identical, scan-efficient. Same
+    memo/pid-name/GC machinery as every layout demo. The IN-PLACE
+    compaction of the raw table is x_index_compact_apply's device
+    (its own table, so this pair's physical pins — per-batch small
+    files present in raw — stay valid whichever order runs)."""
     from blspark.queries.extensions10 import _layout_tables
 
     def build(raw: str, compact: str) -> None:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cents = _det_centroids(emb)  # frozen FULL-corpus centroids
-        base = _quantized_cells(
-            emb.filter(F.col("vec_id") >= _SIDX_NEW), cents
-        )
-        (
-            base.repartition(F.col("cell_id"))
-            .write.partitionBy("cell_id")
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(raw)
-        )
-        cent_rows = [
-            (r["cell_id"], list(r["centroid"])) for r in cents.collect()
-        ]
-        stream = (
-            file_arrival_stream(
-                spark, sf_dir, schema=emb.schema, glob="embeddings.parquet"
-            )
-            .filter(F.col("vec_id") < _SIDX_NEW)
-            .select(
-                F.col("vec_id").alias("vid"),
-                F.col("embedding").cast("array<double>").alias("vec"),
-            )
-        )
-        codes = sq8_quantize(
-            cell_assign_stateless(stream, cent_rows),
-            id_col="vid",
-            keep=("cell_id",),
-        )
-
-        def append_batch(batch: DataFrame, _epoch: int) -> None:
-            # positional insertInto: table schema is (vid, qvec,
-            # scale) + cell_id LAST (the partition column) — appends
-            # create files only under the arrivals' cell directories
-            batch.select("vid", "qvec", "scale", "cell_id").write.mode(
-                "append"
-            ).insertInto(raw)
-
-        run_available_now(codes, batch_fn=append_batch)
+        build_streamed_raw_index(spark, sf_dir, raw)
         (
             spark.table(raw)
             .repartition(F.col("cell_id"))
