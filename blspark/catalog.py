@@ -90,73 +90,30 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-12 rotation (recomputed programmatically from
-    # CORRECTNESS_r01..r11.json: latest driver signing round per query;
-    # age tiers at the start of round 12 are r7: 38, r8: 50, r9: 50,
-    # r10: 50, r11: 50 — zero latest-status fails). Ordering is pure
-    # age order: round-12 FIRST-TIMERS go at the very top as they are
-    # implemented and locally oracle-green (never pre-list
-    # unimplemented names), then the 38 r7-stale, then r8..r11 tiers
-    # alphabetically. The 12 round-12 first-timers + all 38 r7-stale
-    # fill the driver's 50-slot budget EXACTLY — no r8 fill gets
-    # signed this round — and after this round the oldest signature
-    # is r8 (window <= 4 rounds; round 13 leads with the r8 tranche).
-    # round-12 first-timers:
-    "x_similarity_ivf_adaptive",
-    "x_ivf_adaptive_eval",
-    "x_index_persist_adaptive",
-    "x_index_persist_filtered",
-    "s_stream_adaptive_route",
-    "x_index_refresh_delta",
-    "x_index_refresh_apply",
-    "x_retrieval_graph_expand_xcell",
-    "x_retrieval_graph_expand_xcell_warm",
-    "x_graph_expand_xcell_eval",
-    "s_stream_index_persist",
-    "x_index_persist_scan_warm",
-    # r7 signatures (38):
-    "q_grouped_agg_pricing",
-    "q_histogram_bins",
-    "q_join_anti",
-    "q_join_semi",
-    "q_newest_key",
-    "q_null_drop",
-    "q_null_handling",
-    "q_orders_left_join_customer",
-    "q_percentiles_exact",
-    "q_pivot",
-    "q_project_cast_json",
-    "q_range_join_bands",
-    "q_regex_string_funcs",
-    "q_regression_stats",
-    "q_retention_cohorts",
-    "q_rolling_active_users",
-    "q_rollup",
-    "q_scalar_date_format",
-    "q_scalar_md5",
-    "q_scalar_string_funcs",
-    "q_scalar_subquery",
-    "q_set_except",
-    "q_set_union_intersect",
-    "q_sql_best_year",
-    "q_topk_orders",
-    "q_union_by_name",
-    "q_unpivot",
-    "q_window_topk_per_group",
-    "q_wordcount_topk",
-    "s_stream_index_pq",
-    "x_corpus_mix",
-    "x_dedup_apply",
-    "x_dedup_apply_neardup",
-    "x_embed_label_centroids",
-    "x_similarity_ivfpq_checked",
-    "x_similarity_pq_checked",
-    "x_similarity_pq_rerank",
-    "x_text_boilerplate_strip",
-    # r8 signatures (50):
-    "q_conditional_agg",
+    # -- Round-13 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r12.json: latest driver signing round per
+    # query; age tiers at the start of round 13 are r8: 50, r9: 50,
+    # r10: 50, r11: 50, r12: 50 — zero latest-status fails; round
+    # 12 signed its 12 first-timers + all 38 r7-stale, consuming the
+    # budget exactly). Round 13 is the consolidation round the r12
+    # verdict prescribed, with the capped new-family allowance: the
+    # 7 round-13 FIRST-TIMERS (implemented and locally oracle-green
+    # at both SFs — never pre-list unimplemented names) go first,
+    # then 43 of the 50 r8-stale; the remaining 7 r8 entries are
+    # EXPLICITLY DEFERRED to round 14 (the lowest-risk pure
+    # built-in-SQL TPC-H-like queries, named below) and lead the
+    # round-14 budget together with any r13 leftovers. After this
+    # round the oldest signatures are the 7 deferred r8 names.
+    # round-13 first-timers (implemented + locally oracle-green):
+    "x_similarity_ivfpq_adaptive",
+    "x_ivfpq_adaptive_eval",
+    "x_index_persist_graph",
+    "x_index_persist_graph_warm",
+    "x_index_compact_apply",
+    "x_retrieval_graph_filtered",
+    "x_graph_filtered_eval",
+    # r8 signatures re-signed this round (43 of 50):
     "q_customer_order_distribution",
-    "q_disjunctive_filter_revenue",
     "q_events_interval_join",
     "q_events_session_window",
     "q_events_sessionize",
@@ -164,17 +121,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_funnel_conversion",
     "q_grouping_sets",
     "q_idle_rich_customers",
-    "q_important_parts",
-    "q_large_orders",
     "q_linestatus_priority_counts",
     "q_min_cost_supplier",
     "q_nation_pairs_volume",
     "q_ntile_deciles",
     "q_order_priority_check",
-    "q_promo_revenue",
     "q_promotion_suppliers",
-    "q_regional_revenue",
-    "q_returned_items",
     "q_sync_classify",
     "x_embed_quantize",
     "x_multimodal_framesample",
@@ -204,6 +156,16 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_repetition",
     "x_text_token_stats",
     "x_udaf_weighted_stats",
+    # r8 DEFERRED to round 14 (explicit: the 7 lowest-risk pure
+    # built-in-SQL TPC-H-like entries, displaced by the 7 r13
+    # first-timers; they lead round 14's budget):
+    "q_conditional_agg",
+    "q_disjunctive_filter_revenue",
+    "q_important_parts",
+    "q_large_orders",
+    "q_promo_revenue",
+    "q_regional_revenue",
+    "q_returned_items",
     # r9 signatures (50):
     "q_market_share",
     "q_product_profit",
@@ -357,6 +319,57 @@ _PRIORITY: tuple[str, ...] = (
     "x_topk_merge",
     "x_word_diversity",
     "x_xml_roundtrip",
+    # r12 signatures (50):
+    "q_grouped_agg_pricing",
+    "q_histogram_bins",
+    "q_join_anti",
+    "q_join_semi",
+    "q_newest_key",
+    "q_null_drop",
+    "q_null_handling",
+    "q_orders_left_join_customer",
+    "q_percentiles_exact",
+    "q_pivot",
+    "q_project_cast_json",
+    "q_range_join_bands",
+    "q_regex_string_funcs",
+    "q_regression_stats",
+    "q_retention_cohorts",
+    "q_rolling_active_users",
+    "q_rollup",
+    "q_scalar_date_format",
+    "q_scalar_md5",
+    "q_scalar_string_funcs",
+    "q_scalar_subquery",
+    "q_set_except",
+    "q_set_union_intersect",
+    "q_sql_best_year",
+    "q_topk_orders",
+    "q_union_by_name",
+    "q_unpivot",
+    "q_window_topk_per_group",
+    "q_wordcount_topk",
+    "s_stream_adaptive_route",
+    "s_stream_index_persist",
+    "s_stream_index_pq",
+    "x_corpus_mix",
+    "x_dedup_apply",
+    "x_dedup_apply_neardup",
+    "x_embed_label_centroids",
+    "x_graph_expand_xcell_eval",
+    "x_index_persist_adaptive",
+    "x_index_persist_filtered",
+    "x_index_persist_scan_warm",
+    "x_index_refresh_apply",
+    "x_index_refresh_delta",
+    "x_ivf_adaptive_eval",
+    "x_retrieval_graph_expand_xcell",
+    "x_retrieval_graph_expand_xcell_warm",
+    "x_similarity_ivf_adaptive",
+    "x_similarity_ivfpq_checked",
+    "x_similarity_pq_checked",
+    "x_similarity_pq_rerank",
+    "x_text_boilerplate_strip",
 )
 
 

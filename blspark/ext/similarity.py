@@ -1976,6 +1976,22 @@ def _visited_rank(
     )
 
 
+def edge_probe(spark, edge_table: str, cells: list) -> DataFrame:
+    """ONE hop's edge fetch against the persisted cell-partitioned
+    edge table: a LITERAL IN-set on the partition column, so the
+    predicate is guaranteed to land in PartitionFilters (metadata
+    pruning — no directory outside the frontier's cells is opened;
+    the probed-cell convention shared with x_index_persist_scan).
+    Extracted from the walk loop so the plan pin in
+    tests/test_graph_index.py drives the exact scan the registered
+    query runs, not a reconstruction."""
+    return (
+        spark.table(edge_table)
+        .filter(F.col("src_cell").isin(cells))
+        .select(F.col("node").alias("cand_id"), "nbr", "nbr_cell")
+    )
+
+
 def graph_expand_topk_indexed(
     spark,
     edge_table: str,
@@ -2065,13 +2081,7 @@ def graph_expand_topk_indexed(
         cells = sorted(
             {r["cell"] for r in frontier.select("cell").distinct().collect()}
         )
-        edges = (
-            spark.table(edge_table)
-            .filter(F.col("src_cell").isin(cells))
-            .select(
-                F.col("node").alias("cand_id"), "nbr", "nbr_cell"
-            )
-        )
+        edges = edge_probe(spark, edge_table, cells)
         new = (
             frontier.select("query_id", "cand_id")
             .join(edges, "cand_id")

@@ -664,7 +664,12 @@ _RIDX_PRE_FILES: dict[str, dict[int, list[str]]] = {}
 _RIDX_REWRITE_CELLS: dict[str, list[int]] = {}
 
 
-def _partition_files(spark, table: str) -> dict[int, list[str]]:
+def _partition_files(
+    spark, table: str, col: str = "cell_id"
+) -> dict[int, list[str]]:
+    """Per-partition file listing {value: sorted basenames} for a
+    warehouse table partitioned by integer column ``col`` (cell_id
+    for the SQ8 index tables, src_cell for the graph edge table)."""
     import os
     import urllib.parse
 
@@ -675,7 +680,7 @@ def _partition_files(spark, table: str) -> dict[int, list[str]]:
     ).path
     out: dict[int, list[str]] = {}
     for entry in os.listdir(loc):
-        if entry.startswith("cell_id="):
+        if entry.startswith(f"{col}="):
             cell = int(entry.split("=", 1)[1])
             out[cell] = sorted(os.listdir(os.path.join(loc, entry)))
     return out

@@ -254,26 +254,33 @@ cassign AS MATERIALIZED ({_cell_assign_sql("v", "vec_id", 1)})"""
 
 _IVF_PREFIX_SQL = _ivf_prefix_sql()
 
-IVFPQ_CHECKED_ORACLE = f"""
-WITH {_IVF_PREFIX_SQL},
-qprobe AS MATERIALIZED ({_cell_assign_sql(
-    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
-sv AS MATERIALIZED (
+# The IVF-PQ oracle's building blocks, exposed for the adaptive rung
+# (extensions12) so the subvector slice / codes-with-cells / LUT CTEs
+# exist in exactly ONE copy:
+_SV_CTE = f"""sv AS MATERIALIZED (
   SELECT vec_id, t.m,
          vec[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
   FROM vecs, range(0, {_PQ_M}) t(m)
-),
-{_PQ_TRAIN_SQL},
-codesc AS MATERIALIZED (
+)"""
+_CODESC_CTE = """codesc AS MATERIALIZED (
   SELECT k.vec_id, k.m, k.code, a.cell_id
   FROM codes k JOIN cassign a ON k.vec_id = a.vec_id
-),
-lut AS MATERIALIZED (
+)"""
+_LUT_CTE = f"""lut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.m, c.code,
          {_DOTQ.format(a="q.sv", b="c.cw")} AS val
   FROM sv q JOIN cb c ON q.m = c.m
   WHERE q.vec_id >= 10 AND q.vec_id < 15
-),
+)"""
+
+IVFPQ_CHECKED_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+{_SV_CTE},
+{_PQ_TRAIN_SQL},
+{_CODESC_CTE},
+{_LUT_CTE},
 scored AS (
   SELECT l.query_id, s.vec_id AS neighbor_id,
          list_sum(list(l.val ORDER BY l.m)) AS score_raw
