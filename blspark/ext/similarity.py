@@ -1915,6 +1915,40 @@ def graph_expand_topk(
     )
     if adj is None:
         adj = graph_adjacency(corpus, centroids, id_col, vec_col, knn_k)
+
+    def expand(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.join(adj, "cand_id")
+            .select("query_id", F.col("nbr").alias("cand_id"))
+            .distinct()
+        )
+
+    visited = _beam_walk(visited, vecs, q, hops, beam, expand)
+    return _visited_rank(visited, k, allowed)
+
+
+def _beam_walk(
+    visited: DataFrame,
+    vecs: DataFrame,
+    q: DataFrame,
+    hops: int,
+    beam: int,
+    expand,
+    extra: tuple = (),
+) -> DataFrame:
+    """ONE copy of the greedy hop loop shared by the in-memory and
+    persisted-index walks (the `_visited_rank` rationale applied to
+    the loop itself: an edit to the walk semantics — frontier
+    tie-break, visited dedup, the zero-norm cosine guard, the
+    per-round checkpoint — can never reach one walk and not the
+    other, so the advertised bit-identical parity is structural).
+    ``visited`` carries (query_id, cand_id, *extra, cos_raw);
+    ``expand(frontier) -> (query_id, cand_id, *extra)`` distinct new
+    candidates for a (query_id, cand_id, *extra) frontier — the
+    in-memory walk joins the adjacency frame (extra=()), the indexed
+    walk probes the partition-pruned edge table, threading each
+    node's cell through ``extra`` so the next hop's probed-cell set
+    rides along."""
     bw = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("cand_id")
     )
@@ -1922,22 +1956,18 @@ def graph_expand_topk(
         frontier = (
             visited.withColumn("r", F.row_number().over(bw))
             .filter(F.col("r") <= beam)
-            .select("query_id", "cand_id")
+            .select("query_id", "cand_id", *extra)
         )
-        new = (
-            frontier.join(adj, "cand_id")
-            .select("query_id", F.col("nbr").alias("cand_id"))
-            .distinct()
-            .join(
-                visited.select("query_id", "cand_id"),
-                ["query_id", "cand_id"],
-                "left_anti",
-            )
+        new = expand(frontier).join(
+            visited.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
         )
         hop_denom = F.col("qnorm") * F.col("cnorm")
         scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
             "query_id",
             "cand_id",
+            *extra,
             F.when(
                 hop_denom > 0,
                 _dot(F.col("qvec"), F.col("cvec")) / hop_denom,
@@ -1948,7 +1978,7 @@ def graph_expand_topk(
         visited = visited.unionByName(scored_new).localCheckpoint(
             eager=True
         )
-    return _visited_rank(visited, k, allowed)
+    return visited
 
 
 def _visited_rank(
@@ -2068,50 +2098,26 @@ def graph_expand_topk_indexed(
         ),
         "cand_id",
     ).select("query_id", "cand_id", "cell", "cos_raw")
-    bw = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("cand_id")
-    )
-    for _ in range(hops):
-        frontier = (
-            visited.withColumn("r", F.row_number().over(bw))
-            .filter(F.col("r") <= beam)
-            .select("query_id", "cand_id", "cell")
-        )
+
+    def expand(frontier: DataFrame) -> DataFrame:
         # metadata-bounded: <= |queries| x beam distinct cells
         cells = sorted(
             {r["cell"] for r in frontier.select("cell").distinct().collect()}
         )
-        edges = edge_probe(spark, edge_table, cells)
-        new = (
+        return (
             frontier.select("query_id", "cand_id")
-            .join(edges, "cand_id")
+            .join(edge_probe(spark, edge_table, cells), "cand_id")
             .select(
                 "query_id",
                 F.col("nbr").alias("cand_id"),
                 F.col("nbr_cell").alias("cell"),
             )
             .distinct()
-            .join(
-                visited.select("query_id", "cand_id"),
-                ["query_id", "cand_id"],
-                "left_anti",
-            )
         )
-        hop_denom = F.col("qnorm") * F.col("cnorm")
-        scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
-            "query_id",
-            "cand_id",
-            "cell",
-            F.when(
-                hop_denom > 0,
-                _dot(F.col("qvec"), F.col("cvec")) / hop_denom,
-            )
-            .otherwise(F.lit(float("-inf")))
-            .alias("cos_raw"),
-        )
-        visited = visited.unionByName(scored_new).localCheckpoint(
-            eager=True
-        )
+
+    visited = _beam_walk(
+        visited, vecs, q, hops, beam, expand, extra=("cell",)
+    )
     return _visited_rank(visited.drop("cell"), k, allowed)
 
 

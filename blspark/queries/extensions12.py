@@ -674,9 +674,7 @@ def x_graph_filtered_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = emb.filter(F.col("label") < _FILTER_MAX_LABEL).select(
         F.col("vec_id").alias("cand_id")
     )
-    allowed_universe = emb.join(
-        allowed, F.col("vec_id") == F.col("cand_id"), "semi"
-    )
+    allowed_universe = emb.filter(F.col("label") < _FILTER_MAX_LABEL)
     pre = graph_expand_topk(
         emb, cents, queries,
         k=_GX_K, knn_k=_KNN_K, hops=_GXX_HOPS, beam=_GXX_BEAM,
