@@ -1854,7 +1854,9 @@ def graph_expand_topk(
     n_seeds: int = 2,
     adj: DataFrame | None = None,
     allowed: DataFrame | None = None,
-) -> DataFrame:
+    early_exit_k: int | None = None,
+    with_activity: bool = False,
+):
     """Graph-based retrieval by GREEDY BEAM SEARCH over the kNN graph
     — the HNSW/NSW search step re-expressed in batch DataFrame terms,
     composing ``cell_prototypes`` (entry points) and ``knn_graph``
@@ -1897,6 +1899,12 @@ def graph_expand_topk(
     silently returns fewer than k and strictly lower recall
     (x_graph_filtered_eval prices the difference).
 
+    ``early_exit_k`` / ``with_activity`` pass through to the shared
+    ``_beam_walk`` loop: per-query early termination (hops becomes a
+    ceiling — the adaptive-ANN knob at the graph rung) and the
+    expansion ledger (hop, query_id, cand_id) for budget pricing;
+    with ``with_activity`` the return is (result, activity).
+
     Returns (query_id, neighbor_id, cosine, rank); the query's own
     node navigates (its out-edges are the best possible moves) but
     is never a result."""
@@ -1923,8 +1931,20 @@ def graph_expand_topk(
             .distinct()
         )
 
-    visited = _beam_walk(visited, vecs, q, hops, beam, expand)
-    return _visited_rank(visited, k, allowed)
+    walked = _beam_walk(
+        visited,
+        vecs,
+        q,
+        hops,
+        beam,
+        expand,
+        early_exit_k=early_exit_k,
+        with_activity=with_activity,
+    )
+    if with_activity:
+        visited, activity = walked
+        return _visited_rank(visited, k, allowed), activity
+    return _visited_rank(walked, k, allowed)
 
 
 def _beam_walk(
@@ -1935,7 +1955,9 @@ def _beam_walk(
     beam: int,
     expand,
     extra: tuple = (),
-) -> DataFrame:
+    early_exit_k: int | None = None,
+    with_activity: bool = False,
+):
     """ONE copy of the greedy hop loop shared by the in-memory and
     persisted-index walks (the `_visited_rank` rationale applied to
     the loop itself: an edit to the walk semantics — frontier
@@ -1948,22 +1970,81 @@ def _beam_walk(
     in-memory walk joins the adjacency frame (extra=()), the indexed
     walk probes the partition-pruned edge table, threading each
     node's cell through ``extra`` so the next hop's probed-cell set
-    rides along."""
+    rides along.
+
+    ``early_exit_k``: when set, PER-QUERY early termination — the
+    HNSW stop rule in batch terms: after each hop, a query stays
+    active only if the hop added at least one candidate scoring
+    strictly above the query's pre-hop ``early_exit_k``-th best
+    (fewer than k visited counts as unbounded improvement). Converged
+    queries drop out of every later frontier; ``hops`` becomes a
+    budget CEILING, not the spend. When None (default): the exact
+    pre-existing fixed-hop walk, bit for bit. The improvement test is
+    pure exact comparison on already-computed scores — deterministic,
+    and mirrored hop-for-hop by the adaptive oracle chain
+    (extensions10._gx_chain(adaptive_k=...)).
+
+    ``with_activity``: also return the expansion ledger — one row
+    (hop, query_id, cand_id) per frontier node actually expanded —
+    the frame the adaptive eval prices budgets from (COUNT(*) = total
+    expansions; max hop per query = where it stopped). Returns
+    (visited, activity) instead of visited.
+    """
     bw = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("cand_id")
     )
-    for _ in range(hops):
+    adaptive = early_exit_k is not None
+    if adaptive:
+        # Hop-tag the visited rows (seeds = -1): the still-active query
+        # set at every hop is then a pure FUNCTION of the one
+        # checkpointed visited frame — active at hop i iff hop i-1
+        # added a row scoring strictly above the query's k-th best
+        # among all earlier rows (none at hop 0 = everyone active; no
+        # hop i-1 rows = converged, automatically, since only active
+        # queries expand). One lineage, one checkpoint per hop — no
+        # second checkpointed accumulator, no extra per-hop job.
+        visited = visited.withColumn("_hop", F.lit(-1))
+    activity = None
+    for i in range(hops):
+        if adaptive and i > 0:
+            kth_prev = (
+                visited.filter(F.col("_hop") <= i - 2)
+                .withColumn("r", F.row_number().over(bw))
+                .filter(F.col("r") == early_exit_k)
+                .select("query_id", F.col("cos_raw").alias("_kth"))
+            )
+            active = (
+                visited.filter(F.col("_hop") == i - 1)
+                .join(kth_prev, "query_id", "left")
+                .filter(
+                    F.col("_kth").isNull()
+                    | (F.col("cos_raw") > F.col("_kth"))
+                )
+                .select("query_id")
+                .distinct()
+            )
+            if not active.take(1):
+                break  # every query converged — later hops are no-ops
+            vis_f = visited.join(active, "query_id")
+        else:
+            vis_f = visited
         frontier = (
-            visited.withColumn("r", F.row_number().over(bw))
+            vis_f.withColumn("r", F.row_number().over(bw))
             .filter(F.col("r") <= beam)
             .select("query_id", "cand_id", *extra)
         )
+        if with_activity:
+            fa = frontier.select(
+                F.lit(i).alias("hop"), "query_id", "cand_id"
+            )
+            activity = fa if activity is None else activity.unionByName(fa)
         new = expand(frontier).join(
             visited.select("query_id", "cand_id"),
             ["query_id", "cand_id"],
             "left_anti",
         )
         hop_denom = F.col("qnorm") * F.col("cnorm")
+        hop_tag = (F.lit(i).alias("_hop"),) if adaptive else ()
         scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
             "query_id",
             "cand_id",
@@ -1974,10 +2055,19 @@ def _beam_walk(
             )
             .otherwise(F.lit(float("-inf")))
             .alias("cos_raw"),
+            *hop_tag,
         )
         visited = visited.unionByName(scored_new).localCheckpoint(
             eager=True
         )
+    if adaptive:
+        visited = visited.drop("_hop")
+    if with_activity:
+        if activity is None:  # hops == 0
+            activity = visited.sparkSession.createDataFrame(
+                [], "hop int, query_id long, cand_id long"
+            )
+        return visited, activity
     return visited
 
 

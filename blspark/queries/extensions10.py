@@ -1141,12 +1141,90 @@ _GX_SIM = (
 )
 
 
+def _gx_hop_blocks(
+    hops: int,
+    beam: int,
+    adaptive_k: int | None = None,
+    p: str = "",
+) -> list[str]:
+    """The unrolled hop CTEs of the beam walk — ONE generator for the
+    fixed and the adaptive rule, so the hop semantics (frontier
+    tie-break, visited dedup, the zero-norm guard) exist in exactly
+    one SQL copy. ``p`` prefixes every per-walk CTE name (v/f/x/s/kb/
+    act) so an eval can run TWO walks — adaptive and fixed — over the
+    same shared prefix (edges/adj/qv/sized) in one statement; the
+    caller must define ``{p}v0`` (for p="" that is _gx_chain's seed
+    CTE). Shared CTE references (adj, qv, sized) stay unprefixed."""
+    hop_blocks = []
+    for i in range(hops):
+        if adaptive_k is None:
+            act_join, kb, s_split, act_next = "", "", "", ""
+            v_next = f"""
+{p}v{i + 1} AS MATERIALIZED (
+  SELECT * FROM {p}v{i}
+  UNION ALL
+  SELECT x.query_id, x.cand,
+         CASE WHEN (q.nrm * n.nrm) > 0
+              THEN {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
+              ELSE CAST('-infinity' AS DOUBLE) END AS cos_raw
+  FROM {p}x{i} x
+  JOIN qv q ON q.query_id = x.query_id
+  JOIN sized n ON n.vec_id = x.cand
+)"""
+        else:
+            act_join = f" JOIN {p}act{i} a ON a.query_id = t0.query_id"
+            kb = f"""
+{p}kb{i} AS MATERIALIZED (
+  SELECT query_id, MAX(CASE WHEN r = {adaptive_k} THEN cos_raw END) AS kth
+  FROM (SELECT query_id, cos_raw, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, cand ASC) AS r FROM {p}v{i}) t
+  GROUP BY query_id
+),"""
+            s_split = f"""
+{p}s{i} AS MATERIALIZED (
+  SELECT x.query_id, x.cand,
+         CASE WHEN (q.nrm * n.nrm) > 0
+              THEN {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
+              ELSE CAST('-infinity' AS DOUBLE) END AS cos_raw
+  FROM {p}x{i} x
+  JOIN qv q ON q.query_id = x.query_id
+  JOIN sized n ON n.vec_id = x.cand
+),"""
+            v_next = f"""
+{p}v{i + 1} AS MATERIALIZED (
+  SELECT * FROM {p}v{i} UNION ALL SELECT * FROM {p}s{i}
+),"""
+            act_next = f"""
+{p}act{i + 1} AS MATERIALIZED (
+  SELECT DISTINCT s.query_id
+  FROM {p}s{i} s LEFT JOIN {p}kb{i} b ON b.query_id = s.query_id
+  WHERE b.kth IS NULL OR s.cos_raw > b.kth
+)"""
+        hop_blocks.append(f""",{kb}
+{p}f{i} AS MATERIALIZED (
+  SELECT query_id, cand FROM (
+    SELECT t0.query_id, t0.cand, ROW_NUMBER() OVER (
+      PARTITION BY t0.query_id
+      ORDER BY t0.cos_raw DESC, t0.cand ASC) AS r
+    FROM {p}v{i} t0{act_join}) t
+  WHERE r <= {beam}
+),
+{p}x{i} AS MATERIALIZED (
+  SELECT DISTINCT f.query_id, a.nbr AS cand
+  FROM {p}f{i} f JOIN adj a ON a.node = f.cand
+  WHERE NOT EXISTS (SELECT 1 FROM {p}v{i} v
+    WHERE v.query_id = f.query_id AND v.cand = a.nbr)
+),{s_split}{v_next}{act_next}""")
+    return hop_blocks
+
+
 def _gx_chain(
     vec_filter: str = "",
     cross_m: int = 0,
     hops: int = _GX_HOPS,
     beam: int = _GX_BEAM,
     result_filter: str = "",
+    adaptive_k: int | None = None,
 ) -> str:
     """ONE copy of the greedy-beam-search retrieval chain — the shared
     edges prefix (filtered or not), the undirected adjacency, the
@@ -1165,33 +1243,18 @@ def _gx_chain(
     ``result_filter`` is an extra "AND ..." predicate on the final
     rank's candidates (the filtered-ANN rung: the WALK stays
     unfiltered — waypoints route — only the rerank filters, the SQL
-    mirror of graph_expand_topk's ``allowed`` semi-join)."""
-    hop_blocks = []
-    for i in range(hops):
-        hop_blocks.append(f""",
-f{i} AS MATERIALIZED (
-  SELECT query_id, cand FROM (
-    SELECT query_id, cand, ROW_NUMBER() OVER (PARTITION BY query_id
-      ORDER BY cos_raw DESC, cand ASC) AS r FROM v{i}) t
-  WHERE r <= {beam}
-),
-x{i} AS MATERIALIZED (
-  SELECT DISTINCT f.query_id, a.nbr AS cand
-  FROM f{i} f JOIN adj a ON a.node = f.cand
-  WHERE NOT EXISTS (SELECT 1 FROM v{i} v
-    WHERE v.query_id = f.query_id AND v.cand = a.nbr)
-),
-v{i + 1} AS MATERIALIZED (
-  SELECT * FROM v{i}
-  UNION ALL
-  SELECT x.query_id, x.cand,
-         CASE WHEN (q.nrm * n.nrm) > 0
-              THEN {_DOTQ.format(a='q.vec', b='n.vec')} / (q.nrm * n.nrm)
-              ELSE CAST('-infinity' AS DOUBLE) END AS cos_raw
-  FROM x{i} x
-  JOIN qv q ON q.query_id = x.query_id
-  JOIN sized n ON n.vec_id = x.cand
-)""")
+    mirror of graph_expand_topk's ``allowed`` semi-join).
+    ``adaptive_k`` mirrors _beam_walk(early_exit_k=...): each hop
+    also computes the pre-hop k-th best per query (kb{{i}}) and the
+    still-active query set (act{{i}} — stays active only if the hop
+    added a candidate strictly above its pre-hop k-th best, with
+    fewer-than-k visited counting as unbounded improvement); the
+    frontier joins act{{i}}, so converged queries stop expanding.
+    The hop's new scored rows split into their own s{{i}} CTE so the
+    activity rule and the visited union read ONE copy. Budgets are
+    priced as COUNT(*) over the f{{i}} CTEs — the same rows the
+    library's activity ledger records."""
+    hop_blocks = _gx_hop_blocks(hops, beam, adaptive_k)
     if cross_m > 0:
         pp = f""",
 pp AS MATERIALIZED (
@@ -1244,7 +1307,10 @@ v0 AS MATERIALIZED (
     FROM (SELECT q.query_id, p.proto_id AS cand, {_GX_SIM} AS cos_raw
           FROM qv q, pv p) t0) t
   WHERE r <= {_GX_SEEDS}
-){"".join(hop_blocks)},
+){"" if adaptive_k is None else ''',
+act0 AS MATERIALIZED (
+  SELECT query_id FROM qv
+)'''}{"".join(hop_blocks)},
 gx AS MATERIALIZED (
   SELECT query_id, cand AS neighbor_id, cos_raw,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id

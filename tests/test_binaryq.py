@@ -1,0 +1,159 @@
+"""Binary (1-bit) quantization properties (ext/binaryq): packing
+exactness against an independent Python reimplementation, Hamming
+exactness, the strict-> threshold boundary, and the structural
+shortlist-rerank containment the x_binary_eval contract relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.ext.binaryq import (
+    WORD_BITS,
+    binary_pack,
+    binary_thresholds,
+    binary_topk,
+    hamming,
+)
+
+
+def _py_pack(vec, thr, word_bits=WORD_BITS):
+    """Independent packing reimplementation (pure Python, no
+    Spark/DuckDB) — the third engine of the parity triangle."""
+    nwords = (len(vec) + word_bits - 1) // word_bits
+    words = []
+    for w in range(nwords):
+        acc = 0
+        for j in range(word_bits):
+            d = w * word_bits + j
+            if d < len(vec) and vec[d] > thr[d]:
+                acc |= 1 << j
+        words.append(acc)
+    return words
+
+
+def _vecs_df(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, vec array<double>",
+    )
+
+
+def test_pack_matches_independent_python(spark):
+    # 40 dims -> 2 words, second one partially filled; values straddle
+    # the per-dim means in varied patterns.
+    dim = 40
+    rows = [
+        (i, [(((i + 1) * 7 + d * 13) % 11) - 5.0 for d in range(dim)])
+        for i in range(6)
+    ]
+    df = _vecs_df(spark, rows, dim)
+    thr_df = binary_thresholds(df)
+    thr = thr_df.collect()[0]["thr"]
+    packed = {
+        r["vec_id"]: r["words"]
+        for r in binary_pack(df, thr_df, dim).collect()
+    }
+    by_id = dict(rows)
+    for vid, words in packed.items():
+        assert words == _py_pack(by_id[vid], thr), vid
+        assert all(0 <= w < (1 << WORD_BITS) for w in words)
+
+
+def test_threshold_is_mean_and_comparison_is_strict(spark):
+    # dim 0: values {0, 2} -> mean 1; a vector AT the threshold must
+    # pack bit 0 as 0 (strict >), one above as 1.
+    df = _vecs_df(spark, [(0, [0.0]), (1, [2.0])], 1)
+    thr_df = binary_thresholds(df)
+    assert thr_df.collect()[0]["thr"] == [1.0]
+    probe = _vecs_df(spark, [(10, [1.0]), (11, [1.5])], 1)
+    packed = {
+        r["vec_id"]: r["words"]
+        for r in binary_pack(probe, thr_df, 1).collect()
+    }
+    assert packed[10] == [0]
+    assert packed[11] == [1]
+
+
+def test_hamming_exact(spark):
+    df = spark.createDataFrame(
+        [
+            ([0, 0], [0, 0], 0),
+            ([0b1011, 0], [0b0001, 0], 2),
+            ([(1 << 32) - 1, 0], [0, 0], 32),
+            ([(1 << 32) - 1, (1 << 32) - 1], [0, 1], 63),
+        ],
+        "a array<long>, b array<long>, want long",
+    )
+    rows = df.select(hamming(F.col("a"), F.col("b")).alias("h"), "want").collect()
+    for r in rows:
+        assert r["h"] == r["want"]
+
+
+def test_topk_rerank_contains_truth_found_by_codes(spark):
+    """The structural property x_binary_eval pins: any exact-dot
+    top-k pair whose neighbor reaches the Hamming shortlist survives
+    the rerank (shared total order), so rerank recall >= raw-Hamming
+    recall by containment."""
+    import random
+
+    rng = random.Random(13)
+    dim = 32
+    # 4dp-lattice values: the library's DECIMAL(28,4) threshold sums
+    # are exact on these, so the independent Python mean below agrees
+    # bitwise and the pack comparison cannot straddle a rounding edge.
+    rows = [
+        (i, [rng.randint(-10000, 10000) / 10000.0 for _ in range(dim)])
+        for i in range(60)
+    ]
+    df = _vecs_df(spark, rows, dim)
+    queries = df.filter(F.col("vec_id") < 3)
+    out = binary_topk(df, queries, dim=dim, k=4, shortlist=20)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    # Independent exact ground truth + shortlist in Python.
+    by_id = dict(rows)
+    thr = [
+        sum(v[d] for v in by_id.values()) / len(by_id) for d in range(dim)
+    ]
+    packs = {i: _py_pack(v, thr) for i, v in by_id.items()}
+    for qid in range(3):
+        ham = sorted(
+            (
+                (
+                    sum(
+                        bin(a ^ b).count("1")
+                        for a, b in zip(packs[n], packs[qid])
+                    ),
+                    n,
+                )
+                for n in by_id
+                if n != qid
+            ),
+        )[:20]
+        short = {n for _, n in ham}
+        dots = sorted(
+            (
+                (-sum(x * y for x, y in zip(by_id[n], by_id[qid])), n)
+                for n in by_id
+                if n != qid
+            ),
+        )
+        truth4 = {n for _, n in dots[:4]}
+        # every truth pair the codes shortlisted must be in the output
+        for n in truth4 & short:
+            assert (qid, n) in got, (qid, n)
+        # and the output is exactly the exact-dot top-4 of the shortlist
+        rerank4 = {n for _, n in sorted(d for d in dots if d[1] in short)[:4]}
+        assert {n for q, n in got if q == qid} == rerank4
+
+
+def test_topk_output_shape(spark):
+    rows = [(i, [float((i * 13 + d * 7) % 5 - 2) for d in range(8)]) for i in range(20)]
+    df = _vecs_df(spark, rows, 8)
+    queries = df.filter(F.col("vec_id") < 2)
+    out = binary_topk(df, queries, dim=8, k=3, shortlist=10).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 3
+        assert 0 <= r["hamming"] <= 8

@@ -673,3 +673,70 @@ def test_negatives_stateless_equals_batch_operator(spark):
         ).collect()
     )
     assert stream_form == batch
+
+
+def test_adaptive_walk_prefix_containment_and_budget(spark):
+    """The early-exit walk's per-query visited set is a PREFIX of the
+    fixed walk's (converged queries stop, active queries walk
+    identically) — so its results are drawn from a subset, its
+    expansion ledger is smaller-or-equal hop by hop, and a query's
+    activity stops at its convergence hop and never resumes."""
+    from blspark.ext.similarity import (
+        graph_adjacency_xcell,
+        graph_expand_topk,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    adj = graph_adjacency_xcell(emb, cents, knn_k=3, m_cross=2)
+    kw = dict(k=4, knn_k=3, hops=6, beam=4, n_seeds=2, adj=adj)
+    fixed, fact = graph_expand_topk(
+        emb, cents, queries, with_activity=True, **kw
+    )
+    adapt, aact = graph_expand_topk(
+        emb, cents, queries, early_exit_k=4, with_activity=True, **kw
+    )
+    arows = aact.collect()
+    frows = fact.collect()
+    # ledger containment: every adaptive expansion is one the fixed
+    # walk also performed (same hop, same query, same node)
+    aset = {(r["hop"], r["query_id"], r["cand_id"]) for r in arows}
+    fset = {(r["hop"], r["query_id"], r["cand_id"]) for r in frows}
+    assert aset <= fset
+    assert len(aset) <= len(fset)
+    # per-query activity is a hop-prefix: no gaps after the stop hop
+    for qid in {r["query_id"] for r in arows}:
+        hops_q = sorted({r["hop"] for r in arows if r["query_id"] == qid})
+        assert hops_q == list(range(len(hops_q)))
+    # results are valid ranked rows and never self-matches
+    for r in adapt.collect():
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 4
+
+
+def test_adaptive_walk_noop_when_never_converging(spark):
+    """With early_exit_k larger than the walk can ever fill, every hop
+    adds 'improving' candidates (kth best undefined = unbounded), so
+    the adaptive walk IS the fixed walk — results bit-identical."""
+    from blspark.ext.similarity import (
+        graph_adjacency_xcell,
+        graph_expand_topk,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 2)
+    adj = graph_adjacency_xcell(emb, cents, knn_k=3, m_cross=2)
+    kw = dict(k=3, knn_k=3, hops=3, beam=3, n_seeds=2, adj=adj)
+    fixed = graph_expand_topk(emb, cents, queries, **kw)
+    adapt = graph_expand_topk(
+        emb, cents, queries, early_exit_k=10_000, **kw
+    )
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, adapt.collect())
+    )
