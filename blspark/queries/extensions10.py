@@ -2528,6 +2528,16 @@ def sq8_index_table(spark: SparkSession, sf_dir: str) -> str:
     "this the on-disk shape.",
 )
 def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    it = sq8_index_table(spark, sf_dir)
+    return persist_probe(spark, sf_dir, it)
+
+
+def persist_probe(spark: SparkSession, sf_dir: str, it: str) -> DataFrame:
+    """The partition-pruned probe against a cell-partitioned SQ8
+    index table — the x_index_persist_scan serving path as ONE shared
+    function (the literal probed-cell IN-set, the broadcast query
+    codes, the _sq8_rank tail), so the versioned-index and rollback
+    entries probe with exactly the plan the scan pin drives."""
     from blspark.ext.similarity import (
         _cell_assign,
         _centroid_frame,
@@ -2537,7 +2547,6 @@ def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from blspark.ops import local_relation
 
-    it = sq8_index_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)

@@ -594,3 +594,169 @@ def x_graph_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ranks_ok",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned index: snapshot publish, atomic swap, rollback — the last
+# missing piece of the persisted-index lifecycle (build -> probe ->
+# filter -> adapt -> refresh -> stream-insert -> compact -> VERSION).
+# ---------------------------------------------------------------------------
+
+from blspark.queries.extensions9 import (  # noqa: E402
+    _IVF_PREFIX_SQL,
+    _SQ8_QZ_SQL,
+    _cell_assign_sql,
+)
+from blspark.queries.extensions10 import (  # noqa: E402
+    _SQ8_IPROD,
+    _SQ8_K,
+    _layout_tables,
+    persist_probe,
+)
+
+# session-keyed memo of the (v1, v2, manifest) table triple — the
+# _layout_tables convention (pid-tagged names, stale-app eviction,
+# orphan-dir GC)
+_VIDX_TABLES: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def _versioned_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    """Two index VERSIONS plus a one-row manifest, built once per
+    session: v1 indexes the first half of the corpus (the pre-release
+    snapshot), v2 the whole corpus (the published update) — both
+    cell-partitioned under the SAME quantizer (full-corpus centroids:
+    a version bump republishes contents, it does not retrain the
+    geometry, so probe cells stay comparable across versions). The
+    manifest is the atomic-swap device: readers resolve
+    current_version (one tiny file) and probe the pointed table; a
+    publish or rollback rewrites only the manifest, never an index
+    byte — at 100 TB flipping versions is a metadata write, and the
+    old version stays on disk for instant rollback."""
+    from blspark.ext.similarity import _quantized_cells
+
+    def build(v1, v2, man):
+        emb = load_table(spark, sf_dir, "embeddings")
+        half = emb.count() // 2
+        cents = _det_centroids(emb)
+        for name, frame in (
+            (v1, emb.filter(F.col("vec_id") < half)),
+            (v2, emb),
+        ):
+            (
+                _quantized_cells(frame, cents)
+                .repartition(F.col("cell_id"))
+                .write.partitionBy("cell_id")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        _write_manifest(spark, man, 1)
+
+    return _layout_tables(
+        _VIDX_TABLES,
+        spark,
+        sf_dir,
+        ("blspark_vidx_v1", "blspark_vidx_v2", "blspark_vidx_man"),
+        build,
+    )
+
+
+def _write_manifest(spark: SparkSession, man: str, version: int) -> None:
+    (
+        spark.createDataFrame([(version,)], "current_version int")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(man)
+    )
+
+
+_VIDX_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+{_SQ8_QZ_SQL},
+half AS (SELECT COUNT(*) // 2 AS h FROM vecs),
+scored AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_SQ8_IPROD.format(n="n", q="q")} AS iprod,
+         n.scale * q.scale AS ss
+  FROM cassign a
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN qz n ON n.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+rank_v1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC)
+           AS INT) AS rank
+  FROM scored, half WHERE neighbor_id < h
+),
+rank_v2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(iprod AS DOUBLE) * ss, 6) AS score, iprod,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY CAST(iprod AS DOUBLE) * ss DESC, neighbor_id ASC)
+           AS INT) AS rank
+  FROM scored
+)
+SELECT 1 AS phase, 1 AS served_version, * FROM rank_v1 WHERE rank <= {_SQ8_K}
+UNION ALL
+SELECT 2, 2, * FROM rank_v2 WHERE rank <= {_SQ8_K}
+UNION ALL
+SELECT 3, 1, * FROM rank_v1 WHERE rank <= {_SQ8_K}
+"""
+
+
+@register(
+    "x_index_snapshot_rollback",
+    oracle=_VIDX_ORACLE,
+    doc="Index VERSIONING with atomic swap and rollback — the "
+    "publish/rollback half of the persisted-index lifecycle (build/"
+    "probe/filter/adapt/refresh/stream-insert/compact all exist; "
+    "this is how a 100 TB deployment actually SHIPS an index "
+    "update): two cell-partitioned index versions under one shared "
+    "quantizer (v1 = half the corpus, v2 = all of it) plus a one-row "
+    "MANIFEST; serving resolves the manifest and probes the pointed "
+    "version through the shared persist_probe path (same literal "
+    "PartitionFilters plan as x_index_persist_scan), publish flips "
+    "the manifest to v2, rollback flips it back — metadata-only "
+    "writes, zero index bytes moved, old version intact for instant "
+    "revert. The query DRIVES the full cycle and returns all three "
+    "phases' probe results (phase, served_version, ranked rows), "
+    "each phase checkpointed BEFORE the next manifest write so "
+    "laziness cannot leak a later version into an earlier phase; "
+    "the oracle computes v1/v2 results independently and pins that "
+    "phase 2 serves the new contents and phase 3 is BIT-IDENTICAL "
+    "to phase 1 — rollback provably restores the exact pre-publish "
+    "answers. tests/test_graph_index.py pins manifest resolution "
+    "and swap idempotency.",
+)
+def x_index_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1, v2, man = _versioned_tables(spark, sf_dir)
+
+    def serve(phase: int) -> DataFrame:
+        ver = spark.table(man).collect()[0][0]
+        table = {1: v1, 2: v2}[ver]
+        res = persist_probe(spark, sf_dir, table).select(
+            F.lit(phase).alias("phase"),
+            F.lit(ver).alias("served_version"),
+            "query_id",
+            "neighbor_id",
+            "score",
+            "iprod",
+            "rank",
+        )
+        # materialize NOW: the next phase rewrites the manifest, and a
+        # lazy frame would resolve against the future state
+        return res.localCheckpoint(eager=True)
+
+    _write_manifest(spark, man, 1)  # idempotent start after any crash
+    p1 = serve(1)
+    _write_manifest(spark, man, 2)  # publish
+    p2 = serve(2)
+    _write_manifest(spark, man, 1)  # rollback
+    p3 = serve(3)
+    return p1.unionByName(p2).unionByName(p3)

@@ -353,3 +353,38 @@ def test_graph_filtered_eval_contract_booleans(spark):
     # the broken post-filter shape really does return fewer than k
     # on this data (the gap the pre-filter rung exists to close)
     assert row["n_post"] < row["n_pre"]
+
+
+def test_snapshot_rollback_manifest_and_phases(spark):
+    """Versioned-index plumbing: the manifest really routes the probe
+    (phase 2's rows come from v2 — it finds second-half neighbors v1
+    cannot contain), rollback restores phase 1's rows bit-identically,
+    and the query leaves the manifest at version 1 (idempotent — a
+    second run reproduces the first)."""
+    from blspark.queries.extensions13 import (
+        _versioned_tables,
+        x_index_snapshot_rollback,
+    )
+
+    rows1 = x_index_snapshot_rollback(spark, SF_ORACLE).collect()
+    by_phase = {}
+    for r in rows1:
+        by_phase.setdefault(r["phase"], []).append(
+            (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        )
+    assert set(by_phase) == {1, 2, 3}
+    # rollback restores the pre-publish answers exactly
+    assert sorted(by_phase[1]) == sorted(by_phase[3])
+    # the published version serves the new (second-half) contents
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    half = emb.count() // 2
+    assert all(n < half for _, n, _, _ in by_phase[1])
+    assert any(n >= half for _, n, _, _ in by_phase[2])
+    # served_version column reflects the manifest at serve time
+    vers = {r["phase"]: r["served_version"] for r in rows1}
+    assert vers == {1: 1, 2: 2, 3: 1}
+    # manifest left at v1; a second full cycle is bit-identical
+    _, _, man = _versioned_tables(spark, SF_ORACLE)
+    assert spark.table(man).collect()[0][0] == 1
+    rows2 = x_index_snapshot_rollback(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
