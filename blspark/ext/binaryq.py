@@ -74,6 +74,31 @@ def binary_thresholds(vecs: DataFrame, vec_col: str = "vec") -> DataFrame:
     )
 
 
+def _pack_words(dim: int):
+    """The word-packing expression over a ``_bq_bits`` column (0/1
+    longs per dimension) — ONE copy shared by the batch and the
+    stateless (streaming) pack so the bit layout can never diverge.
+    Past-the-end dims of the last word (dim not a multiple of 32)
+    pack as 0 bits — guarded explicitly, because element_at past the
+    array end is NULL and would poison the whole word's fold."""
+    nwords = (dim + WORD_BITS - 1) // WORD_BITS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(WORD_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                w * WORD_BITS + j < dim,
+                F.element_at(
+                    F.col("_bq_bits"), (w * WORD_BITS + j + 1).cast("int")
+                )
+                * F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
 def binary_pack(
     df: DataFrame,
     thresholds: DataFrame,
@@ -90,7 +115,6 @@ def binary_pack(
     2^j is computed as ``pow(2.0, j)`` cast to long — exact for j < 53,
     and the same arithmetic the DuckDB oracle's ``1::BIGINT << j``
     produces, so packed words are bit-identical across engines."""
-    nwords = (dim + WORD_BITS - 1) // WORD_BITS
     bits = F.zip_with(
         F.col(vec_col),
         F.col("thr"),
@@ -98,28 +122,39 @@ def binary_pack(
             F.lit(0).cast("long")
         ),
     )
-    # Past-the-end dims of the last word (dim not a multiple of 32)
-    # pack as 0 bits — guarded explicitly, because element_at past the
-    # array end is NULL and would poison the whole word's fold.
-    words = F.transform(
-        F.sequence(F.lit(0), F.lit(nwords - 1)),
-        lambda w: F.aggregate(
-            F.sequence(F.lit(0), F.lit(WORD_BITS - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + F.when(
-                w * WORD_BITS + j < dim,
-                F.element_at(
-                    F.col("_bq_bits"), (w * WORD_BITS + j + 1).cast("int")
-                )
-                * F.pow(F.lit(2.0), j).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-    )
     return (
         df.crossJoin(F.broadcast(thresholds))
         .withColumn("_bq_bits", bits)
-        .select(F.col(id_col), words.alias("words"))
+        .select(F.col(id_col), _pack_words(dim).alias("words"))
+    )
+
+
+def binary_pack_stateless(
+    df: DataFrame,
+    thr: list[float],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """The streaming form of ``binary_pack``: thresholds arrive as a
+    PYTHON LIST (the frozen, offline-computed artifact — dim doubles,
+    the pq_encode_stateless convention) inlined as literals, so the
+    encode is a pure per-row projection — no stream-static join, no
+    state store, trivially append-mode. Bit layout is the shared
+    ``_pack_words`` expression, so streamed words are definitionally
+    identical to a batch pack under the same thresholds."""
+    if len(thr) != dim:
+        raise ValueError(f"thresholds length {len(thr)} != dim {dim}")
+    thr_arr = F.array(*[F.lit(float(t)).cast("double") for t in thr])
+    bits = F.zip_with(
+        F.col(vec_col),
+        thr_arr,
+        lambda x, t: F.when(x > t, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return df.withColumn("_bq_bits", bits).select(
+        F.col(id_col), _pack_words(dim).alias("words")
     )
 
 
@@ -162,7 +197,13 @@ def binary_topk(
     Ties: shortlist by (hamming ASC, neighbor_id ASC), final rank by
     (score DESC, neighbor_id ASC) — both total orders, both engines.
     """
-    thr = binary_thresholds(corpus, vec_col=vec_col)
+    # materialize the dim-sized thresholds once: both pack calls
+    # crossJoin this frame, and without the checkpoint each would
+    # re-run the per-dimension aggregation — a second full corpus
+    # scan for 64 doubles
+    thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
     c = binary_pack(corpus, thr, dim, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("words").alias("nwords")
     )

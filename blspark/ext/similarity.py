@@ -2125,6 +2125,7 @@ def graph_expand_topk_indexed(
     beam: int = 3,
     n_seeds: int = 2,
     allowed: DataFrame | None = None,
+    early_exit_k: int | None = None,
 ) -> DataFrame:
     """The greedy beam search of ``graph_expand_topk`` walked against
     a PERSISTED cell-partitioned edge table instead of an in-memory
@@ -2206,7 +2207,14 @@ def graph_expand_topk_indexed(
         )
 
     visited = _beam_walk(
-        visited, vecs, q, hops, beam, expand, extra=("cell",)
+        visited,
+        vecs,
+        q,
+        hops,
+        beam,
+        expand,
+        extra=("cell",),
+        early_exit_k=early_exit_k,
     )
     return _visited_rank(visited.drop("cell"), k, allowed)
 

@@ -41,12 +41,13 @@ _BQ_WORDS = 2  # ceil(64 / binaryq.WORD_BITS)
 _BQ_K = 5
 _BQ_SHORTLIST = 50
 
-# The ONE SQL mirror of ext/binaryq.binary_thresholds + binary_pack +
-# hamming over a ``vecs(vec_id, vec)`` CTE. Determinism notes inline:
-# thresholds use the DECIMAL(28,4) exact-sum device (catalog davg), the
-# packed words and Hamming distances are exact integers. 32-bit words
-# as BIGINTs — never the sign bit, see binaryq.WORD_BITS.
-_BQ_PREFIX_SQL = f"""thr AS MATERIALIZED (
+# The ONE SQL mirror of ext/binaryq.binary_thresholds + binary_pack
+# over a ``vecs(vec_id, vec)`` CTE (shared by the retrieval, eval, and
+# streaming-parity oracles). Determinism notes inline: thresholds use
+# the DECIMAL(28,4) exact-sum device (catalog davg), the packed words
+# and Hamming distances are exact integers. 32-bit words as BIGINTs —
+# never the sign bit, see binaryq.WORD_BITS.
+_BQ_PACK_SQL = f"""thr AS MATERIALIZED (
   SELECT list(t ORDER BY pos) AS thr FROM (
     SELECT r.pos AS pos,
            CAST(SUM(CAST(vec[r.pos + 1] AS DECIMAL(28,4))) AS DOUBLE)
@@ -61,7 +62,11 @@ packed AS MATERIALIZED (
                   THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
              AS BIGINT)) AS words
   FROM vecs, thr
-),
+)"""
+
+# Hamming + shortlist + rerank on top of the pack — the retrieval tail
+# shared by the checked query and the eval.
+_BQ_PREFIX_SQL = f"""{_BQ_PACK_SQL},
 ham AS MATERIALIZED (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          CAST(list_sum(list_transform(list_zip(n.words, q.words),
@@ -236,7 +241,9 @@ def x_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
 
-    thr = binary_thresholds(vecs)
+    # checkpoint for the same reason binary_topk does: two pack calls
+    # would otherwise each re-run the per-dimension aggregation
+    thr = binary_thresholds(vecs).localCheckpoint(eager=True)
     c = binary_pack(vecs, thr, _BQ_DIM).select(
         F.col("vec_id").alias("neighbor_id"), F.col("words").alias("nwords")
     )
@@ -760,3 +767,42 @@ def x_index_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_manifest(spark, man, 1)  # rollback
     p3 = serve(3)
     return p1.unionByName(p2).unionByName(p3)
+
+
+@register(
+    "x_index_persist_graph_adaptive",
+    oracle=GRAPH_ADAPTIVE_ORACLE,
+    doc="Early-terminating beam search against the PERSISTED edge "
+    "table — the adaptive knob composed with the on-disk serving "
+    "shape, result-identical to x_retrieval_graph_adaptive (same "
+    "oracle: the in-memory and indexed walks share _beam_walk, so "
+    "the early-exit rule is definitionally the same). Here the knob "
+    "saves REAL IO, not just scoring: every hop a query stays active "
+    "costs a partition-pruned probe of its frontier's cells, so "
+    "stopping at hop 4-5 of 10 (the measured profile) halves the "
+    "per-batch edge-table reads — at 100 TB the difference between "
+    "10 and ~4 rounds of |frontier cells|/|cells| index IO per query "
+    "batch. ext/similarity.graph_expand_topk_indexed(early_exit_k).",
+)
+def x_index_persist_graph_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from blspark.ext.similarity import graph_expand_topk_indexed
+    from blspark.queries.extensions12 import graph_edge_table
+
+    it = graph_edge_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _det_centroids(emb)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return graph_expand_topk_indexed(
+        spark,
+        it,
+        emb,
+        cents,
+        queries,
+        k=_GX_K,
+        hops=_GXX_HOPS,
+        beam=_GXX_BEAM,
+        n_seeds=_GX_SEEDS,
+        early_exit_k=_GX_K,
+    )

@@ -157,3 +157,33 @@ def test_topk_output_shape(spark):
         assert r["neighbor_id"] != r["query_id"]
         assert 1 <= r["rank"] <= 3
         assert 0 <= r["hamming"] <= 8
+
+
+def test_pack_stateless_equals_batch(spark):
+    """binary_pack_stateless (inlined threshold literals — the
+    streaming encode) produces words bit-identical to the batch
+    binary_pack under the same thresholds."""
+    from blspark.ext.binaryq import binary_pack_stateless
+
+    dim = 40
+    rows = [
+        (i, [(((i + 2) * 11 + d * 7) % 13) - 6.0 for d in range(dim)])
+        for i in range(8)
+    ]
+    df = _vecs_df(spark, rows, dim)
+    thr_df = binary_thresholds(df)
+    thr = list(thr_df.collect()[0]["thr"])
+    batch = {
+        r["vec_id"]: r["words"]
+        for r in binary_pack(df, thr_df, dim).collect()
+    }
+    stateless = {
+        r["vec_id"]: r["words"]
+        for r in binary_pack_stateless(df, thr, dim).collect()
+    }
+    assert batch == stateless
+
+    import pytest
+
+    with pytest.raises(ValueError, match="thresholds length"):
+        binary_pack_stateless(df, thr[:-1], dim)
