@@ -197,10 +197,49 @@ def binary_topk(
     Ties: shortlist by (hamming ASC, neighbor_id ASC), final rank by
     (score DESC, neighbor_id ASC) — both total orders, both engines.
     """
-    # materialize the dim-sized thresholds once: both pack calls
-    # crossJoin this frame, and without the checkpoint each would
-    # re-run the per-dimension aggregation — a second full corpus
-    # scan for 64 doubles
+    ranked = hamming_ranked(
+        corpus, queries, dim, id_col=id_col, vec_col=vec_col
+    )
+    pairs = ranked.filter(F.col("hrank") <= shortlist).select(
+        "query_id", "neighbor_id", "hamming"
+    )
+    scored = rerank_pairs(
+        corpus, queries, pairs, id_col=id_col, vec_col=vec_col
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            "hamming",
+            "rank",
+        )
+    )
+
+
+def hamming_ranked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Per-query Hamming ranking of the whole corpus over packed sign
+    bits — the candidate stage of ``binary_topk``, exposed so the eval
+    can cut BOTH its shortlist and its raw-Hamming baseline from the
+    one copy of the pairing/tie-break rule. Returns (query_id,
+    neighbor_id, hamming, hrank) with hrank by (hamming ASC,
+    neighbor_id ASC); self-matches excluded.
+
+    The dim-sized thresholds frame is checkpointed once: both pack
+    calls crossJoin it, and without the checkpoint each would re-run
+    the per-dimension aggregation — a second full corpus scan for 64
+    doubles."""
     thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
         eager=True
     )
@@ -220,13 +259,21 @@ def binary_topk(
     wham = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
-    pairs = (
-        paired.withColumn("_hrank", F.row_number().over(wham))
-        .filter(F.col("_hrank") <= shortlist)
-        .select("query_id", "neighbor_id", "hamming")
-    )
-    # Exact rerank over shortlist-many pairs: corpus floats fetched by
-    # broadcast semi-pair join, query floats broadcast whole.
+    return paired.withColumn("hrank", F.row_number().over(wham))
+
+
+def rerank_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Exact-dot rerank scoring over shortlist-many (query_id,
+    neighbor_id, hamming) pairs — corpus floats fetched by broadcast
+    pair join, query floats broadcast whole (the pq_rerank_topk fetch
+    device). Returns the scored pairs with ``score_raw``; the caller
+    ranks (binary_topk) or joins ground truth (the eval)."""
     cf = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -238,22 +285,8 @@ def binary_topk(
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return (
         cf.join(F.broadcast(pairs), "neighbor_id")
         .join(F.broadcast(qf), "query_id")
         .select("query_id", "neighbor_id", "hamming", dot.alias("score_raw"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.desc("score_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("score_raw", 6).alias("score"),
-            "hamming",
-            "rank",
-        )
     )

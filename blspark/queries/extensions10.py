@@ -2532,17 +2532,47 @@ def x_index_persist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return persist_probe(spark, sf_dir, it)
 
 
-def persist_probe(spark: SparkSession, sf_dir: str, it: str) -> DataFrame:
+def persist_probe(
+    spark: SparkSession, sf_dir: str, it: str, prep=None
+) -> DataFrame:
     """The partition-pruned probe against a cell-partitioned SQ8
     index table — the x_index_persist_scan serving path as ONE shared
     function (the literal probed-cell IN-set, the broadcast query
     codes, the _sq8_rank tail), so the versioned-index and rollback
-    entries probe with exactly the plan the scan pin drives."""
+    entries probe with exactly the plan the scan pin drives.
+    ``prep``: the (probe_q, cells) pair from ``persist_probe_prep`` —
+    pass it when probing REPEATEDLY (the rollback query serves three
+    phases) so the query-side centroid aggregation, cell-assign job
+    and cell-set collect run once, not per probe."""
+    from blspark.ext.similarity import _sq8_rank
+
+    probe_q, cells = (
+        prep if prep is not None else persist_probe_prep(spark, sf_dir)
+    )
+    idx = spark.table(it).select(
+        F.col("vid").alias("neighbor_id"),
+        "cell_id",
+        F.col("qvec").alias("nq"),
+        F.col("scale").alias("nscale"),
+    )
+    paired = (
+        idx.filter(F.col("cell_id").isin(cells))
+        .join(F.broadcast(probe_q), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _sq8_rank(paired, _SQ8_K)
+
+
+def persist_probe_prep(spark: SparkSession, sf_dir: str):
+    """Query-side preparation of the persisted-index probe: the
+    nprobe=2 cell assignment (materialized once as a local relation),
+    the quantized query codes, and the literal probed-cell set.
+    Independent of WHICH index table is probed — the rollback query
+    computes it once and probes three versions with it."""
     from blspark.ext.similarity import (
         _cell_assign,
         _centroid_frame,
         _norm,
-        _sq8_rank,
         sq8_quantize,
     )
     from blspark.ops import local_relation
@@ -2581,18 +2611,7 @@ def persist_probe(spark: SparkSession, sf_dir: str, it: str) -> DataFrame:
     cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").collect()}
     )
-    idx = spark.table(it).select(
-        F.col("vid").alias("neighbor_id"),
-        "cell_id",
-        F.col("qvec").alias("nq"),
-        F.col("scale").alias("nscale"),
-    )
-    paired = (
-        idx.filter(F.col("cell_id").isin(cells))
-        .join(F.broadcast(probe_q), "cell_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    return _sq8_rank(paired, _SQ8_K)
+    return probe_q, cells
 
 
 @register(

@@ -36,8 +36,10 @@ from blspark.catalog import load_table, register
 from blspark.queries.extensions9 import _DOTQ
 from blspark.queries.extensions10 import _SQ8_EVAL_N, _recall_contract
 
+from blspark.ext.binaryq import WORD_BITS as _BQ_WB  # noqa: E402
+
 _BQ_DIM = 64
-_BQ_WORDS = 2  # ceil(64 / binaryq.WORD_BITS)
+_BQ_WORDS = -(-_BQ_DIM // _BQ_WB)  # ceil — derived, never restated
 _BQ_K = 5
 _BQ_SHORTLIST = 50
 
@@ -57,8 +59,8 @@ _BQ_PACK_SQL = f"""thr AS MATERIALIZED (
 packed AS MATERIALIZED (
   SELECT vec_id,
          list_transform(range(0, {_BQ_WORDS}), w ->
-           CAST(list_sum(list_transform(range(0, 32), j ->
-             CASE WHEN vec[w * 32 + j + 1] > thr[w * 32 + j + 1]
+           CAST(list_sum(list_transform(range(0, {_BQ_WB}), j ->
+             CASE WHEN vec[w * {_BQ_WB} + j + 1] > thr[w * {_BQ_WB} + j + 1]
                   THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
              AS BIGINT)) AS words
   FROM vecs, thr
@@ -231,7 +233,7 @@ SELECT
     "ships at 100 TB is the packed-word scan + 50-pair rerank.",
 )
 def x_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.binaryq import binary_pack, binary_thresholds, hamming
+    from blspark.ext.binaryq import hamming_ranked, rerank_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _SQ8_EVAL_N
@@ -241,56 +243,40 @@ def x_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
 
-    # checkpoint for the same reason binary_topk does: two pack calls
-    # would otherwise each re-run the per-dimension aggregation
-    thr = binary_thresholds(vecs).localCheckpoint(eager=True)
-    c = binary_pack(vecs, thr, _BQ_DIM).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("words").alias("nwords")
+    # BOTH the shortlist and the raw-Hamming baseline cut from the ONE
+    # ranked-Hamming frame binary_topk itself uses — a tie-break or
+    # pairing change in the library reaches the eval by construction.
+    ranked_ham = hamming_ranked(vecs, queries, _BQ_DIM)
+    short = ranked_ham.filter(F.col("hrank") <= _BQ_SHORTLIST).select(
+        "query_id", "neighbor_id", "hamming"
     )
-    qp = binary_pack(queries, thr, _BQ_DIM).select(
-        F.col("vec_id").alias("query_id"), F.col("words").alias("qwords")
-    )
-    ham = c.join(
-        F.broadcast(qp), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        hamming(F.col("nwords"), F.col("qwords")).alias("hamming"),
-    )
-    wham = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id")
-    )
-    ranked_ham = ham.withColumn("hr", F.row_number().over(wham))
-    short = ranked_ham.filter(F.col("hr") <= _BQ_SHORTLIST).select(
-        "query_id", "neighbor_id"
-    )
-    ham5 = ranked_ham.filter(F.col("hr") <= _BQ_K).select(
+    ham5 = ranked_ham.filter(F.col("hrank") <= _BQ_K).select(
         "query_id", "neighbor_id"
     )
 
-    dot = F.aggregate(
-        F.zip_with(F.col("nvec"), F.col("qvec"), lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    cf = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
-    qf = queries.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
     wdot = Window.partitionBy("query_id").orderBy(
         F.desc("score_raw"), F.asc("neighbor_id")
     )
     reranked = (
-        cf.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select("query_id", "neighbor_id", dot.alias("score_raw"))
+        rerank_pairs(vecs, queries, short)
         .withColumn("rank", F.row_number().over(wdot))
         .filter(F.col("rank") <= _BQ_K)
     )
     # Exact ground truth under the SAME metric and tie-break as the
     # rerank (raw inner product DESC, id ASC) — this is what makes
-    # rerank_ge_hamming structural rather than merely observed.
+    # rerank_ge_hamming structural rather than merely observed. The
+    # all-pairs frame rides the shared scorer with a degenerate
+    # "shortlist" of every non-self pair.
+    all_pairs = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(
+            F.broadcast(queries.select(F.col("vec_id").alias("query_id")))
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", F.lit(None).cast("long"))
+    )
     exact = (
-        cf.join(F.broadcast(qf), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dot.alias("score_raw"))
+        rerank_pairs(vecs, queries, all_pairs)
         .withColumn("r", F.row_number().over(wdot))
         .filter(F.col("r") <= _BQ_K)
         .select("query_id", "neighbor_id")
@@ -619,6 +605,7 @@ from blspark.queries.extensions10 import (  # noqa: E402
     _SQ8_K,
     _layout_tables,
     persist_probe,
+    persist_probe_prep,
 )
 
 # session-keyed memo of the (v1, v2, manifest) table triple — the
@@ -743,11 +730,14 @@ SELECT 3, 1, * FROM rank_v1 WHERE rank <= {_SQ8_K}
 )
 def x_index_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, v2, man = _versioned_tables(spark, sf_dir)
+    # query-side prep (centroid agg, cell-assign, cell-set collect) is
+    # version-independent — computed once, reused by all three probes
+    prep = persist_probe_prep(spark, sf_dir)
 
     def serve(phase: int) -> DataFrame:
         ver = spark.table(man).collect()[0][0]
         table = {1: v1, 2: v2}[ver]
-        res = persist_probe(spark, sf_dir, table).select(
+        res = persist_probe(spark, sf_dir, table, prep=prep).select(
             F.lit(phase).alias("phase"),
             F.lit(ver).alias("served_version"),
             "query_id",
