@@ -270,10 +270,12 @@ def rerank_pairs(
     vec_col: str = "vec",
 ) -> DataFrame:
     """Exact-dot rerank scoring over shortlist-many (query_id,
-    neighbor_id, hamming) pairs — corpus floats fetched by broadcast
+    neighbor_id, ...) pairs — corpus floats fetched by broadcast
     pair join, query floats broadcast whole (the pq_rerank_topk fetch
-    device). Returns the scored pairs with ``score_raw``; the caller
-    ranks (binary_topk) or joins ground truth (the eval)."""
+    device). All of ``pairs``' columns pass through (binary_topk
+    carries ``hamming``; a caller scoring bare id pairs carries
+    nothing extra) plus ``score_raw``; the caller ranks (binary_topk)
+    or joins ground truth (the eval)."""
     cf = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -288,5 +290,5 @@ def rerank_pairs(
     return (
         cf.join(F.broadcast(pairs), "neighbor_id")
         .join(F.broadcast(qf), "query_id")
-        .select("query_id", "neighbor_id", "hamming", dot.alias("score_raw"))
+        .select(*pairs.columns, dot.alias("score_raw"))
     )

@@ -36,7 +36,7 @@ from blspark.catalog import load_table, register
 from blspark.queries.extensions9 import _DOTQ
 from blspark.queries.extensions10 import _SQ8_EVAL_N, _recall_contract
 
-from blspark.ext.binaryq import WORD_BITS as _BQ_WB  # noqa: E402
+from blspark.ext.binaryq import WORD_BITS as _BQ_WB
 
 _BQ_DIM = 64
 _BQ_WORDS = -(-_BQ_DIM // _BQ_WB)  # ceil — derived, never restated
@@ -273,7 +273,6 @@ def x_binary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(queries.select(F.col("vec_id").alias("query_id")))
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("hamming", F.lit(None).cast("long"))
     )
     exact = (
         rerank_pairs(vecs, queries, all_pairs)
