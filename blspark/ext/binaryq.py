@@ -105,12 +105,15 @@ def binary_pack(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pack each vector into ``ceil(dim/32)`` BIGINT words: bit j of
     word w is set iff ``vec[32w+j] > thr[32w+j]``. Entirely map-side —
     the thresholds single-row frame crossJoins in as a broadcast, the
     packing is one nested higher-order expression per row, and the
-    corpus never shuffles. Returns ``(id, words array<bigint>)``.
+    corpus never shuffles. Returns ``(id, *keep, words array<bigint>)``
+    — ``keep`` names extra input columns to carry through (the IVF x
+    binary rung keeps its cell_id, the sq8_quantize convention).
 
     2^j is computed as ``pow(2.0, j)`` cast to long — exact for j < 53,
     and the same arithmetic the DuckDB oracle's ``1::BIGINT << j``
@@ -125,7 +128,11 @@ def binary_pack(
     return (
         df.crossJoin(F.broadcast(thresholds))
         .withColumn("_bq_bits", bits)
-        .select(F.col(id_col), _pack_words(dim).alias("words"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            _pack_words(dim).alias("words"),
+        )
     )
 
 
@@ -291,4 +298,102 @@ def rerank_pairs(
         cf.join(F.broadcast(pairs), "neighbor_id")
         .join(F.broadcast(qf), "query_id")
         .select(*pairs.columns, dot.alias("score_raw"))
+    )
+
+
+def ivf_binary_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF x binary — the compression-x-pruning grid's cheapest cell:
+    the shared IVF stage (``_cell_assign``, the one rule the whole
+    family uses) restricts pairing to each query's ``nprobe`` cells,
+    and WITHIN them candidates rank by packed-word Hamming before the
+    exact rescore of the ``shortlist``. The realistic big-corpus
+    serving stack: cell pruning cuts the scan to nprobe/nlist of the
+    corpus, the 1-bit codes cut the scanned bytes 32x, and floats are
+    touched only for |queries| x shortlist pairs — multiplicative
+    savings, same plan skeleton as ivf_sq8_topk (broadcast probe
+    list, equi-join on cell_id, one per-query top-k window).
+
+    Returns (query_id, neighbor_id, score, hamming, rank); ties and
+    determinism identical to ``binary_topk`` (the probed-cell
+    restriction changes WHICH pairs are ranked, never how)."""
+    from blspark.ext.similarity import _cell_assign, _centroid_frame, _norm
+
+    cent = _centroid_frame(centroids)
+    thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
+    assigned = _cell_assign(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        1,
+    )
+    c = binary_pack(
+        assigned, thr, dim, id_col=id_col, vec_col="vec", keep=("cell_id",)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        F.col("words").alias("nwords"),
+    )
+    qprobe = _cell_assign(
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),
+        ),
+        cent,
+        id_col,
+        nprobe,
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    qp = binary_pack(queries, thr, dim, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("words").alias("qwords")
+    )
+    probe_q = qprobe.join(qp, "query_id")
+    paired = (
+        c.join(F.broadcast(probe_q), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming(F.col("nwords"), F.col("qwords")).alias("hamming"),
+        )
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    pairs = (
+        paired.withColumn("hrank", F.row_number().over(wham))
+        .filter(F.col("hrank") <= shortlist)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    scored = rerank_pairs(
+        corpus, queries, pairs, id_col=id_col, vec_col=vec_col
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            "hamming",
+            "rank",
+        )
     )

@@ -795,3 +795,88 @@ def x_index_persist_graph_adaptive(
         n_seeds=_GX_SEEDS,
         early_exit_k=_GX_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF x binary: the compression-x-pruning grid's cheapest cell
+# ---------------------------------------------------------------------------
+
+# shared Hamming SQL fragment (the one mirror of ext/binaryq.hamming)
+_BQ_HAM_EXPR = (
+    "CAST(list_sum(list_transform(list_zip({n}.words, {q}.words), "
+    "x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))) AS BIGINT)"
+)
+
+IVF_BINARY_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+qprobe AS MATERIALIZED ({_cell_assign_sql(
+    "q", "query_id", 2, "WHERE q.vec_id >= 10 AND q.vec_id < 15")}),
+{_BQ_PACK_SQL},
+bham AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_BQ_HAM_EXPR.format(n="n", q="q")} AS hamming
+  FROM cassign a
+  JOIN qprobe p ON a.cell_id = p.cell_id
+  JOIN packed n ON n.vec_id = a.vec_id
+  JOIN packed q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+bshort AS MATERIALIZED (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY hamming ASC, neighbor_id ASC) AS hr
+    FROM bham) t WHERE hr <= {_BQ_SHORTLIST}
+),
+brerank AS MATERIALIZED (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         {_DOTQ.format(a="n.vec", b="q.vec")} AS score_raw
+  FROM bshort s
+  JOIN vecs n ON n.vec_id = s.neighbor_id
+  JOIN vecs q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, ROUND(score_raw, 6) AS score, hamming, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score_raw DESC, neighbor_id ASC) AS INT) AS rank
+      FROM brerank) t
+WHERE rank <= {_BQ_K}
+"""
+
+
+@register(
+    "x_similarity_ivf_binary",
+    oracle=IVF_BINARY_ORACLE,
+    bench=True,
+    doc="IVF-pruned binary ANN with a full SQL oracle — the cheapest "
+    "cell of the compression-x-pruning grid (next to IVF,SQ8 and "
+    "IVF-PQ): the shared IVF stage (same deterministic label-mean "
+    "cells and _cell_assign rule as the whole family) restricts "
+    "pairing to each query's nprobe=2 probed cells, candidates "
+    "within them rank by integer XOR+popcount Hamming over the "
+    "packed sign bits, and the exact float rescore touches only the "
+    "50-pair shortlist. MULTIPLICATIVE savings at 100 TB: "
+    "nprobe/nlist of the corpus scanned x 32x fewer bytes per "
+    "scanned row x floats only for |Q| x 50 pairs — the realistic "
+    "billion-vector serving stack when PQ training is not worth it. "
+    "Plan skeleton shared with ivf_sq8_topk: centroids broadcast, "
+    "corpus cell-assign a map-side hash-agg argmin, probe list "
+    "broadcast onto an equi-join on cell_id (never a cross "
+    "product), one per-query top-k window. "
+    "ext/binaryq.ivf_binary_topk.",
+)
+def x_similarity_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.binaryq import ivf_binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    return ivf_binary_topk(
+        vecs,
+        queries,
+        _det_centroids(emb),
+        dim=_BQ_DIM,
+        k=_BQ_K,
+        shortlist=_BQ_SHORTLIST,
+        nprobe=2,
+    )

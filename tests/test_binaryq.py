@@ -187,3 +187,28 @@ def test_pack_stateless_equals_batch(spark):
 
     with pytest.raises(ValueError, match="thresholds length"):
         binary_pack_stateless(df, thr[:-1], dim)
+
+
+def test_ivf_binary_all_cells_equals_plain(spark):
+    """With nprobe = |cells| the IVF stage prunes nothing, so
+    ivf_binary_topk must equal plain binary_topk row for row (the
+    ivf_sq8 property-test convention at the binary rung)."""
+    from blspark.ext.binaryq import ivf_binary_topk
+    from blspark.ext.similarity import label_centroids
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 3)
+    cents = label_centroids(emb)
+    ncells = cents.count()
+    plain = binary_topk(vecs, queries, dim=64, k=4, shortlist=20)
+    ivf = ivf_binary_topk(
+        vecs, queries, cents, dim=64, k=4, shortlist=20, nprobe=ncells
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, ivf.collect())
+    )
