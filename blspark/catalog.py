@@ -104,18 +104,19 @@ _PRIORITY: tuple[str, ...] = (
     # built-in-SQL TPC-H-like queries, named below) and lead the
     # round-14 budget together with any r13 leftovers. After this
     # round the oldest signatures are the 7 deferred r8 names.
-    # NOTE (round-13 continuation session): 8 FURTHER queries were
+    # NOTE (round-13 continuation session): 10 FURTHER queries were
     # implemented and registered AFTER the budget was frozen —
     # x_similarity_binary_rerank, x_binary_eval,
     # x_retrieval_graph_adaptive, x_graph_adaptive_eval,
     # x_index_snapshot_rollback, s_stream_index_binary,
-    # x_index_persist_graph_adaptive, x_similarity_ivf_binary.
+    # x_index_persist_graph_adaptive, x_similarity_ivf_binary,
+    # x_similarity_range, x_range_eval.
     # They are deliberately NOT in the first-50 prefix (the
     # consolidation budget is exactly consumed); each is oracle-green
     # at BOTH SFs via the diffcheck ritual and the vanilla-session
     # sweep, and they lead round 14's signing budget alongside the 7
-    # deferred r8 entries (15 owed slots + 50 r9-stale means round 14
-    # must defer ~15 r9 names or ship zero first-timers — plan
+    # deferred r8 entries (17 owed slots + 50 r9-stale means round 14
+    # must defer ~17 r9 names or ship zero first-timers — plan
     # accordingly).
     # round-13 first-timers (implemented + locally oracle-green):
     "x_similarity_ivfpq_adaptive",

@@ -880,3 +880,198 @@ def x_similarity_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_BQ_SHORTLIST,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact range (radius) search with provable cell pruning — a different
+# query TYPE from top-k: data-dependent result size, exactness (not
+# recall) as the guarantee.
+# ---------------------------------------------------------------------------
+
+from blspark.queries.extensions9 import _D2Q  # noqa: E402
+
+_RANGE_RADIUS = 1.2  # chosen against the measured distance
+# distribution (min pair distance ~1.15): 29 result rows at sf0.01,
+# 131 at sf0.1, every query non-empty at both SFs.
+
+RANGE_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+)
+SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       ROUND(sqrt({_D2Q.format(a="n.vec", b="q.vec")}), 6) AS dist
+FROM vecs q, vecs n
+WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
+  AND sqrt({_D2Q.format(a="n.vec", b="q.vec")}) <= {_RANGE_RADIUS}
+"""
+
+
+def _range_parts(spark: SparkSession, sf_dir: str):
+    from blspark.ext.similarity import range_search_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    result, probes = range_search_ivf(
+        vecs,
+        queries,
+        _det_centroids(emb),
+        radius=_RANGE_RADIUS,
+        with_probe_frame=True,
+    )
+    return vecs, queries, result, probes
+
+
+@register(
+    "x_similarity_range",
+    oracle=RANGE_ORACLE,
+    doc="EXACT range (radius) search with provable IVF cell pruning — "
+    "a different query TYPE from the top-k family (data-dependent "
+    "result size; the guarantee is EXACTNESS, not recall): every cell "
+    "is skipped only when the triangle inequality proves it result-"
+    "free (d(query, centroid) > radius + cover_radius, cover radii = "
+    "|cells|-row metadata), so the pruned scan returns bit-identical "
+    "rows to a brute-force radius filter. The oracle deliberately "
+    "does NOT mirror the pruning — it IS the brute force, so the "
+    "driver's hash equality is a proof the pruning loses nothing. "
+    "sqrt is IEEE correctly-rounded (unlike transcendentals), so the "
+    "boundary compare agrees bitwise across engines. Scale shape: "
+    "metadata-sized probe decision (|Q| x |cells| broadcast "
+    "product), corpus touched only in probed cells; on this "
+    "near-isotropic synthetic corpus the bound prunes nothing "
+    "(x_range_eval reports it honestly) — tests/test_range.py pins "
+    "the pruning firing on separated clusters. "
+    "ext/similarity.range_search_ivf / cell_cover_radii.",
+)
+def x_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _range_parts(spark, sf_dir)[2]
+
+
+
+RANGE_EVAL_ORACLE = f"""
+WITH {_IVF_PREFIX_SQL},
+rcell AS MATERIALIZED (
+  SELECT a.cell_id,
+         MAX(sqrt({_D2Q.format(a="v.vec", b="c.cvec")})) AS rcell
+  FROM cassign a
+  JOIN vecs v ON v.vec_id = a.vec_id
+  JOIN cents c ON c.cell_id = a.cell_id
+  GROUP BY a.cell_id
+),
+rprobes AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cell_id
+  FROM vecs q, cents c
+  JOIN rcell r ON r.cell_id = c.cell_id
+  WHERE q.vec_id >= 10 AND q.vec_id < 15
+    AND sqrt({_D2Q.format(a="q.vec", b="c.cvec")})
+          <= {_RANGE_RADIUS} + r.rcell
+),
+brute AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM vecs q, vecs n
+  WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
+    AND sqrt({_D2Q.format(a="n.vec", b="q.vec")}) <= {_RANGE_RADIUS}
+),
+pruned AS MATERIALIZED (
+  SELECT b.query_id, b.neighbor_id
+  FROM brute b
+  JOIN cassign a ON a.vec_id = b.neighbor_id
+  JOIN rprobes p ON p.query_id = b.query_id AND p.cell_id = a.cell_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM vecs
+        WHERE vec_id >= 10 AND vec_id < 15) AS INT) AS n_queries,
+  CAST((SELECT COUNT(*) FROM pruned) AS INT) AS n_range,
+  CAST((SELECT COUNT(*) FROM brute) AS INT) AS n_brute,
+  (SELECT COUNT(*) FROM pruned) = (SELECT COUNT(*) FROM brute)
+    AS range_eq_brute,
+  CAST((SELECT COUNT(*) FROM rprobes) AS INT) AS cells_probed,
+  CAST((SELECT COUNT(*) FROM vecs WHERE vec_id >= 10 AND vec_id < 15)
+       * (SELECT COUNT(*) FROM cents) AS INT) AS cells_total,
+  (SELECT MIN(n) FROM (SELECT COUNT(*) AS n FROM brute
+                       GROUP BY query_id) t) >= 1 AS all_queries_hit
+"""
+
+
+@register(
+    "x_range_eval",
+    oracle=RANGE_EVAL_ORACLE,
+    doc="Range-search accounting contract — the exactness claim plus "
+    "the honest pruning ledger: range_eq_brute pins that the cell-"
+    "pruned result count equals brute force (STRUCTURAL by the "
+    "triangle inequality; the main query's hash differential already "
+    "proves row-level equality, this row makes the count visible), "
+    "cells_probed vs cells_total reports how much the bound actually "
+    "pruned — on this near-isotropic synthetic corpus the answer is "
+    "NOTHING (probed == total: query-centroid distances ~1.0, cover "
+    "radii ~1.03, radius 1.2 — the bound cannot separate what the "
+    "data does not separate), which is reported rather than hidden; "
+    "tests/test_range.py pins the pruning firing (probed < total, "
+    "result still exact) on planted separated clusters, the geometry "
+    "a real 100 TB embedding corpus has. all_queries_hit pins the "
+    "radius choice stays non-trivial at both SFs. The oracle mirrors "
+    "the probe rule (shared IVF prefix + cover-radius CTE) and "
+    "derives 'pruned' by intersecting brute results with probed "
+    "cells — equality is then the no-loss proof.",
+)
+def x_range_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs, queries, result, probes = _range_parts(spark, sf_dir)
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("nvec"),
+            F.col("qvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    brute = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("vec").alias("qvec"),
+                )
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .select("query_id", "neighbor_id", F.sqrt(d2).alias("d"))
+        .filter(F.col("d") <= _RANGE_RADIUS)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
+    n_range = result.agg(F.count("*").cast("int").alias("n_range"))
+    n_brute = brute.agg(F.count("*").cast("int").alias("n_brute"))
+    cells_probed = probes.agg(
+        F.count("*").cast("int").alias("cells_probed")
+    )
+    n_cells = _det_centroids(emb).agg(F.count("*").alias("_nc"))
+    hit = (
+        brute.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .agg((F.min("n") >= 1).alias("all_queries_hit"))
+    )
+    return (
+        n_queries.crossJoin(n_range)
+        .crossJoin(n_brute)
+        .crossJoin(cells_probed)
+        .crossJoin(n_cells)
+        .crossJoin(hit)
+        .select(
+            "n_queries",
+            "n_range",
+            "n_brute",
+            (F.col("n_range") == F.col("n_brute")).alias("range_eq_brute"),
+            "cells_probed",
+            (F.col("n_queries") * F.col("_nc"))
+            .cast("int")
+            .alias("cells_total"),
+            "all_queries_hit",
+        )
+    )
