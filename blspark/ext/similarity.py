@@ -3268,6 +3268,9 @@ def cell_cover_radii(assigned: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+RANGE_EPS = 1e-9  # see the bound comment in range_search_ivf
+
+
 def range_search_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -3309,6 +3312,14 @@ def range_search_ivf(
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
     )
+    # RANGE_EPS widens the bound by a hair: the triangle inequality is
+    # proved in real arithmetic but evaluated over rounded sum-of-
+    # squares folds + sqrt, so an adversarially tight geometry (a
+    # boundary result colinear with query and centroid) could round
+    # the bound one ulp too small and prune a true result. Widening
+    # can only ADD probed cells — exactness is preserved uncondition-
+    # ally, pruning is unaffected at any realistic separation. The
+    # eval oracle carries the same constant (extensions13).
     dqc = (
         q.crossJoin(F.broadcast(cent))
         .select(
@@ -3317,7 +3328,9 @@ def range_search_ivf(
             F.sqrt(_d2(F.col("qvec"), F.col("cvec"))).alias("dqc"),
         )
         .join(F.broadcast(rcell), "cell_id")
-        .filter(F.col("dqc") <= F.lit(radius) + F.col("rcell"))
+        .filter(
+            F.col("dqc") <= F.lit(radius) + F.col("rcell") + F.lit(RANGE_EPS)
+        )
         .select("query_id", "cell_id")
     )
     result = (

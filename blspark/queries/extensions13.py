@@ -66,14 +66,20 @@ packed AS MATERIALIZED (
   FROM vecs, thr
 )"""
 
+# The ONE SQL mirror of ext/binaryq.hamming — used by the all-pairs
+# ham CTE below AND the IVF-pruned bham CTE, so the distance
+# definition cannot drift between the plain and pruned rungs.
+_BQ_HAM_EXPR = (
+    "CAST(list_sum(list_transform(list_zip({n}.words, {q}.words), "
+    "x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))) AS BIGINT)"
+)
+
 # Hamming + shortlist + rerank on top of the pack — the retrieval tail
 # shared by the checked query and the eval.
 _BQ_PREFIX_SQL = f"""{_BQ_PACK_SQL},
 ham AS MATERIALIZED (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(list_zip(n.words, q.words),
-              x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT)))
-           AS BIGINT) AS hamming
+         {_BQ_HAM_EXPR.format(n="n", q="q")} AS hamming
   FROM packed n, packed q
   WHERE q.vec_id >= 10 AND q.vec_id < 15 AND n.vec_id <> q.vec_id
 ),
@@ -801,12 +807,6 @@ def x_index_persist_graph_adaptive(
 # IVF x binary: the compression-x-pruning grid's cheapest cell
 # ---------------------------------------------------------------------------
 
-# shared Hamming SQL fragment (the one mirror of ext/binaryq.hamming)
-_BQ_HAM_EXPR = (
-    "CAST(list_sum(list_transform(list_zip({n}.words, {q}.words), "
-    "x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))) AS BIGINT)"
-)
-
 IVF_BINARY_ORACLE = f"""
 WITH {_IVF_PREFIX_SQL},
 qprobe AS MATERIALIZED ({_cell_assign_sql(
@@ -889,6 +889,7 @@ def x_similarity_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from blspark.queries.extensions9 import _D2Q  # noqa: E402
+from blspark.ext.similarity import RANGE_EPS as _RANGE_EPS  # noqa: E402
 
 _RANGE_RADIUS = 1.2  # chosen against the measured distance
 # distribution (min pair distance ~1.15): 29 result rows at sf0.01,
@@ -914,14 +915,17 @@ def _range_parts(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    # trained ONCE and returned: the eval also needs the cell count,
+    # and _det_centroids is an eager full-corpus aggregation
+    cents = _det_centroids(emb)
     result, probes = range_search_ivf(
         vecs,
         queries,
-        _det_centroids(emb),
+        cents,
         radius=_RANGE_RADIUS,
         with_probe_frame=True,
     )
-    return vecs, queries, result, probes
+    return vecs, queries, cents, result, probes
 
 
 @register(
@@ -946,7 +950,7 @@ def _range_parts(spark: SparkSession, sf_dir: str):
     "ext/similarity.range_search_ivf / cell_cover_radii.",
 )
 def x_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _range_parts(spark, sf_dir)[2]
+    return _range_parts(spark, sf_dir)[3]
 
 
 
@@ -966,7 +970,7 @@ rprobes AS MATERIALIZED (
   JOIN rcell r ON r.cell_id = c.cell_id
   WHERE q.vec_id >= 10 AND q.vec_id < 15
     AND sqrt({_D2Q.format(a="q.vec", b="c.cvec")})
-          <= {_RANGE_RADIUS} + r.rcell
+          <= {_RANGE_RADIUS} + r.rcell + {_RANGE_EPS}
 ),
 brute AS MATERIALIZED (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -990,8 +994,9 @@ SELECT
   CAST((SELECT COUNT(*) FROM rprobes) AS INT) AS cells_probed,
   CAST((SELECT COUNT(*) FROM vecs WHERE vec_id >= 10 AND vec_id < 15)
        * (SELECT COUNT(*) FROM cents) AS INT) AS cells_total,
-  (SELECT MIN(n) FROM (SELECT COUNT(*) AS n FROM brute
-                       GROUP BY query_id) t) >= 1 AS all_queries_hit
+  (SELECT COUNT(DISTINCT query_id) FROM brute)
+    = (SELECT COUNT(*) FROM vecs WHERE vec_id >= 10 AND vec_id < 15)
+    AS all_queries_hit
 """
 
 
@@ -1017,17 +1022,10 @@ SELECT
     "cells — equality is then the no-loss proof.",
 )
 def x_range_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs, queries, result, probes = _range_parts(spark, sf_dir)
+    vecs, queries, cents, result, probes = _range_parts(spark, sf_dir)
 
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("nvec"),
-            F.col("qvec"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
+    from blspark.ext.similarity import _d2
+
     brute = (
         vecs.select(
             F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
@@ -1041,21 +1039,22 @@ def x_range_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("neighbor_id") != F.col("query_id"),
         )
-        .select("query_id", "neighbor_id", F.sqrt(d2).alias("d"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.sqrt(_d2(F.col("nvec"), F.col("qvec"))).alias("d"),
+        )
         .filter(F.col("d") <= _RANGE_RADIUS)
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     n_queries = queries.agg(F.count("*").cast("int").alias("n_queries"))
     n_range = result.agg(F.count("*").cast("int").alias("n_range"))
     n_brute = brute.agg(F.count("*").cast("int").alias("n_brute"))
     cells_probed = probes.agg(
         F.count("*").cast("int").alias("cells_probed")
     )
-    n_cells = _det_centroids(emb).agg(F.count("*").alias("_nc"))
-    hit = (
-        brute.groupBy("query_id")
-        .agg(F.count("*").alias("n"))
-        .agg((F.min("n") >= 1).alias("all_queries_hit"))
+    n_cells = cents.agg(F.count("*").alias("_nc"))
+    hit = brute.agg(
+        F.countDistinct("query_id").alias("_nq_hit")
     )
     return (
         n_queries.crossJoin(n_range)
@@ -1072,6 +1071,11 @@ def x_range_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_queries") * F.col("_nc"))
             .cast("int")
             .alias("cells_total"),
-            "all_queries_hit",
+            # every query has >= 1 result: distinct hit queries ==
+            # n_queries (a MIN(count)>=1 formulation is vacuously
+            # true — a zero-result query has no group at all)
+            (F.col("_nq_hit") == F.col("n_queries")).alias(
+                "all_queries_hit"
+            ),
         )
     )
