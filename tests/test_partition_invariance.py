@@ -74,6 +74,20 @@ QUERIES = [
     "x_knn_graph_split",
     "x_negative_samples",
     "x_index_persist_scan",
+    # round-13 continuation: binary thresholds are decimal-exact
+    # per-dimension means (the first aggregation whose ASSOCIATION
+    # ORDER could flip a packed bit — the whole family rides it), the
+    # Hamming/shortlist/rerank tail is exact-integer + ordered folds;
+    # the adaptive walk's convergence rule compares exact scores, so
+    # per-query stop hops must not shift with layout; range search's
+    # cover radii are MAX over exact doubles and the probe bound a
+    # pure double compare
+    "x_similarity_binary_rerank",
+    "x_binary_eval",
+    "x_similarity_ivf_binary",
+    "x_retrieval_graph_adaptive",
+    "x_similarity_range",
+    "x_range_eval",
 ]
 
 
