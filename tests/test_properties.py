@@ -527,3 +527,55 @@ def test_hashmin_key_matches_python_model(spark, rows):
     want = [i for i, _ in sorted(model.items(), key=lambda t: (t[1], t[0]))][:n]
     top = [r["id"] for r in weighted_topn(df, "id", "w", n).collect()]
     assert top == want
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (ext/binaryq): the pack must agree with an
+# independent Python reimplementation on ARBITRARY 4dp-lattice vectors
+# (not just the fixed fixtures), and Hamming must be a true metric on
+# the packed words.
+# ---------------------------------------------------------------------------
+
+_bq_vec = st.lists(
+    st.integers(min_value=-10000, max_value=10000).map(lambda k: k / 10000.0),
+    min_size=8,
+    max_size=8,
+)
+
+
+@SLOW
+@given(vecs=st.lists(_bq_vec, min_size=2, max_size=10))
+def test_binary_pack_property(spark, vecs):
+    from blspark.ext.binaryq import binary_pack, binary_thresholds
+
+    dim = 8
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    thr_df = binary_thresholds(df)
+    thr = thr_df.collect()[0]["thr"]
+    got = {
+        r["vec_id"]: r["words"]
+        for r in binary_pack(df, thr_df, dim).collect()
+    }
+    # independent reimplementation (4dp lattice -> the DECIMAL(28,4)
+    # sums are exact, so the Python float mean agrees bitwise)
+    n = len(rows)
+    py_thr = [sum(v[d] for v in vecs) / n for d in range(dim)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(thr, py_thr))
+    for i, v in rows:
+        want = sum(
+            (1 << j) for j in range(dim) if v[j] > thr[j]
+        )
+        assert got[i] == [want], (i, v, thr)
+    # Hamming metric properties on the packed words
+    words = {i: got[i][0] for i, _ in rows}
+    for a in words:
+        for b in words:
+            h = bin(words[a] ^ words[b]).count("1")
+            assert h == bin(words[b] ^ words[a]).count("1")
+            assert (h == 0) == (words[a] == words[b])
+            for c in words:
+                assert h <= (
+                    bin(words[a] ^ words[c]).count("1")
+                    + bin(words[c] ^ words[b]).count("1")
+                )
