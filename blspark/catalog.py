@@ -90,89 +90,35 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-13 rotation (recomputed programmatically from
-    # CORRECTNESS_r01..r12.json: latest driver signing round per
-    # query; age tiers at the start of round 13 are r8: 50, r9: 50,
-    # r10: 50, r11: 50, r12: 50 — zero latest-status fails; round
-    # 12 signed its 12 first-timers + all 38 r7-stale, consuming the
-    # budget exactly). Round 13 is the consolidation round the r12
-    # verdict prescribed, with the capped new-family allowance: the
-    # 7 round-13 FIRST-TIMERS (implemented and locally oracle-green
-    # at both SFs — never pre-list unimplemented names) go first,
-    # then 43 of the 50 r8-stale; the remaining 7 r8 entries are
-    # EXPLICITLY DEFERRED to round 14 (the lowest-risk pure
-    # built-in-SQL TPC-H-like queries, named below) and lead the
-    # round-14 budget together with any r13 leftovers. After this
-    # round the oldest signatures are the 7 deferred r8 names.
-    # NOTE (round-13 continuation session): 10 FURTHER queries were
-    # implemented and registered AFTER the budget was frozen —
-    # x_similarity_binary_rerank, x_binary_eval,
-    # x_retrieval_graph_adaptive, x_graph_adaptive_eval,
-    # x_index_snapshot_rollback, s_stream_index_binary,
-    # x_index_persist_graph_adaptive, x_similarity_ivf_binary,
-    # x_similarity_range, x_range_eval.
-    # They are deliberately NOT in the first-50 prefix (the
-    # consolidation budget is exactly consumed); each is oracle-green
-    # at BOTH SFs via the diffcheck ritual and the vanilla-session
-    # sweep, and they lead round 14's signing budget alongside the 7
-    # deferred r8 entries (17 owed slots + 50 r9-stale means round 14
-    # must defer ~17 r9 names or ship zero first-timers — plan
-    # accordingly).
-    # round-13 first-timers (implemented + locally oracle-green):
-    "x_similarity_ivfpq_adaptive",
-    "x_ivfpq_adaptive_eval",
-    "x_index_persist_graph",
-    "x_index_persist_graph_warm",
-    "x_index_compact_apply",
-    "x_retrieval_graph_filtered",
-    "x_graph_filtered_eval",
-    # r8 signatures re-signed this round (43 of 50):
-    "q_customer_order_distribution",
-    "q_events_interval_join",
-    "q_events_session_window",
-    "q_events_sessionize",
-    "q_forecast_revenue",
-    "q_funnel_conversion",
-    "q_grouping_sets",
-    "q_idle_rich_customers",
-    "q_linestatus_priority_counts",
-    "q_min_cost_supplier",
-    "q_nation_pairs_volume",
-    "q_ntile_deciles",
-    "q_order_priority_check",
-    "q_promotion_suppliers",
-    "q_sync_classify",
-    "x_embed_quantize",
-    "x_multimodal_framesample",
-    "x_multimodal_metadata",
-    "x_pack_sequences",
-    "x_pagerank_iters",
-    "x_pq_eval",
-    "x_quality_filter_quantile",
-    "x_quality_gopher_rules",
-    "x_retrieval_maxsim",
-    "x_retrieval_maxsim_pruned",
-    "x_sample_quality_weighted",
-    "x_sample_split",
-    "x_sample_stratified",
-    "x_select_token_budget",
-    "x_shard_assign",
-    "x_similarity_ivfpq_residual",
-    "x_similarity_sq8_checked",
-    "x_sketch_accuracy_checked",
-    "x_skew_salted_join",
-    "x_text_chunk_windows",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_ngram_freq",
-    "x_text_normalize",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
-    "x_udaf_weighted_stats",
-    # r8 DEFERRED to round 14 (explicit: the 7 lowest-risk pure
-    # built-in-SQL TPC-H-like entries, displaced by the 7 r13
-    # first-timers; they lead round 14's budget):
+    # -- Round-14 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r13.json at round-14 start: latest driver
+    # signing round per query; age tiers entering round 14 are
+    # never-signed: 10, r8: 7, r9: 50, r10: 50, r11: 50, r12: 50,
+    # r13: 50 — zero latest-status fails). Round 14 is the
+    # consolidation round the r13 verdict prescribed: ZERO new
+    # registrations; the entire 50-slot budget goes to signatures.
+    # First 50 = the 10 never-sampled round-13-continuation
+    # registrations, then the 7 r8-stale deferred from round 13,
+    # then 33 of the 50 r9-stale (the higher-complexity streaming /
+    # dedup / sketch / graph entries, where a silent regression
+    # would matter most). The remaining 17 r9 names — the
+    # lowest-risk pure built-in-SQL TPC-H-like queries and simple
+    # scalar-function demos — are EXPLICITLY DEFERRED to round 15
+    # and lead its budget. After this round the staleness floor
+    # moves r8 -> r9 and every registered query has been
+    # driver-signed at least once.
+    # never-signed round-13-continuation registrations (10):
+    "x_similarity_binary_rerank",
+    "x_similarity_ivf_binary",
+    "x_binary_eval",
+    "s_stream_index_binary",
+    "x_similarity_range",
+    "x_range_eval",
+    "x_retrieval_graph_adaptive",
+    "x_graph_adaptive_eval",
+    "x_index_persist_graph_adaptive",
+    "x_index_snapshot_rollback",
+    # r8-stale, deferred from round 13 (7):
     "q_conditional_agg",
     "q_disjunctive_filter_revenue",
     "q_important_parts",
@@ -180,31 +126,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_promo_revenue",
     "q_regional_revenue",
     "q_returned_items",
-    # r9 signatures (50):
-    "q_market_share",
-    "q_product_profit",
+    # r9-stale signed this round (33 of 50):
     "q_recursive_closure",
     "q_scd2_merge",
     "q_scd2_temporal_join",
-    "q_shipping_priority",
-    "q_small_quantity_revenue",
-    "q_sql_params",
-    "q_supplier_part_counts",
     "q_sync_merge",
-    "q_top_supplier",
-    "q_waiting_suppliers",
-    "q_window_first_last",
-    "q_window_moving_avg",
-    "q_window_rank_lag",
-    "q_zscore_anomalies",
     "s_stream_interval_join",
     "s_stream_quality_ingest",
     "s_stream_upsert_cdc",
-    "x_array_functions",
     "x_bloom_prune_join",
     "x_bm25_topk",
-    "x_class_weights",
-    "x_concat_blocks",
     "x_cooccurrence_lift",
     "x_dedup_components_star",
     "x_dedup_incremental",
@@ -221,8 +152,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_hll_partial_merge",
     "x_lm_bigram_score",
     "x_lsh_eval",
-    "x_mad_outliers",
-    "x_map_from_json",
     "x_minhash_est_accuracy",
     "x_mix_epochs",
     "x_python_datasource",
@@ -231,6 +160,27 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_tfidf_keywords",
     "x_variant_json",
+    # r9-stale DEFERRED to round 15 (explicit: the 17 lowest-risk
+    # pure built-in-SQL TPC-H-like queries and scalar-function
+    # demos, displaced by the 17 owed round-13 slots; they lead
+    # round 15's budget):
+    "q_market_share",
+    "q_product_profit",
+    "q_shipping_priority",
+    "q_small_quantity_revenue",
+    "q_sql_params",
+    "q_supplier_part_counts",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    "q_window_first_last",
+    "q_window_moving_avg",
+    "q_window_rank_lag",
+    "q_zscore_anomalies",
+    "x_array_functions",
+    "x_class_weights",
+    "x_concat_blocks",
+    "x_mad_outliers",
+    "x_map_from_json",
     # r10 signatures (50):
     "q_asof_nearest_click",
     "q_bls_pipeline_parity",
@@ -384,6 +334,58 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_pq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
+    # r13 signatures (50): the 7 round-13 first-timers + the 43
+    # r8-stale re-signed at round 13 — the freshest tier:
+    "x_similarity_ivfpq_adaptive",
+    "x_ivfpq_adaptive_eval",
+    "x_index_persist_graph",
+    "x_index_persist_graph_warm",
+    "x_index_compact_apply",
+    "x_retrieval_graph_filtered",
+    "x_graph_filtered_eval",
+    "q_customer_order_distribution",
+    "q_events_interval_join",
+    "q_events_session_window",
+    "q_events_sessionize",
+    "q_forecast_revenue",
+    "q_funnel_conversion",
+    "q_grouping_sets",
+    "q_idle_rich_customers",
+    "q_linestatus_priority_counts",
+    "q_min_cost_supplier",
+    "q_nation_pairs_volume",
+    "q_ntile_deciles",
+    "q_order_priority_check",
+    "q_promotion_suppliers",
+    "q_sync_classify",
+    "x_embed_quantize",
+    "x_multimodal_framesample",
+    "x_multimodal_metadata",
+    "x_pack_sequences",
+    "x_pagerank_iters",
+    "x_pq_eval",
+    "x_quality_filter_quantile",
+    "x_quality_gopher_rules",
+    "x_retrieval_maxsim",
+    "x_retrieval_maxsim_pruned",
+    "x_sample_quality_weighted",
+    "x_sample_split",
+    "x_sample_stratified",
+    "x_select_token_budget",
+    "x_shard_assign",
+    "x_similarity_ivfpq_residual",
+    "x_similarity_sq8_checked",
+    "x_sketch_accuracy_checked",
+    "x_skew_salted_join",
+    "x_text_chunk_windows",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_ngram_freq",
+    "x_text_normalize",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
+    "x_udaf_weighted_stats",
 )
 
 

@@ -2064,8 +2064,22 @@ def _beam_walk(
         visited = visited.drop("_hop")
     if with_activity:
         if activity is None:  # hops == 0
+            # Derive the id types from the visited frame (they inherit
+            # the corpus id type) so a hops=0 call returns the same
+            # schema a hops>=1 call would — a literal DDL here would
+            # pin long ids even when the corpus uses int ids.
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            vf = {f.name: f for f in visited.schema.fields}
             activity = visited.sparkSession.createDataFrame(
-                [], "hop int, query_id long, cand_id long"
+                [],
+                StructType(
+                    [
+                        StructField("hop", IntegerType(), False),
+                        vf["query_id"],
+                        vf["cand_id"],
+                    ]
+                ),
             )
         return visited, activity
     return visited
@@ -2096,20 +2110,41 @@ def _visited_rank(
     )
 
 
-def edge_probe(spark, edge_table: str, cells: list) -> DataFrame:
+def edge_probe(spark, edge_table: str, cells) -> DataFrame:
     """ONE hop's edge fetch against the persisted cell-partitioned
-    edge table: a LITERAL IN-set on the partition column, so the
-    predicate is guaranteed to land in PartitionFilters (metadata
-    pruning — no directory outside the frontier's cells is opened;
-    the probed-cell convention shared with x_index_persist_scan).
-    Extracted from the walk loop so the plan pin in
-    tests/test_graph_index.py drives the exact scan the registered
-    query runs, not a reconstruction."""
-    return (
-        spark.table(edge_table)
-        .filter(F.col("src_cell").isin(cells))
-        .select(F.col("node").alias("cand_id"), "nbr", "nbr_cell")
-    )
+    edge table. Two pruning shapes, selected by the type of ``cells``:
+
+    - ``list``: a LITERAL IN-set on the partition column, guaranteed
+      to land in PartitionFilters (metadata pruning — no directory
+      outside the probed cells is opened; the probed-cell convention
+      shared with x_index_persist_scan). For probes whose cell set is
+      already driver-side.
+    - ``DataFrame`` (single cell column): a BROADCAST inner join on
+      the partition column — the walk's per-hop shape. The hop then
+      runs as ONE job with no driver round-trip (the r13 watch item:
+      the old per-hop ``collect()`` of frontier cells launched an
+      extra job per hop, `hops` sequential driver syncs per query
+      batch at scale). Partition pruning still happens at the scan —
+      Spark's dynamic partition pruning reuses the forced broadcast
+      exchange as a runtime IN-filter in PartitionFilters
+      (plan-pinned in tests/test_graph_index.py); even where DPP
+      declined, the join itself keeps correctness, so the fallback
+      cost is IO, never wrong rows.
+
+    Extracted from the walk loop so the plan pins drive the exact
+    scan the registered query runs, not a reconstruction."""
+    edges = spark.table(edge_table)
+    if isinstance(cells, DataFrame):
+        cell_col = cells.columns[0]
+        probe = edges.join(
+            F.broadcast(
+                cells.select(F.col(cell_col).alias("src_cell")).distinct()
+            ),
+            "src_cell",
+        )
+    else:
+        probe = edges.filter(F.col("src_cell").isin(cells))
+    return probe.select(F.col("node").alias("cand_id"), "nbr", "nbr_cell")
 
 
 def graph_expand_topk_indexed(
@@ -2133,18 +2168,18 @@ def graph_expand_topk_indexed(
     serving shape: ``edge_table`` is a warehouse table (node, nbr,
     nbr_cell) partitioned by ``src_cell`` (the source node's IVF
     cell), so each hop's edge fetch is a PARTITION-PRUNED scan of
-    only the frontier's cells — a literal IN-set on the partition
-    column (the probed-cell convention: guaranteed PartitionFilters,
-    not DPP-dependent), never a full edge-table read.
+    only the frontier's cells — a broadcast of the frontier's cell
+    set that dynamic partition pruning turns into the scan's runtime
+    PartitionFilter (plan-pinned), never a full edge-table read.
 
     The frontier's cells are known WITHOUT touching a corpus-sized
     node->cell map: seeds are cell prototypes (their cells come with
     the |cells|-sized prototype frame), and every node a hop reaches
     carries ``nbr_cell`` in from the edge row that reached it — the
     visited frame threads (query_id, cand_id, cell, cos_raw), so the
-    per-hop cell set is a metadata-bounded collect over
-    |queries| x beam rows, the same device as the persisted IVF
-    probe's cell-set collect.
+    per-hop cell set is a metadata-bounded (<= |queries| x beam rows)
+    broadcast that never leaves the executors: each hop is ONE job —
+    no per-hop driver round-trip (the r13 verdict's watch item).
 
     Everything semantic is shared with the in-memory walk verbatim —
     ``_proto_seeds`` entry (one ``cell_prototypes`` pass reused for
@@ -2191,13 +2226,16 @@ def graph_expand_topk_indexed(
     ).select("query_id", "cand_id", "cell", "cos_raw")
 
     def expand(frontier: DataFrame) -> DataFrame:
-        # metadata-bounded: <= |queries| x beam distinct cells
-        cells = sorted(
-            {r["cell"] for r in frontier.select("cell").distinct().collect()}
-        )
+        # Plan-side frontier probe: the (<= |queries| x beam)-row cell
+        # set stays on the executors as a broadcast, DPP turns it into
+        # the scan's partition filter — one job per hop, no driver
+        # round-trip (was: a per-hop collect() of distinct cells).
         return (
             frontier.select("query_id", "cand_id")
-            .join(edge_probe(spark, edge_table, cells), "cand_id")
+            .join(
+                edge_probe(spark, edge_table, frontier.select("cell")),
+                "cand_id",
+            )
             .select(
                 "query_id",
                 F.col("nbr").alias("cand_id"),

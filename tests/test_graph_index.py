@@ -63,12 +63,12 @@ def test_indexed_walk_parity_with_in_memory(spark):
 
 
 def test_edge_probe_is_partition_pruned(spark):
-    """One hop's edge fetch (the exact edge_probe the walk loop calls)
-    must be a PARTITION-PRUNED scan: the literal IN-set lands INSIDE
-    the PartitionFilters bracket (an empty bracket always prints —
-    substring presence alone is vacuous, gotcha 34) and the scanned
-    files all live under the probed src_cell directories (inputFiles
-    filtered to the table's path — gotcha 38)."""
+    """edge_probe's LITERAL-list shape (the static probed-cell
+    convention) must be a PARTITION-PRUNED scan: the literal IN-set
+    lands INSIDE the PartitionFilters bracket (an empty bracket always
+    prints — substring presence alone is vacuous, gotcha 34) and the
+    scanned files all live under the probed src_cell directories
+    (inputFiles filtered to the table's path — gotcha 38)."""
     from blspark.ext.similarity import edge_probe
     from blspark.queries.extensions11 import _partition_files
     from blspark.queries.extensions12 import graph_edge_table
@@ -95,6 +95,44 @@ def test_edge_probe_is_partition_pruned(spark):
         f for f in spark.table(it).inputFiles() if tbl_frag in f
     ]
     assert len(all_files) > len(idx_files)
+
+
+def test_edge_probe_frontier_frame_is_dpp_pruned(spark):
+    """edge_probe's DataFrame shape (the walk's per-hop probe since
+    round 14 — one job per hop, no driver round-trip) must still
+    prune the edge scan: dynamic partition pruning reuses the forced
+    broadcast of the frontier-cell set as a runtime filter INSIDE the
+    scan's PartitionFilters bracket, and the returned rows are
+    bit-identical to the literal IN-set shape over the same cells."""
+    from blspark.ext.similarity import edge_probe
+    from blspark.queries.extensions11 import _partition_files
+    from blspark.queries.extensions12 import graph_edge_table
+
+    it = graph_edge_table(spark, SF_SMOKE)
+    all_cells = sorted(_partition_files(spark, it, col="src_cell"))
+    assert len(all_cells) >= 4
+    probed = all_cells[:2]
+    # mimic the walk's frontier lineage: a frame with a selective
+    # filter upstream (row_number <= beam), as _beam_walk produces
+    cells_df = (
+        spark.range(len(all_cells))
+        .select(F.col("id").cast("int").alias("cell"))
+        .filter(F.col("cell").isin(probed))
+    )
+    probe = edge_probe(spark, it, cells_df)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*src_cell[^\]]*dynamicpruning", plan
+    )
+    assert m, plan
+    got = {
+        (r["cand_id"], r["nbr"], r["nbr_cell"]) for r in probe.collect()
+    }
+    want = {
+        (r["cand_id"], r["nbr"], r["nbr_cell"])
+        for r in edge_probe(spark, it, probed).collect()
+    }
+    assert got == want and got
 
 
 def test_registered_persist_graph_matches_xcell_query(spark):
