@@ -944,6 +944,34 @@ def _blocked_cell_join(
     )
 
 
+def assign_corpus(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE corpus cell-assignment pass in the canonical shared shape
+    (aid, vec, vnorm, cell_id, cell_sim) — the IVF prefix that
+    ``knn_graph``, ``cell_prototypes`` and ``proto_cross_edges`` each
+    recompute when called alone. An INDEX BUILD runs all three over
+    the same corpus; computing this once (and eagerly checkpointing —
+    the index-materialization trade the blocked-join path already
+    blesses: build-time only, amortized across query batches, never a
+    serving-path cache) and passing it down via their ``assigned``
+    parameter turns three-plus full argmin scans into one."""
+    return _cell_assign(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("aid"),
+            "vec",
+            _norm(F.col("vec")).alias("vnorm"),
+        ),
+        _centroid_frame(centroids),
+        "aid",
+        1,
+        keep_sim=True,
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -952,6 +980,7 @@ def knn_graph(
     k: int = 3,
     mutual: bool = True,
     max_block: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor GRAPH: every corpus vector's
     exact-cosine top-``k`` among its own IVF cell's members, plus a
@@ -988,10 +1017,19 @@ def knn_graph(
     (x_knn_graph_eval) should opt out rather than discard it.
     ``max_block`` caps the per-task pairing block against a hot cell
     (``_blocked_cell_join`` — exact, result-identical); None keeps
-    the plain cell join.
+    the plain cell join. ``assigned``: optional precomputed
+    ``assign_corpus`` output — build paths that also need prototypes
+    pass the one shared pass instead of paying a fresh argmin scan
+    per self-join branch (cell_id is identical by construction:
+    ``keep_sim`` only appends a column).
     """
+    if assigned is not None:
+        src = assigned.select(
+            F.col("aid").alias("src_id"), "vec", "vnorm", "cell_id"
+        )
+        return _graph_edges_float(src, k, mutual, max_block)
     cent = _centroid_frame(centroids)
-    assigned = _cell_assign(
+    src = _cell_assign(
         with_double_vec(corpus, vec_col).select(
             F.col(id_col).alias("src_id"),
             "vec",
@@ -1001,7 +1039,7 @@ def knn_graph(
         "src_id",
         1,
     )
-    return _graph_edges_float(assigned, k, mutual, max_block)
+    return _graph_edges_float(src, k, mutual, max_block)
 
 
 def _graph_edges_float(
@@ -1424,6 +1462,7 @@ def cell_prototypes(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Most-central exemplar per IVF cell — the coreset / prototype
     selection step (SemDeDup keeps one representative per cluster;
@@ -1441,19 +1480,27 @@ def cell_prototypes(
 
     Returns (cell_id, prototype_id, centrality, cell_size) —
     |cells| rows; centrality is the winning cosine rounded to 6
-    (the knn_graph output convention)."""
-    cent = _centroid_frame(centroids)
-    assigned = _cell_assign(
-        with_double_vec(corpus, vec_col).select(
-            F.col(id_col).alias("pid"),
-            "vec",
-            _norm(F.col("vec")).alias("vnorm"),
-        ),
-        cent,
-        "pid",
-        1,
-        keep_sim=True,
-    )
+    (the knn_graph output convention). ``assigned``: optional
+    precomputed ``assign_corpus`` output (same ``keep_sim`` argmin —
+    bit-identical by construction); build paths pass the shared
+    pass instead of re-scanning the corpus."""
+    if assigned is not None:
+        assigned = assigned.select(
+            F.col("aid").alias("pid"), "cell_id", "cell_sim"
+        )
+    else:
+        cent = _centroid_frame(centroids)
+        assigned = _cell_assign(
+            with_double_vec(corpus, vec_col).select(
+                F.col(id_col).alias("pid"),
+                "vec",
+                _norm(F.col("vec")).alias("vnorm"),
+            ),
+            cent,
+            "pid",
+            1,
+            keep_sim=True,
+        )
     per_cell = assigned.groupBy("cell_id").agg(
         F.min(
             F.struct((-F.col("cell_sim")).alias("neg"), F.col("pid"))
@@ -1693,6 +1740,7 @@ def proto_cross_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m_cross: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """LONG-RANGE navigation edges between cell prototypes — the
     HNSW-style upper-layer links the within-cell kNN graph lacks:
@@ -1711,17 +1759,27 @@ def proto_cross_edges(
     METADATA-sized frame (nlist ~ sqrt(N) keeps this trivially small
     next to the corpus — at nlist = 10^4 it is 10^8 cheap float ops
     on compact rows, still centroid-training scale, never
-    corpus-scale). Returns (src_id, dst_id) prototype id pairs."""
+    corpus-scale). Returns (src_id, dst_id) prototype id pairs.
+    ``assigned``: optional precomputed ``assign_corpus`` output —
+    supplies BOTH the prototype selection (no fresh argmin scan) and
+    the prototype-vector fetch (no second corpus scan)."""
     from blspark.ops import local_relation
 
-    protos = cell_prototypes(corpus, centroids, id_col, vec_col).select(
-        F.col("prototype_id").alias("pid")
-    )
-    vecs = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("pid"),
-        "vec",
-        _norm(F.col("vec")).alias("nrm"),
-    )
+    protos = cell_prototypes(
+        corpus, centroids, id_col, vec_col, assigned=assigned
+    ).select(F.col("prototype_id").alias("pid"))
+    if assigned is not None:
+        vecs = assigned.select(
+            F.col("aid").alias("pid"),
+            "vec",
+            F.col("vnorm").alias("nrm"),
+        )
+    else:
+        vecs = with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("pid"),
+            "vec",
+            _norm(F.col("vec")).alias("nrm"),
+        )
     # |cells| rows used on BOTH sides of the crossJoin: materialize
     # once as a local relation or the cell_prototypes corpus
     # aggregation (and the vector fetch join) executes per branch
@@ -1768,6 +1826,7 @@ def graph_adjacency_xcell(
     vec_col: str = "embedding",
     knn_k: int = 3,
     m_cross: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """``graph_adjacency`` plus the prototype-backbone long-range
     edges (``proto_cross_edges``) — the navigable-small-world edge
@@ -1775,12 +1834,15 @@ def graph_adjacency_xcell(
     between the |cells| prototypes. Undirected (both unions include
     reversals), deduplicated, eagerly localCheckpointed — the same
     amortize-across-query-batches artifact as the within-cell
-    adjacency, bigger by only 2 * m_cross * |cells| rows."""
+    adjacency, bigger by only 2 * m_cross * |cells| rows.
+    ``assigned``: optional shared ``assign_corpus`` pass, threaded to
+    both edge families (the edge-table build's one-scan shape)."""
     edges = knn_graph(
-        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
+        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
+        assigned=assigned,
     ).select("src_id", "dst_id")
     both = edges.union(proto_cross_edges(
-        corpus, centroids, id_col, vec_col, m_cross
+        corpus, centroids, id_col, vec_col, m_cross, assigned=assigned
     ))
     return (
         both.select(

@@ -380,43 +380,33 @@ def graph_edge_table(spark: SparkSession, sf_dir: str) -> str:
     memo/pid-name/GC machinery as every layout demo
     (``_layout_tables``); one file per partition (repartition on the
     partition column first, gotcha 34)."""
-    from blspark.ext.similarity import (
-        _cell_assign,
-        _centroid_frame,
-        _norm,
-        graph_adjacency_xcell,
-        with_double_vec,
-    )
+    from blspark.ext.similarity import assign_corpus, graph_adjacency_xcell
 
     def build(it):
         emb = load_table(spark, sf_dir, "embeddings")
         cents = _det_centroids(emb)
+        # ONE shared cell-assignment pass for the whole build (the r13
+        # verdict's build-constant item): the kNN edges, the prototype
+        # backbone (selection + vector fetch) and the src/nbr cell map
+        # all consumed their own argmin scan before — checkpointing
+        # the one pass turns 4+ corpus scans into 1. Build-time-only
+        # materialization, amortized across query batches (the
+        # blocked-join trade); serving paths keep recompute.
+        assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
         adj = graph_adjacency_xcell(
-            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
+            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
         )
-        # compact (id, cell) map consumed TWICE (src + nbr side):
-        # checkpoint once or the map-side argmin scan runs per branch
-        # (the gotcha-37 convention)
-        assigned = _cell_assign(
-            with_double_vec(emb, "embedding").select(
-                F.col("vec_id").alias("nid"),
-                "vec",
-                _norm(F.col("vec")).alias("vnorm"),
-            ),
-            _centroid_frame(cents),
-            "nid",
-            1,
-        ).select("nid", "cell_id").localCheckpoint(eager=True)
+        cell_map = assigned.select(F.col("aid").alias("nid"), "cell_id")
         edges = (
             adj.join(
-                assigned.select(
+                cell_map.select(
                     F.col("nid").alias("cand_id"),
                     F.col("cell_id").alias("src_cell"),
                 ),
                 "cand_id",
             )
             .join(
-                assigned.select(
+                cell_map.select(
                     F.col("nid").alias("nbr"),
                     F.col("cell_id").alias("nbr_cell"),
                 ),
@@ -476,8 +466,10 @@ def _indexed_xcell_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the adjacency (within-cell kNN edges + prototype backbone) is "
     "written once per dataset as (node, nbr, nbr_cell) partitioned "
     "by the source node's cell, and each of the 10 beam hops then "
-    "scans ONLY the frontier's cells — a literal IN-set on the "
-    "partition column (guaranteed PartitionFilters, plan-pinned), "
+    "scans ONLY the frontier's cells — a broadcast of the frontier's "
+    "cell set that dynamic partition pruning turns into the scan's "
+    "runtime PartitionFilter (plan-pinned; one job per hop, no "
+    "driver round-trip), "
     "with the next hop's cells riding in on nbr_cell so no corpus-"
     "sized node->cell map is ever consulted. At 100 TB this is the "
     "complete graph-serving lifecycle: build amortized to zero "
