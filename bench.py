@@ -7,6 +7,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + count-style consume).
 A warmup query first absorbs JVM/session startup so per-query numbers
 measure the plans, not the JVM boot.
+
+``--subset LABEL`` (e.g. ``--subset r1_14``, or a comma-separated list
+of query names) times only that set — the full 50-entry sweep costs
+~2.5 min warm / ~4 min cold at sf0.1, so iteration and canonical-subset
+checks shouldn't pay for the whole board. Default (no flag) behavior is
+unchanged: every bench-tagged query, all subtotals.
 """
 
 from __future__ import annotations
@@ -21,14 +27,97 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from blspark.catalog import registry  # noqa: E402
 from blspark.session import get_spark  # noqa: E402
 
+# Like-for-like subset definitions, shared by the subtotal emission and
+# --subset so BASELINE.md change-log paragraphs can't drift from the
+# JSON as the bench set grows: "r1_14" is the original round-1 set (the
+# baseline comparison basis), "r4_18" adds the four round-4 entries, etc.
+R1_SET = (
+    "q1_population_stats", "q2_best_year", "q3_combined_report",
+    "q_asof_prev_order", "q_conditional_agg", "q_events_interval_join",
+    "q_events_sessionize", "q_events_tumbling_window",
+    "q_grouped_agg_pricing", "q_regional_revenue", "q_shipping_priority",
+    "x_dedup_exact", "x_dedup_minhash_lsh", "x_similarity_cosine_topk",
+)
+R4_SET = R1_SET + (
+    "q_market_share", "q_product_profit",
+    "x_dedup_pipeline_lsh", "x_lm_bigram_score",
+)
+R5_SET = R4_SET + (
+    "x_mmr_rerank", "x_entity_resolution", "x_dedup_span_removal",
+)
+R7_SET = R5_SET + (
+    "x_similarity_pq_checked", "x_similarity_ivfpq_checked",
+    "x_similarity_pq_rerank", "x_text_boilerplate_strip",
+)
+R8_SET = R7_SET + ("x_similarity_ivfpq_residual",)
+R10_SET = R8_SET + ("x_similarity_ivf_sq8", "x_similarity_ivfpq_warm")
+R10B_SET = R10_SET + ("x_knn_graph", "x_knn_graph_sq8")
+R10C_SET = R10B_SET + (
+    "x_knn_graph_components", "x_cell_prototypes",
+    "x_sample_weighted_topn",
+)
+R11_SET = R10C_SET + (
+    "x_knn_graph_capped", "x_knn_graph_components_warm",
+    "x_retrieval_graph_expand", "x_knn_graph_split",
+    "x_index_persist_scan", "x_retrieval_graph_expand_warm",
+    "x_negative_samples",
+)
+R12_SET = R11_SET + (
+    "x_retrieval_graph_expand_xcell", "x_index_persist_scan_warm",
+    "x_similarity_ivf_adaptive", "x_retrieval_graph_expand_xcell_warm",
+)
+R13_SET = R12_SET + (
+    "x_index_persist_graph", "x_index_persist_graph_warm",
+    "x_similarity_ivfpq_adaptive",
+)
+R13B_SET = R13_SET + (
+    "x_similarity_binary_rerank", "x_retrieval_graph_adaptive",
+)
+R13C_SET = R13B_SET + ("x_similarity_ivf_binary",)
+# The persisted-cache queries (LSH/dedup family): their cold sum is
+# the headline cold-path evidence.
+LSH_SET = (
+    "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_pipeline_lsh",
+    "x_dedup_span_removal", "x_similarity_cosine_topk",
+)
+# Every comparison basis gets BOTH a warm and a cold subtotal from
+# the same set tuples (one list, zero drift): a later round's cold
+# comparison must never need reconstruction from per-query numbers.
+BASES = (
+    ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
+    ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
+    ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_40", R11_SET),
+    ("r12_44", R12_SET), ("r13_47", R13_SET), ("r13b_49", R13B_SET),
+    ("r13c_50", R13C_SET),
+)
+_SETS = dict(BASES)
+_SETS["lsh"] = LSH_SET
+
+
+def _parse_subset(argv: list[str]) -> tuple[str, ...] | None:
+    """``--subset LABEL`` or ``--subset name1,name2,...`` -> query-name
+    tuple; None when absent (full sweep)."""
+    if "--subset" not in argv:
+        return None
+    val = argv[argv.index("--subset") + 1]
+    if val in _SETS:
+        return _SETS[val]
+    return tuple(val.split(","))
+
 
 def main() -> None:
+    subset = _parse_subset(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="blspark-bench")
 
     reg = registry()
     bench_queries = {n: q for n, q in reg.items() if q.bench}
+    if subset is not None:
+        unknown = [n for n in subset if n not in bench_queries]
+        if unknown:
+            raise SystemExit(f"--subset names not bench-tagged: {unknown}")
+        bench_queries = {n: bench_queries[n] for n in subset}
 
     # Warmup: touch every table once (file listing/footer reads) and run
     # one throwaway aggregation to absorb generic JVM/codegen-framework
@@ -78,78 +167,17 @@ def main() -> None:
             print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # Like-for-like subset totals, emitted directly so BASELINE.md
-    # change-log paragraphs can't drift from the JSON as the bench set
-    # grows: "r1_14" is the original round-1 set (the baseline
-    # comparison basis), "r4_18" adds the four round-4 entries.
-    R1_SET = (
-        "q1_population_stats", "q2_best_year", "q3_combined_report",
-        "q_asof_prev_order", "q_conditional_agg", "q_events_interval_join",
-        "q_events_sessionize", "q_events_tumbling_window",
-        "q_grouped_agg_pricing", "q_regional_revenue", "q_shipping_priority",
-        "x_dedup_exact", "x_dedup_minhash_lsh", "x_similarity_cosine_topk",
-    )
-    R4_SET = R1_SET + (
-        "q_market_share", "q_product_profit",
-        "x_dedup_pipeline_lsh", "x_lm_bigram_score",
-    )
-    R5_SET = R4_SET + (
-        "x_mmr_rerank", "x_entity_resolution", "x_dedup_span_removal",
-    )
-    R7_SET = R5_SET + (
-        "x_similarity_pq_checked", "x_similarity_ivfpq_checked",
-        "x_similarity_pq_rerank", "x_text_boilerplate_strip",
-    )
-    R8_SET = R7_SET + ("x_similarity_ivfpq_residual",)
-    R10_SET = R8_SET + ("x_similarity_ivf_sq8", "x_similarity_ivfpq_warm")
-    R10B_SET = R10_SET + ("x_knn_graph", "x_knn_graph_sq8")
-    R10C_SET = R10B_SET + (
-        "x_knn_graph_components", "x_cell_prototypes",
-        "x_sample_weighted_topn",
-    )
-    R11_SET = R10C_SET + (
-        "x_knn_graph_capped", "x_knn_graph_components_warm",
-        "x_retrieval_graph_expand", "x_knn_graph_split",
-        "x_index_persist_scan", "x_retrieval_graph_expand_warm",
-        "x_negative_samples",
-    )
-    R12_SET = R11_SET + (
-        "x_retrieval_graph_expand_xcell", "x_index_persist_scan_warm",
-        "x_similarity_ivf_adaptive", "x_retrieval_graph_expand_xcell_warm",
-    )
-    R13_SET = R12_SET + (
-        "x_index_persist_graph", "x_index_persist_graph_warm",
-        "x_similarity_ivfpq_adaptive",
-    )
-    R13B_SET = R13_SET + (
-        "x_similarity_binary_rerank", "x_retrieval_graph_adaptive",
-    )
-    R13C_SET = R13B_SET + ("x_similarity_ivf_binary",)
-    # The persisted-cache queries (LSH/dedup family): their cold sum is
-    # the headline cold-path evidence.
-    LSH_SET = (
-        "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_pipeline_lsh",
-        "x_dedup_span_removal", "x_similarity_cosine_topk",
-    )
-    # Every comparison basis gets BOTH a warm and a cold subtotal from
-    # the same set tuples (one list, zero drift): a later round's cold
-    # comparison must never need reconstruction from per-query numbers.
-    BASES = (
-        ("r1_14", R1_SET), ("r4_18", R4_SET), ("r5_21", R5_SET),
-        ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
-        ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_40", R11_SET),
-        ("r12_44", R12_SET), ("r13_47", R13_SET), ("r13b_49", R13B_SET),
-        ("r13c_50", R13C_SET),
-    )
-    subtotals = {
-        label: round(sum(timings[n] for n in names if n in timings), 3)
-        for label, names in BASES
-    }
+    # Subtotals only for bases fully contained in what was timed: a
+    # partial sum under a basis label would silently compare short.
+    subtotals = {}
     for label, names in BASES:
-        subtotals[f"cold_{label}"] = round(
-            sum(cold[n] for n in names if n in cold), 3
-        )
-    subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET if n in cold), 3)
+        if all(n in timings for n in names):
+            subtotals[label] = round(sum(timings[n] for n in names), 3)
+            subtotals[f"cold_{label}"] = round(
+                sum(cold[n] for n in names), 3
+            )
+    if all(n in cold for n in LSH_SET):
+        subtotals["cold_lsh"] = round(sum(cold[n] for n in LSH_SET), 3)
     payload = {
         "metric": "blspark headline queries wall time",
         "value": total,
@@ -159,16 +187,21 @@ def main() -> None:
         "subtotals": subtotals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if subset is not None:
+        payload["subset"] = sorted(bench_queries)
     line = json.dumps(payload)
     # The driver records only the tail of stdout, which can clip the
     # warm per-query dict. Persist the full JSON in-repo so every
-    # round's warm AND cold per-query numbers survive verbatim.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_last.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass
+    # round's warm AND cold per-query numbers survive verbatim —
+    # but never let a --subset run overwrite a full-sweep record.
+    if subset is None:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_last.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
     print(line)
     spark.stop()
 

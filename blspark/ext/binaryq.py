@@ -207,6 +207,30 @@ def binary_topk(
     ranked = hamming_ranked(
         corpus, queries, dim, id_col=id_col, vec_col=vec_col
     )
+    return _shortlist_rerank(
+        corpus, queries, ranked, k, shortlist, id_col, vec_col
+    )
+
+
+def _shortlist_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ranked: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared TAIL of ``binary_topk`` and ``ivf_binary_topk``, over
+    any Hamming-ranked pairing frame (query_id, neighbor_id, hamming,
+    hrank): cut the shortlist at ``hrank <= shortlist`` (hrank already
+    encodes the (hamming ASC, neighbor_id ASC) tie-break), exact-dot
+    rerank the surviving pairs, final rank by (score DESC, neighbor_id
+    ASC), keep top-``k``. ONE copy of the cut + rerank + output shape
+    (the module's one-copy convention — a tie-break or output edit can
+    never reach one rung and not the other; ADVICE r13). The rungs
+    differ only in the pairing frame they rank: full-corpus vs
+    probed-cells."""
     pairs = ranked.filter(F.col("hrank") <= shortlist).select(
         "query_id", "neighbor_id", "hamming"
     )
@@ -375,25 +399,7 @@ def ivf_binary_topk(
     wham = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
-    pairs = (
-        paired.withColumn("hrank", F.row_number().over(wham))
-        .filter(F.col("hrank") <= shortlist)
-        .select("query_id", "neighbor_id", "hamming")
-    )
-    scored = rerank_pairs(
-        corpus, queries, pairs, id_col=id_col, vec_col=vec_col
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.desc("score_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("score_raw", 6).alias("score"),
-            "hamming",
-            "rank",
-        )
+    ranked = paired.withColumn("hrank", F.row_number().over(wham))
+    return _shortlist_rerank(
+        corpus, queries, ranked, k, shortlist, id_col, vec_col
     )

@@ -69,3 +69,31 @@ def run_available_now(
             f"availableNow drain did not finish within {timeout_s}s"
         )
     return name
+
+
+def parse_s3_event(body: str | dict) -> list[tuple[str, str]]:
+    """Parse an S3 ObjectCreated event envelope (the JSON an SQS record
+    body carries) into ``[(bucket, key), ...]`` — the reference's
+    envelope walk (report_processor.py:294-309: ``json.loads(body)``,
+    then ``body['Records'][i]['s3']['bucket']['name']`` /
+    ``['s3']['object']['key']``), T5 in SURVEY.md §2.9.
+
+    Spark's file source subsumes the MECHANISM (arrival detection is
+    the stream source's job, so no registered query needs this), but
+    the literal parse is part of the reference's operator surface;
+    a caller bridging real S3 notifications into a custom source
+    would use it verbatim. Missing/malformed records are skipped —
+    the reference iterates only over what's present and guards with
+    ``if 'Records' in body``; a body with no Records yields []."""
+    import json
+
+    if isinstance(body, str):
+        body = json.loads(body)
+    out: list[tuple[str, str]] = []
+    for rec in body.get("Records", []):
+        s3 = rec.get("s3") or {}
+        bucket = (s3.get("bucket") or {}).get("name")
+        key = (s3.get("object") or {}).get("key")
+        if bucket is not None and key is not None:
+            out.append((bucket, key))
+    return out

@@ -470,3 +470,42 @@ print("TZ_OK", n_stream)
         timeout=300,
     )
     assert "TZ_OK" in out.stdout, out.stdout[-500:] + out.stderr[-1500:]
+
+
+def test_parse_s3_event_envelope():
+    """T5: the literal S3-event envelope walk the reference's Lambda
+    performs (report_processor.py:294-309) — nested Records -> (bucket,
+    key) pairs, JSON string or pre-parsed dict, with the reference's
+    own no-Records guard; malformed records skip rather than raise."""
+    import json
+
+    from blspark.stream import parse_s3_event
+
+    body = {
+        "Records": [
+            {
+                "s3": {
+                    "bucket": {"name": "bls-data"},
+                    "object": {"key": "reports/population.json"},
+                }
+            },
+            {
+                "s3": {
+                    "bucket": {"name": "bls-data"},
+                    "object": {"key": "pr/pr.data.0.Current"},
+                }
+            },
+        ]
+    }
+    want = [
+        ("bls-data", "reports/population.json"),
+        ("bls-data", "pr/pr.data.0.Current"),
+    ]
+    assert parse_s3_event(body) == want
+    assert parse_s3_event(json.dumps(body)) == want
+    # the reference's `if 'Records' in body` guard: no Records -> []
+    assert parse_s3_event({"Event": "s3:TestEvent"}) == []
+    # malformed record (missing object key) skips, others survive
+    assert parse_s3_event(
+        {"Records": [{"s3": {"bucket": {"name": "b"}}}, body["Records"][0]]}
+    ) == [("bls-data", "reports/population.json")]
