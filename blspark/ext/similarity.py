@@ -1918,6 +1918,7 @@ def graph_expand_topk(
     allowed: DataFrame | None = None,
     early_exit_k: int | None = None,
     with_activity: bool = False,
+    protos: DataFrame | None = None,
 ):
     """Graph-based retrieval by GREEDY BEAM SEARCH over the kNN graph
     — the HNSW/NSW search step re-expressed in batch DataFrame terms,
@@ -1967,6 +1968,12 @@ def graph_expand_topk(
     expansion ledger (hop, query_id, cand_id) for budget pricing;
     with ``with_activity`` the return is (result, activity).
 
+    ``protos``: optional precomputed ``cell_prototypes`` output (any
+    frame carrying ``prototype_id``) for seeding — callers that
+    already paid the prototype pass (the shared ``assign_corpus``
+    build, or a warm memo) pass it so seeding costs zero corpus
+    scans; None keeps the self-contained shape.
+
     Returns (query_id, neighbor_id, cosine, rank); the query's own
     node navigates (its out-edges are the best possible moves) but
     is never a result."""
@@ -1981,7 +1988,8 @@ def graph_expand_topk(
         _norm(F.col("vec")).alias("qnorm"),
     )
     visited = _proto_seeds(
-        q, vecs, corpus, centroids, id_col, vec_col, n_seeds
+        q, vecs, corpus, centroids, id_col, vec_col, n_seeds,
+        protos=protos,
     )
     if adj is None:
         adj = graph_adjacency(corpus, centroids, id_col, vec_col, knn_k)

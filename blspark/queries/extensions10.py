@@ -1529,8 +1529,14 @@ FROM gx WHERE rank <= {_GX_K}
 
 def _xcell_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
     """Shared body of the xcell retrieval query and its recall
-    contract: build the cross-cell adjacency, run the deep walk."""
+    contract: build the cross-cell adjacency, run the deep walk.
+    ONE shared cell-assignment pass (assign_corpus, checkpointed)
+    feeds the kNN edges, the prototype backbone AND the seeds'
+    prototype frame — the r14 build-constant device: without it the
+    adjacency + seeding pay 4 separate argmin corpus scans."""
     from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
         graph_adjacency_xcell,
         graph_expand_topk,
     )
@@ -1540,9 +1546,11 @@ def _xcell_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
         emb = emb.filter(F.col("vec_id") < _SQ8_EVAL_N)
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
     adj = graph_adjacency_xcell(
-        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
     )
+    protos = cell_prototypes(emb, cents, assigned=assigned)
     gx = graph_expand_topk(
         emb,
         cents,
@@ -1553,6 +1561,7 @@ def _xcell_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
         beam=_GXX_BEAM,
         n_seeds=_GX_SEEDS,
         adj=adj,
+        protos=protos,
     )
     return emb, cents, queries, gx
 
@@ -1613,20 +1622,36 @@ def x_retrieval_graph_expand_xcell_warm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
         graph_adjacency_xcell,
         graph_expand_topk,
     )
+    from blspark.ops import local_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
     # one centroid derivation for build AND seeding (_det_centroids
     # is eager — a second call re-runs the corpus aggregation)
     cents = _det_centroids(emb)
-    adj = _session_memo(
-        _WARM_GXX_ADJ, spark, sf_dir,
-        lambda: graph_adjacency_xcell(
-            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
-        ),
-    )
+
+    def build():
+        # one shared assignment pass for edges + backbone + the
+        # MEMOIZED prototype frame (r14): warm calls previously paid
+        # a fresh prototype argmin scan per call for seeding — the
+        # |cells|-row local_relation amortizes it with the adjacency
+        assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+        adj = graph_adjacency_xcell(
+            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+        )
+        protos = local_relation(
+            cell_prototypes(emb, cents, assigned=assigned).select(
+                "prototype_id"
+            ),
+            "prototype_id bigint",
+        )
+        return adj, protos
+
+    adj, protos = _session_memo(_WARM_GXX_ADJ, spark, sf_dir, build)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return graph_expand_topk(
         emb,
@@ -1638,6 +1663,7 @@ def x_retrieval_graph_expand_xcell_warm(
         beam=_GXX_BEAM,
         n_seeds=_GX_SEEDS,
         adj=adj,
+        protos=protos,
     )
 
 

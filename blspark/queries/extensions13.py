@@ -343,6 +343,8 @@ def _adaptive_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
     (cross-cell) adjacency, the deep walk with per-query early exit,
     and the expansion ledger."""
     from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
         graph_adjacency_xcell,
         graph_expand_topk,
     )
@@ -352,7 +354,12 @@ def _adaptive_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
         emb = emb.filter(F.col("vec_id") < _SQ8_EVAL_N)
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
-    adj = graph_adjacency_xcell(emb, cents, knn_k=_KNN_K, m_cross=_GXX_M)
+    # one shared assignment pass for edges + backbone + seeds (r14)
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+    adj = graph_adjacency_xcell(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+    )
+    protos = cell_prototypes(emb, cents, assigned=assigned)
     gx, activity = graph_expand_topk(
         emb,
         cents,
@@ -365,6 +372,7 @@ def _adaptive_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
         adj=adj,
         early_exit_k=_GX_K,
         with_activity=True,
+        protos=protos,
     )
     return emb, cents, queries, adj, gx, activity
 

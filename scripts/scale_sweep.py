@@ -799,6 +799,107 @@ def bench_weighted_sample(spark, factor: int) -> float:
     return dt
 
 
+def bench_binary_rerank(spark, factor: int) -> float:
+    """Binary-quantization ANN at growing corpus size: thresholds are
+    one scan, the pack is map-side, the Hamming stage scans packed
+    words only (queries broadcast) — wall should track the corpus
+    scan ~linearly; floats are touched only for |q| x shortlist."""
+    from blspark.ext.binaryq import binary_topk
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = binary_topk(vecs, queries, dim=64, k=5, shortlist=50).count()
+    dt = time.perf_counter() - t0
+    print(f"  binary_rerank x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_ivf_binary(spark, factor: int) -> float:
+    """IVF x binary at growing corpus size: cell pruning cuts the
+    pairing to probed cells, codes cut scanned bytes 32x — the
+    multiplicative-savings rung; expect ~linear in the corpus scan
+    (assignment dominates), sub-linear in the pairing."""
+    from blspark.ext.binaryq import ivf_binary_topk
+    from blspark.ext.similarity import label_centroids
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = ivf_binary_topk(
+        vecs, queries, cents, dim=64, k=5, shortlist=50, nprobe=2
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  ivf_binary x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_range_search(spark, factor: int) -> float:
+    """Exact radius search at growing corpus size: cell stats are
+    |cells|-row metadata, the corpus pays one assignment scan + one
+    probed-cell distance filter — ~linear; the result set grows with
+    the data (replicas land within radius of their originals), so row
+    counts are reported alongside wall."""
+    from blspark.ext.similarity import label_centroids, range_search_ivf
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = range_search_ivf(vecs, queries, cents, radius=1.2).count()
+    dt = time.perf_counter() - t0
+    print(f"  range_search x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_graph_adaptive(spark, factor: int) -> float:
+    """Early-exit beam walk at growing corpus size: the kNN-graph
+    build inside is the dominant term (cell-blocked self-join, same
+    scaling as bench_knn_graph); the walk adds hops x (beam x degree)
+    per query with per-query early termination — the hop loop's cost
+    must stay bounded by the budget ceiling, never corpus size."""
+    from blspark.ext.similarity import graph_expand_topk, label_centroids
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = label_centroids(emb).select(
+        F.col("cell_id").cast("int").alias("cell_id"), "centroid"
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = graph_expand_topk(
+        vecs, cents, queries, vec_col="vec",
+        k=5, knn_k=3, hops=10, beam=6, n_seeds=3, early_exit_k=5,
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  graph_adaptive x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -828,6 +929,10 @@ BENCHES = {
     "cusum": bench_cusum,
     "weighted_sample": bench_weighted_sample,
     "cell_prototypes": bench_cell_prototypes,
+    "binary_rerank": bench_binary_rerank,
+    "ivf_binary": bench_ivf_binary,
+    "range_search": bench_range_search,
+    "graph_adaptive": bench_graph_adaptive,
 }
 
 
