@@ -1709,15 +1709,19 @@ def graph_adjacency(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     knn_k: int = 3,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Undirected navigation adjacency for the beam search: the
     top-``knn_k`` edges union their reversals, deduplicated, eagerly
     localCheckpointed (the iterative-loop convention: edge inputs
     checkpoint once at entry — and THE artifact a deployment
     amortizes across query batches; the warm retrieval variant
-    memoizes exactly this frame). (cand_id, nbr) id pairs only."""
+    memoizes exactly this frame). (cand_id, nbr) id pairs only.
+    ``assigned``: optional shared ``assign_corpus`` pass (the
+    build-constant device — see graph_adjacency_xcell)."""
     edges = knn_graph(
-        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False
+        corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
+        assigned=assigned,
     )
     return (
         edges.select(

@@ -1350,19 +1350,32 @@ FROM gx WHERE rank <= {_GX_K}
     "ext/similarity.graph_expand_topk.",
 )
 def x_retrieval_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.similarity import graph_expand_topk
+    from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
+        graph_adjacency,
+        graph_expand_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    # one shared assignment pass for edges + seeds (r14 — the xcell
+    # body's build-constant device applied to the plain rung)
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+    adj = graph_adjacency(emb, cents, knn_k=_KNN_K, assigned=assigned)
+    protos = cell_prototypes(emb, cents, assigned=assigned)
     return graph_expand_topk(
         emb,
-        _det_centroids(emb),
+        cents,
         queries,
         k=_GX_K,
         knn_k=_KNN_K,
         hops=_GX_HOPS,
         beam=_GX_BEAM,
         n_seeds=_GX_SEEDS,
+        adj=adj,
+        protos=protos,
     )
 
 
@@ -1390,17 +1403,34 @@ _WARM_GX_ADJ: dict[tuple[str, str], object] = {}
 def x_retrieval_graph_expand_warm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from blspark.ext.similarity import graph_adjacency, graph_expand_topk
+    from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
+        graph_adjacency,
+        graph_expand_topk,
+    )
+    from blspark.ops import local_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
     # one centroid derivation for build AND seeding — _det_centroids
     # is EAGER (corpus aggregation + collect at call time), so a
     # second call would run the whole aggregation job again
     cents = _det_centroids(emb)
-    adj = _session_memo(
-        _WARM_GX_ADJ, spark, sf_dir,
-        lambda: graph_adjacency(emb, cents, knn_k=_KNN_K),
-    )
+
+    def build():
+        # shared assignment pass + memoized |cells|-row prototype
+        # frame (r14): warm calls pay zero prototype scans
+        assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+        adj = graph_adjacency(emb, cents, knn_k=_KNN_K, assigned=assigned)
+        protos = local_relation(
+            cell_prototypes(emb, cents, assigned=assigned).select(
+                "prototype_id"
+            ),
+            "prototype_id bigint",
+        )
+        return adj, protos
+
+    adj, protos = _session_memo(_WARM_GX_ADJ, spark, sf_dir, build)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return graph_expand_topk(
         emb,
@@ -1412,6 +1442,7 @@ def x_retrieval_graph_expand_warm(
         beam=_GX_BEAM,
         n_seeds=_GX_SEEDS,
         adj=adj,
+        protos=protos,
     )
 
 

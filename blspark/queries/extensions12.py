@@ -541,6 +541,8 @@ def x_retrieval_graph_filtered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
         graph_adjacency_xcell,
         graph_expand_topk,
     )
@@ -548,7 +550,12 @@ def x_retrieval_graph_filtered(
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
-    adj = graph_adjacency_xcell(emb, cents, knn_k=_KNN_K, m_cross=_GXX_M)
+    # one shared assignment pass for edges + backbone + seeds (r14)
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+    adj = graph_adjacency_xcell(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+    )
+    protos = cell_prototypes(emb, cents, assigned=assigned)
     allowed = emb.filter(F.col("label") < _FILTER_MAX_LABEL).select(
         F.col("vec_id").alias("cand_id")
     )
@@ -563,6 +570,7 @@ def x_retrieval_graph_filtered(
         n_seeds=_GX_SEEDS,
         adj=adj,
         allowed=allowed,
+        protos=protos,
     )
 
 

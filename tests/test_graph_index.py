@@ -426,3 +426,34 @@ def test_snapshot_rollback_manifest_and_phases(spark):
     assert spark.table(man).collect()[0][0] == 1
     rows2 = x_index_snapshot_rollback(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_assigned_threading_bit_identical(spark):
+    """The shared-assignment forms (assign_corpus threaded through
+    knn_graph / cell_prototypes / proto_cross_edges, the r14
+    build-constant device) must be BIT-IDENTICAL to the
+    self-contained forms — keep_sim only appends a column, so the
+    cell assignment, prototype argmax and edge sets cannot differ."""
+    from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
+        knn_graph,
+        proto_cross_edges,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = _det_centroids(emb)
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        knn_graph(emb, cents, k=3, mutual=False, assigned=assigned)
+    ) == rows(knn_graph(emb, cents, k=3, mutual=False))
+    assert rows(
+        cell_prototypes(emb, cents, assigned=assigned)
+    ) == rows(cell_prototypes(emb, cents))
+    assert rows(
+        proto_cross_edges(emb, cents, m_cross=2, assigned=assigned)
+    ) == rows(proto_cross_edges(emb, cents, m_cross=2))
