@@ -95,11 +95,25 @@ _SETS["lsh"] = LSH_SET
 
 
 def _parse_subset(argv: list[str]) -> tuple[str, ...] | None:
-    """``--subset LABEL`` or ``--subset name1,name2,...`` -> query-name
-    tuple; None when absent (full sweep)."""
-    if "--subset" not in argv:
+    """``--subset LABEL``, ``--subset=LABEL`` or a comma-separated
+    query-name list -> query-name tuple; None when absent (full
+    sweep). A bare ``--subset`` with no value is a usage error, not a
+    silent full sweep (which would overwrite bench_last.json)."""
+    val = None
+    if "--subset" in argv:
+        i = argv.index("--subset")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: bench.py [--subset LABEL|name,...]")
+        val = argv[i + 1]
+    else:
+        for a in argv:
+            if a.startswith("--subset="):
+                val = a.split("=", 1)[1]
+                break
+    if val is None:
         return None
-    val = argv[argv.index("--subset") + 1]
+    if not val:
+        raise SystemExit("usage: bench.py [--subset LABEL|name,...]")
     if val in _SETS:
         return _SETS[val]
     return tuple(val.split(","))

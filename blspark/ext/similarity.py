@@ -1863,6 +1863,40 @@ def graph_adjacency_xcell(
     )
 
 
+def nav_graph_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_k: int = 3,
+    m_cross: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE copy of the shared-pass navigation-graph build recipe
+    (the r14 build-constant device): one checkpointed ``assign_corpus``
+    pass feeds the adjacency (plain ``graph_adjacency`` when
+    ``m_cross`` is None, NSW ``graph_adjacency_xcell`` otherwise) AND
+    the seeds' prototype frame. Returns (adj, protos) — callers that
+    memoize across calls wrap ``protos`` in a ``local_relation``
+    themselves (|cells| rows). Extracted so a checkpoint/recipe edit
+    reaches every walk body at once instead of six call sites
+    (the one-copy convention; /code-review r14)."""
+    assigned = assign_corpus(corpus, centroids, id_col, vec_col)
+    assigned = assigned.localCheckpoint(eager=True)
+    if m_cross is None:
+        adj = graph_adjacency(
+            corpus, centroids, id_col, vec_col, knn_k, assigned=assigned
+        )
+    else:
+        adj = graph_adjacency_xcell(
+            corpus, centroids, id_col, vec_col, knn_k, m_cross,
+            assigned=assigned,
+        )
+    protos = cell_prototypes(
+        corpus, centroids, id_col, vec_col, assigned=assigned
+    )
+    return adj, protos
+
+
 def _proto_seeds(
     q: DataFrame,
     vecs: DataFrame,

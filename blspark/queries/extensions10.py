@@ -1350,21 +1350,14 @@ FROM gx WHERE rank <= {_GX_K}
     "ext/similarity.graph_expand_topk.",
 )
 def x_retrieval_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     # one shared assignment pass for edges + seeds (r14 — the xcell
     # body's build-constant device applied to the plain rung)
-    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-    adj = graph_adjacency(emb, cents, knn_k=_KNN_K, assigned=assigned)
-    protos = cell_prototypes(emb, cents, assigned=assigned)
+    adj, protos = nav_graph_build(emb, cents, knn_k=_KNN_K)
     return graph_expand_topk(
         emb,
         cents,
@@ -1403,12 +1396,7 @@ _WARM_GX_ADJ: dict[tuple[str, str], object] = {}
 def x_retrieval_graph_expand_warm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
     from blspark.ops import local_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1420,15 +1408,10 @@ def x_retrieval_graph_expand_warm(
     def build():
         # shared assignment pass + memoized |cells|-row prototype
         # frame (r14): warm calls pay zero prototype scans
-        assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-        adj = graph_adjacency(emb, cents, knn_k=_KNN_K, assigned=assigned)
-        protos = local_relation(
-            cell_prototypes(emb, cents, assigned=assigned).select(
-                "prototype_id"
-            ),
-            "prototype_id bigint",
+        adj, protos = nav_graph_build(emb, cents, knn_k=_KNN_K)
+        return adj, local_relation(
+            protos.select("prototype_id"), "prototype_id bigint"
         )
-        return adj, protos
 
     adj, protos = _session_memo(_WARM_GX_ADJ, spark, sf_dir, build)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
@@ -1565,23 +1548,16 @@ def _xcell_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
     feeds the kNN edges, the prototype backbone AND the seeds'
     prototype frame — the r14 build-constant device: without it the
     adjacency + seeding pay 4 separate argmin corpus scans."""
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency_xcell,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
 
     emb = load_table(spark, sf_dir, "embeddings")
     if eval_sample:
         emb = emb.filter(F.col("vec_id") < _SQ8_EVAL_N)
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
-    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-    adj = graph_adjacency_xcell(
-        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+    adj, protos = nav_graph_build(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
     )
-    protos = cell_prototypes(emb, cents, assigned=assigned)
     gx = graph_expand_topk(
         emb,
         cents,
@@ -1652,12 +1628,7 @@ _WARM_GXX_ADJ: dict[tuple[str, str], object] = {}
 def x_retrieval_graph_expand_xcell_warm(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency_xcell,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
     from blspark.ops import local_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1670,17 +1641,12 @@ def x_retrieval_graph_expand_xcell_warm(
         # MEMOIZED prototype frame (r14): warm calls previously paid
         # a fresh prototype argmin scan per call for seeding — the
         # |cells|-row local_relation amortizes it with the adjacency
-        assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-        adj = graph_adjacency_xcell(
-            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+        adj, protos = nav_graph_build(
+            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
         )
-        protos = local_relation(
-            cell_prototypes(emb, cents, assigned=assigned).select(
-                "prototype_id"
-            ),
-            "prototype_id bigint",
+        return adj, local_relation(
+            protos.select("prototype_id"), "prototype_id bigint"
         )
-        return adj, protos
 
     adj, protos = _session_memo(_WARM_GXX_ADJ, spark, sf_dir, build)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))

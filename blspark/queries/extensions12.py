@@ -540,22 +540,15 @@ FROM gx WHERE rank <= {_GX_K}
 def x_retrieval_graph_filtered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency_xcell,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     # one shared assignment pass for edges + backbone + seeds (r14)
-    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-    adj = graph_adjacency_xcell(
-        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+    adj, protos = nav_graph_build(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
     )
-    protos = cell_prototypes(emb, cents, assigned=assigned)
     allowed = emb.filter(F.col("label") < _FILTER_MAX_LABEL).select(
         F.col("vec_id").alias("cand_id")
     )

@@ -342,12 +342,7 @@ def _adaptive_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
     """Shared body of the adaptive walk query and its eval: the NSW
     (cross-cell) adjacency, the deep walk with per-query early exit,
     and the expansion ledger."""
-    from blspark.ext.similarity import (
-        assign_corpus,
-        cell_prototypes,
-        graph_adjacency_xcell,
-        graph_expand_topk,
-    )
+    from blspark.ext.similarity import graph_expand_topk, nav_graph_build
 
     emb = load_table(spark, sf_dir, "embeddings")
     if eval_sample:
@@ -355,11 +350,9 @@ def _adaptive_gx(spark: SparkSession, sf_dir: str, eval_sample: bool):
     cents = _det_centroids(emb)
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     # one shared assignment pass for edges + backbone + seeds (r14)
-    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
-    adj = graph_adjacency_xcell(
-        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+    adj, protos = nav_graph_build(
+        emb, cents, knn_k=_KNN_K, m_cross=_GXX_M
     )
-    protos = cell_prototypes(emb, cents, assigned=assigned)
     gx, activity = graph_expand_topk(
         emb,
         cents,

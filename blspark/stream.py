@@ -84,16 +84,31 @@ def parse_s3_event(body: str | dict) -> list[tuple[str, str]]:
     a caller bridging real S3 notifications into a custom source
     would use it verbatim. Missing/malformed records are skipped —
     the reference iterates only over what's present and guards with
-    ``if 'Records' in body``; a body with no Records yields []."""
+    ``if 'Records' in body``; a body with no Records (or a body that
+    isn't a JSON object at all) yields [].
+
+    One deliberate improvement over the reference: S3 notification
+    envelopes URL-ENCODE the object key ('my report.json' arrives as
+    'my+report.json'), which the reference consumes raw — a latent
+    wrong-key fetch its test events never trip. Keys here are decoded
+    with ``unquote_plus`` so the returned key names the real object."""
     import json
+    from urllib.parse import unquote_plus
 
     if isinstance(body, str):
         body = json.loads(body)
+    if not isinstance(body, dict):
+        return []
     out: list[tuple[str, str]] = []
-    for rec in body.get("Records", []):
+    records = body.get("Records", [])
+    if not isinstance(records, list):
+        return []
+    for rec in records:
+        if not isinstance(rec, dict):
+            continue
         s3 = rec.get("s3") or {}
         bucket = (s3.get("bucket") or {}).get("name")
         key = (s3.get("object") or {}).get("key")
         if bucket is not None and key is not None:
-            out.append((bucket, key))
+            out.append((bucket, unquote_plus(key)))
     return out

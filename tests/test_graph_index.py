@@ -113,12 +113,11 @@ def test_edge_probe_frontier_frame_is_dpp_pruned(spark):
     assert len(all_cells) >= 4
     probed = all_cells[:2]
     # mimic the walk's frontier lineage: a frame with a selective
-    # filter upstream (row_number <= beam), as _beam_walk produces
-    cells_df = (
-        spark.range(len(all_cells))
-        .select(F.col("id").cast("int").alias("cell"))
-        .filter(F.col("cell").isin(probed))
-    )
+    # filter upstream (row_number <= beam), as _beam_walk produces —
+    # built from the table's ACTUAL cell ids (no contiguity assumed)
+    cells_df = spark.createDataFrame(
+        [(int(c),) for c in all_cells], "cell int"
+    ).filter(F.col("cell").isin(probed))
     probe = edge_probe(spark, it, cells_df)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(

@@ -509,3 +509,15 @@ def test_parse_s3_event_envelope():
     assert parse_s3_event(
         {"Records": [{"s3": {"bucket": {"name": "b"}}}, body["Records"][0]]}
     ) == [("bls-data", "reports/population.json")]
+    # malformed top-level bodies return [] instead of raising
+    assert parse_s3_event("[]") == []
+    assert parse_s3_event('"s3:TestEvent"') == []
+    assert parse_s3_event({"Records": "nope"}) == []
+    assert parse_s3_event({"Records": ["nope", body["Records"][0]]}) == [
+        ("bls-data", "reports/population.json")
+    ]
+    # real envelopes URL-encode keys; the parser decodes them
+    assert parse_s3_event(
+        {"Records": [{"s3": {"bucket": {"name": "b"},
+                             "object": {"key": "my+report%2B1.json"}}}]}
+    ) == [("b", "my report+1.json")]
