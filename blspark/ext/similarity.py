@@ -2269,6 +2269,7 @@ def graph_expand_topk_indexed(
     n_seeds: int = 2,
     allowed: DataFrame | None = None,
     early_exit_k: int | None = None,
+    protos: DataFrame | None = None,
 ) -> DataFrame:
     """The greedy beam search of ``graph_expand_topk`` walked against
     a PERSISTED cell-partitioned edge table instead of an in-memory
@@ -2312,13 +2313,18 @@ def graph_expand_topk_indexed(
         _norm(F.col("vec")).alias("qnorm"),
     )
     # |cells| rows, used twice (seed scoring + seed-cell map):
-    # materialize once so the prototype corpus aggregation runs once
-    protos = local_relation(
-        cell_prototypes(corpus, centroids, id_col, vec_col).select(
-            "cell_id", "prototype_id"
-        ),
-        "cell_id int, prototype_id bigint",
-    )
+    # materialize once so the prototype corpus aggregation runs once.
+    # ``protos`` (a pre-materialized (cell_id, prototype_id) frame)
+    # skips even that one pass — the serving-path memo device: the
+    # warm registered entries memoize it with the edge table, so a
+    # warm probe pays ZERO corpus aggregations before the walk.
+    if protos is None:
+        protos = local_relation(
+            cell_prototypes(corpus, centroids, id_col, vec_col).select(
+                "cell_id", "prototype_id"
+            ),
+            "cell_id int, prototype_id bigint",
+        )
     seeds = _proto_seeds(
         q, vecs, corpus, centroids, id_col, vec_col, n_seeds,
         protos=protos,

@@ -784,7 +784,10 @@ def x_index_persist_graph_adaptive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from blspark.ext.similarity import graph_expand_topk_indexed
-    from blspark.queries.extensions12 import graph_edge_table
+    from blspark.queries.extensions12 import (
+        graph_edge_table,
+        graph_index_protos,
+    )
 
     it = graph_edge_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -798,6 +801,7 @@ def x_index_persist_graph_adaptive(
         queries,
         k=_GX_K,
         hops=_GXX_HOPS,
+        protos=graph_index_protos(spark, sf_dir, emb, cents),
         beam=_GXX_BEAM,
         n_seeds=_GX_SEEDS,
         early_exit_k=_GX_K,
