@@ -300,14 +300,42 @@ WHERE rank <= {_PQ_K}
 """
 
 
+# (session applicationId, analyzed-plan semanticHash) -> centroid
+# local_relation. Dead-session entries evicted on sight (the
+# _session_memo convention); distinct corpora (different sf_dir paths,
+# eval-sample filters) hash to distinct plans, so a filtered frame can
+# never be served full-corpus centroids.
+_DET_CENTROIDS_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
 def _det_centroids(emb: DataFrame) -> DataFrame:
     """Deterministic label-mean centroids (ROUND(avg, 6) per position —
     the x_similarity_ivf_checked device), MATERIALIZED as a local
     relation: |labels| rows; corpus- and query-side cell assignment
     both reference it, so the per-position aggregate (a corpus-scan
     subtree) must run once, not per branch. Shared by the plain and
-    residual IVF-PQ queries — one copy of the cell geometry."""
+    residual IVF-PQ queries — one copy of the cell geometry.
+
+    MEMOIZED per (live session, input plan semantic hash) since r14:
+    centroids are a TRAINED ARTIFACT — at deployment they're computed
+    once per corpus and amortized across every query batch, index
+    build and refresh, while this eager helper previously re-ran the
+    corpus aggregation + collect on every one of its ~dozens of call
+    sites per session. The semantic hash of the analyzed plan keys
+    the memo by WHAT the frame computes (path, filters), so the
+    eval-sample bodies (filtered emb) get their own entry and the
+    values served are bit-identical to a fresh computation — the
+    memo changes when, never what."""
     from blspark.ops import local_relation
+
+    spark = emb.sparkSession
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _DET_CENTROIDS_MEMO if k[0] != app]:
+        del _DET_CENTROIDS_MEMO[stale]
+    key = (app, emb._jdf.queryExecution().analyzed().semanticHash())
+    got = _DET_CENTROIDS_MEMO.get(key)
+    if got is not None:
+        return got
 
     per_pos = (
         emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
@@ -324,7 +352,9 @@ def _det_centroids(emb: DataFrame) -> DataFrame:
         )
         .select(F.col("label").alias("cell_id"), "centroid")
     )
-    return local_relation(cents_lazy, "cell_id int, centroid array<double>")
+    got = local_relation(cents_lazy, "cell_id int, centroid array<double>")
+    _DET_CENTROIDS_MEMO[key] = got
+    return got
 
 
 @register(
