@@ -183,6 +183,7 @@ def binary_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Binary-quantized ANN with exact rerank: Hamming over packed sign
     bits builds a per-query ``shortlist``, an exact float dot product
@@ -203,9 +204,14 @@ def binary_topk(
     exact inner product (6 dp), hamming the integer code distance.
     Ties: shortlist by (hamming ASC, neighbor_id ASC), final rank by
     (score DESC, neighbor_id ASC) — both total orders, both engines.
+    ``thresholds``: optional precomputed ``binary_thresholds`` output —
+    the trained artifact a deployment amortizes across query batches
+    (the registered entries memoize it per session); None keeps the
+    self-contained compute-per-call shape.
     """
     ranked = hamming_ranked(
-        corpus, queries, dim, id_col=id_col, vec_col=vec_col
+        corpus, queries, dim, id_col=id_col, vec_col=vec_col,
+        thresholds=thresholds,
     )
     return _shortlist_rerank(
         corpus, queries, ranked, k, shortlist, id_col, vec_col
@@ -259,6 +265,7 @@ def hamming_ranked(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query Hamming ranking of the whole corpus over packed sign
     bits — the candidate stage of ``binary_topk``, exposed so the eval
@@ -270,10 +277,13 @@ def hamming_ranked(
     The dim-sized thresholds frame is checkpointed once: both pack
     calls crossJoin it, and without the checkpoint each would re-run
     the per-dimension aggregation — a second full corpus scan for 64
-    doubles."""
-    thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
-        eager=True
-    )
+    doubles. ``thresholds``: optional precomputed frame (already
+    materialized by the caller) skipping even the first pass."""
+    thr = thresholds
+    if thr is None:
+        thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
+            eager=True
+        )
     c = binary_pack(corpus, thr, dim, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("words").alias("nwords")
     )
@@ -335,6 +345,7 @@ def ivf_binary_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x binary — the compression-x-pruning grid's cheapest cell:
     the shared IVF stage (``_cell_assign``, the one rule the whole
@@ -353,9 +364,11 @@ def ivf_binary_topk(
     from blspark.ext.similarity import _cell_assign, _centroid_frame, _norm
 
     cent = _centroid_frame(centroids)
-    thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
-        eager=True
-    )
+    thr = thresholds
+    if thr is None:
+        thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
+            eager=True
+        )
     assigned = _cell_assign(
         corpus.select(
             F.col(id_col),

@@ -110,6 +110,31 @@ WHERE rank <= {_BQ_K}
 """
 
 
+# (session, dataset) -> single-row thresholds local_relation. The
+# trained artifact of the binary family (the graph_index_protos
+# sibling): FULL-corpus thresholds only — the eval's filtered sample
+# keeps its own per-call pass by construction.
+_BQ_THR_MEMO: dict[tuple[str, str], object] = {}
+
+
+def binary_thresholds_cached(spark: SparkSession, sf_dir: str, vecs):
+    """Memoized full-corpus ``binary_thresholds`` output (dim doubles,
+    one row) — computed once per (session, dataset) and served to
+    every later binary probe, the deployment shape where thresholds
+    are trained offline with the index. ``vecs`` must be the FULL
+    corpus frame."""
+    from blspark.ext.binaryq import binary_thresholds
+    from blspark.ops import local_relation
+    from blspark.queries.extensions10 import _session_memo
+
+    return _session_memo(
+        _BQ_THR_MEMO, spark, sf_dir,
+        lambda: local_relation(
+            binary_thresholds(vecs), "thr array<double>"
+        ),
+    )
+
+
 @register(
     "x_similarity_binary_rerank",
     oracle=BINARY_RERANK_ORACLE,
@@ -142,7 +167,8 @@ def x_similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     return binary_topk(
-        vecs, queries, dim=_BQ_DIM, k=_BQ_K, shortlist=_BQ_SHORTLIST
+        vecs, queries, dim=_BQ_DIM, k=_BQ_K, shortlist=_BQ_SHORTLIST,
+        thresholds=binary_thresholds_cached(spark, sf_dir, vecs),
     )
 
 
@@ -884,6 +910,7 @@ def x_similarity_ivf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BQ_K,
         shortlist=_BQ_SHORTLIST,
         nprobe=2,
+        thresholds=binary_thresholds_cached(spark, sf_dir, vecs),
     )
 
 
