@@ -90,80 +90,21 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-14 rotation (recomputed programmatically from
-    # CORRECTNESS_r01..r13.json at round-14 start: latest driver
-    # signing round per query; age tiers entering round 14 are
-    # never-signed: 10, r8: 7, r9: 50, r10: 50, r11: 50, r12: 50,
-    # r13: 50 — zero latest-status fails). Round 14 is the
-    # consolidation round the r13 verdict prescribed: ZERO new
-    # registrations; the entire 50-slot budget goes to signatures.
-    # First 50 = the 10 never-sampled round-13-continuation
-    # registrations, then the 7 r8-stale deferred from round 13,
-    # then 33 of the 50 r9-stale (the higher-complexity streaming /
-    # dedup / sketch / graph entries, where a silent regression
-    # would matter most). The remaining 17 r9 names — the
-    # lowest-risk pure built-in-SQL TPC-H-like queries and simple
-    # scalar-function demos — are EXPLICITLY DEFERRED to round 15
-    # and lead its budget. After this round the staleness floor
-    # moves r8 -> r9 and every registered query has been
-    # driver-signed at least once.
-    # never-signed round-13-continuation registrations (10):
-    "x_similarity_binary_rerank",
-    "x_similarity_ivf_binary",
-    "x_binary_eval",
-    "s_stream_index_binary",
-    "x_similarity_range",
-    "x_range_eval",
-    "x_retrieval_graph_adaptive",
-    "x_graph_adaptive_eval",
-    "x_index_persist_graph_adaptive",
-    "x_index_snapshot_rollback",
-    # r8-stale, deferred from round 13 (7):
-    "q_conditional_agg",
-    "q_disjunctive_filter_revenue",
-    "q_important_parts",
-    "q_large_orders",
-    "q_promo_revenue",
-    "q_regional_revenue",
-    "q_returned_items",
-    # r9-stale signed this round (33 of 50):
-    "q_recursive_closure",
-    "q_scd2_merge",
-    "q_scd2_temporal_join",
-    "q_sync_merge",
-    "s_stream_interval_join",
-    "s_stream_quality_ingest",
-    "s_stream_upsert_cdc",
-    "x_bloom_prune_join",
-    "x_bm25_topk",
-    "x_cooccurrence_lift",
-    "x_dedup_components_star",
-    "x_dedup_incremental",
-    "x_dedup_incremental_lsh",
-    "x_dedup_keep_best",
-    "x_dedup_semantic",
-    "x_dedup_simhash64",
-    "x_dedup_simhash_hamming",
-    "x_dedup_span_fraction",
-    "x_distinct_twophase",
-    "x_event_transitions",
-    "x_feature_hashing",
-    "x_graph_triangles",
-    "x_hll_partial_merge",
-    "x_lm_bigram_score",
-    "x_lsh_eval",
-    "x_minhash_est_accuracy",
-    "x_mix_epochs",
-    "x_python_datasource",
-    "x_table_profile",
-    "x_text_bpe_tokens",
-    "x_text_redact_pii",
-    "x_tfidf_keywords",
-    "x_variant_json",
-    # r9-stale DEFERRED to round 15 (explicit: the 17 lowest-risk
-    # pure built-in-SQL TPC-H-like queries and scalar-function
-    # demos, displaced by the 17 owed round-13 slots; they lead
-    # round 15's budget):
+    # -- Round-15 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r14.json at round-15 start: latest driver
+    # signing round per query; age tiers entering round 15 are
+    # r9: 17, r10: 50, r11: 50, r12: 50, r13: 50, r14: 50 — zero
+    # latest-status fails, all 267 registered queries signed at
+    # least once). Budget per the r14 verdict: the 17 r9-stale
+    # deferrals lead, then 33 of the 50 r10-stale (the
+    # higher-complexity streaming / graph / similarity / dedup /
+    # sketch / tokenizer entries, where a silent regression would
+    # matter most). The remaining 17 r10 names — the lowest-risk
+    # built-in-SQL window/join shapes, deterministic-sampling and
+    # layout demos — are EXPLICITLY DEFERRED to round 16 and lead
+    # its budget. After this round the staleness floor moves
+    # r9 -> r10.
+    # r9-stale, deferred from round 14, signed this round (17):
     "q_market_share",
     "q_product_profit",
     "q_shipping_priority",
@@ -181,12 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_concat_blocks",
     "x_mad_outliers",
     "x_map_from_json",
-    # r10 signatures (50):
-    "q_asof_nearest_click",
-    "q_bls_pipeline_parity",
-    "q_gaps_and_islands",
-    "q_percent_rank_cume",
-    "q_window_time_range",
+    # r10-stale signed this round (33 of 50):
     "s_stream_dedup_exact",
     "s_stream_dedup_within_watermark",
     "s_stream_enrich_static",
@@ -198,38 +134,45 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_sessionize_stateful",
     "s_stream_user_profile_tws",
     "s_stream_weighted_sample",
-    "x_ab_readout",
-    "x_agg_state_merge",
-    "x_approx_sketches",
-    "x_bucketed_colocated_join",
     "x_cell_prototypes",
-    "x_compaction_plan",
-    "x_countmin_sketch",
-    "x_cusum_drift",
-    "x_decontaminate",
-    "x_dedup_components",
-    "x_dedup_embedding_cosine",
-    "x_dedup_exact",
-    "x_ivf_sq8_eval",
     "x_knn_graph",
     "x_knn_graph_components",
     "x_knn_graph_eval",
     "x_knn_graph_sq8",
-    "x_maxsim_eval",
-    "x_partitioned_prune_scan",
-    "x_resample_ffill",
-    "x_retrieval_hybrid",
-    "x_retrieval_maxsim_ragged",
-    "x_sample_weighted_per_source",
-    "x_sample_weighted_topn",
-    "x_sequence_pattern",
     "x_similarity_ann_multiprobe",
     "x_similarity_ivf_sq8",
     "x_similarity_ivfpq_warm",
-    "x_source_cap_topk",
+    "x_ivf_sq8_eval",
     "x_sq8_eval",
+    "x_maxsim_eval",
+    "x_retrieval_hybrid",
+    "x_retrieval_maxsim_ragged",
+    "x_dedup_components",
+    "x_dedup_embedding_cosine",
+    "x_dedup_exact",
+    "x_decontaminate",
+    "x_approx_sketches",
+    "x_countmin_sketch",
+    "x_agg_state_merge",
     "x_tokenizer_bpe",
     "x_tokenizer_bpe_apply",
+    # r10-stale DEFERRED to round 16 (explicit; they lead round
+    # 16's budget):
+    "q_asof_nearest_click",
+    "q_bls_pipeline_parity",
+    "q_gaps_and_islands",
+    "q_percent_rank_cume",
+    "q_window_time_range",
+    "x_ab_readout",
+    "x_bucketed_colocated_join",
+    "x_compaction_plan",
+    "x_cusum_drift",
+    "x_partitioned_prune_scan",
+    "x_resample_ffill",
+    "x_sample_weighted_per_source",
+    "x_sample_weighted_topn",
+    "x_sequence_pattern",
+    "x_source_cap_topk",
     "x_udtf_bigrams",
     "x_zorder_key",
     # r11 signatures (50):
@@ -334,8 +277,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_pq_checked",
     "x_similarity_pq_rerank",
     "x_text_boilerplate_strip",
-    # r13 signatures (50): the 7 round-13 first-timers + the 43
-    # r8-stale re-signed at round 13 — the freshest tier:
+    # r13 signatures (50):
     "x_similarity_ivfpq_adaptive",
     "x_ivfpq_adaptive_eval",
     "x_index_persist_graph",
@@ -386,6 +328,57 @@ _PRIORITY: tuple[str, ...] = (
     "x_text_repetition",
     "x_text_token_stats",
     "x_udaf_weighted_stats",
+    # r14 signatures (50) — the freshest tier:
+    "x_similarity_binary_rerank",
+    "x_similarity_ivf_binary",
+    "x_binary_eval",
+    "s_stream_index_binary",
+    "x_similarity_range",
+    "x_range_eval",
+    "x_retrieval_graph_adaptive",
+    "x_graph_adaptive_eval",
+    "x_index_persist_graph_adaptive",
+    "x_index_snapshot_rollback",
+    "q_conditional_agg",
+    "q_disjunctive_filter_revenue",
+    "q_important_parts",
+    "q_large_orders",
+    "q_promo_revenue",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_recursive_closure",
+    "q_scd2_merge",
+    "q_scd2_temporal_join",
+    "q_sync_merge",
+    "s_stream_interval_join",
+    "s_stream_quality_ingest",
+    "s_stream_upsert_cdc",
+    "x_bloom_prune_join",
+    "x_bm25_topk",
+    "x_cooccurrence_lift",
+    "x_dedup_components_star",
+    "x_dedup_incremental",
+    "x_dedup_incremental_lsh",
+    "x_dedup_keep_best",
+    "x_dedup_semantic",
+    "x_dedup_simhash64",
+    "x_dedup_simhash_hamming",
+    "x_dedup_span_fraction",
+    "x_distinct_twophase",
+    "x_event_transitions",
+    "x_feature_hashing",
+    "x_graph_triangles",
+    "x_hll_partial_merge",
+    "x_lm_bigram_score",
+    "x_lsh_eval",
+    "x_minhash_est_accuracy",
+    "x_mix_epochs",
+    "x_python_datasource",
+    "x_table_profile",
+    "x_text_bpe_tokens",
+    "x_text_redact_pii",
+    "x_tfidf_keywords",
+    "x_variant_json",
 )
 
 
