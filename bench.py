@@ -102,7 +102,7 @@ def _parse_subset(argv: list[str]) -> tuple[str, ...] | None:
     val = None
     if "--subset" in argv:
         i = argv.index("--subset")
-        if i + 1 >= len(argv):
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
             raise SystemExit("usage: bench.py [--subset LABEL|name,...]")
         val = argv[i + 1]
     else:

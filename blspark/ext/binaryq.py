@@ -165,6 +165,22 @@ def binary_pack_stateless(
     )
 
 
+def _materialized(thr: DataFrame) -> DataFrame:
+    """Caller-supplied thresholds must be MATERIALIZED: both pack
+    calls crossJoin the frame, so a lazy aggregation here re-runs a
+    full corpus scan per pack call — the exact cost the None-path
+    localCheckpoint exists to prevent. local_relation / checkpointed
+    frames pass through untouched (every registered entry's shape);
+    anything else is defensively localCheckpointed — idempotent and
+    cheap for a single-row, dim-sized frame (ADVICE r14: the
+    'already materialized by the caller' contract was docstring-only
+    and unenforced)."""
+    plan = thr._jdf.queryExecution().optimizedPlan().toString()
+    if plan.lstrip().startswith(("LocalRelation", "LogicalRDD")):
+        return thr
+    return thr.localCheckpoint(eager=True)
+
+
 def hamming(a: Column, b: Column) -> Column:
     """Exact Hamming distance between two packed-word arrays: int64 sum
     of per-word ``bit_count(xor)`` — the integer-only distance kernel."""
@@ -277,13 +293,15 @@ def hamming_ranked(
     The dim-sized thresholds frame is checkpointed once: both pack
     calls crossJoin it, and without the checkpoint each would re-run
     the per-dimension aggregation — a second full corpus scan for 64
-    doubles. ``thresholds``: optional precomputed frame (already
-    materialized by the caller) skipping even the first pass."""
-    thr = thresholds
-    if thr is None:
+    doubles. ``thresholds``: optional precomputed frame skipping even
+    the first pass; a lazy frame is defensively materialized
+    (``_materialized``) so the contract holds for any caller."""
+    if thresholds is None:
         thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
             eager=True
         )
+    else:
+        thr = _materialized(thresholds)
     c = binary_pack(corpus, thr, dim, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("words").alias("nwords")
     )
@@ -364,11 +382,12 @@ def ivf_binary_topk(
     from blspark.ext.similarity import _cell_assign, _centroid_frame, _norm
 
     cent = _centroid_frame(centroids)
-    thr = thresholds
-    if thr is None:
+    if thresholds is None:
         thr = binary_thresholds(corpus, vec_col=vec_col).localCheckpoint(
             eager=True
         )
+    else:
+        thr = _materialized(thresholds)
     assigned = _cell_assign(
         corpus.select(
             F.col(id_col),

@@ -535,7 +535,9 @@ def x_maxsim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WARM_IVFPQ_INDEX: dict[tuple[str, str], tuple] = {}
 
 
-def _session_memo(memo: dict, spark: SparkSession, sf_dir: str, build):
+def _session_memo(
+    memo: dict, spark: SparkSession, sf_dir: str, build, frames: tuple = ()
+):
     """The ONE copy of the warm-artifact memo mechanism (the in-memory
     sibling of _layout_tables): keyed by (session, dataset) because a
     memoized DataFrame/checkpoint is bound to the SparkSession that
@@ -545,11 +547,23 @@ def _session_memo(memo: dict, spark: SparkSession, sf_dir: str, build):
     no longer exists. Entries of dead sessions are evicted on sight
     (they can never be served again), so the memo holds at most the
     LIVE session's datasets — no unbounded growth across session
-    restarts. ``build()`` runs once per (live session, dataset)."""
+    restarts. ``build()`` runs once per (live session, dataset).
+
+    ``frames``: input DataFrames whose ANALYZED-PLAN SEMANTIC HASH
+    joins the key (the _DET_CENTROIDS_MEMO device) — for memos whose
+    value is a function of a caller-supplied frame, not just the
+    dataset path. A filtered/eval-sample frame then hashes to its own
+    entry and can never be served (or poison the cache with) the
+    full-corpus artifact; the key captures WHAT was computed rather
+    than relying on a docstring contract (ADVICE r14)."""
     app = spark.sparkContext.applicationId
     for stale in [k for k in memo if k[0] != app]:
         del memo[stale]
-    key = (app, sf_dir)
+    key = (
+        app,
+        sf_dir,
+        *(f._jdf.queryExecution().analyzed().semanticHash() for f in frames),
+    )
     got = memo.get(key)
     if got is None:
         got = build()

@@ -119,10 +119,12 @@ _BQ_THR_MEMO: dict[tuple[str, str], object] = {}
 
 def binary_thresholds_cached(spark: SparkSession, sf_dir: str, vecs):
     """Memoized full-corpus ``binary_thresholds`` output (dim doubles,
-    one row) — computed once per (session, dataset) and served to
-    every later binary probe, the deployment shape where thresholds
-    are trained offline with the index. ``vecs`` must be the FULL
-    corpus frame."""
+    one row) — computed once per (session, dataset, input plan) and
+    served to every later binary probe, the deployment shape where
+    thresholds are trained offline with the index. ``vecs``' analyzed
+    semantic hash joins the memo key (via ``_session_memo(frames=)``),
+    so a filtered/eval-sample frame gets its own thresholds rather
+    than being served — or poisoning — the full-corpus entry."""
     from blspark.ext.binaryq import binary_thresholds
     from blspark.ops import local_relation
     from blspark.queries.extensions10 import _session_memo
@@ -132,6 +134,7 @@ def binary_thresholds_cached(spark: SparkSession, sf_dir: str, vecs):
         lambda: local_relation(
             binary_thresholds(vecs), "thr array<double>"
         ),
+        frames=(vecs,),
     )
 
 

@@ -85,7 +85,8 @@ def parse_s3_event(body: str | dict) -> list[tuple[str, str]]:
     would use it verbatim. Missing/malformed records are skipped —
     the reference iterates only over what's present and guards with
     ``if 'Records' in body``; a body with no Records (or a body that
-    isn't a JSON object at all) yields [].
+    isn't a JSON object — including a string that isn't valid JSON at
+    all) yields [].
 
     One deliberate improvement over the reference: S3 notification
     envelopes URL-ENCODE the object key ('my report.json' arrives as
@@ -96,7 +97,10 @@ def parse_s3_event(body: str | dict) -> list[tuple[str, str]]:
     from urllib.parse import unquote_plus
 
     if isinstance(body, str):
-        body = json.loads(body)
+        try:
+            body = json.loads(body)
+        except json.JSONDecodeError:
+            return []
     if not isinstance(body, dict):
         return []
     out: list[tuple[str, str]] = []

@@ -212,3 +212,68 @@ def test_ivf_binary_all_cells_equals_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, ivf.collect())
     )
+
+
+def test_lazy_caller_thresholds_materialized(spark):
+    """ADVICE r14: a caller-supplied LAZY thresholds frame must not
+    reintroduce the per-pack-call re-aggregation the None-path
+    localCheckpoint prevents — ``_materialized`` defensively
+    checkpoints it, while already-local frames pass through untouched,
+    and results are bit-identical either way."""
+    from blspark.ext.binaryq import _materialized
+    from blspark.ops import local_relation
+
+    dim = 8
+    rows = [
+        (i, [(((i + 2) * 5 + d * 3) % 7) - 3.0 for d in range(dim)])
+        for i in range(10)
+    ]
+    df = _vecs_df(spark, rows, dim)
+    lazy_thr = binary_thresholds(df)  # unexecuted aggregation plan
+    mat = _materialized(lazy_thr)
+    assert mat is not lazy_thr
+    plan = mat._jdf.queryExecution().optimizedPlan().toString().lstrip()
+    assert plan.startswith(("LogicalRDD", "LocalRelation")), plan
+    # identity for frames that are already materialized
+    loc = local_relation(binary_thresholds(df), "thr array<double>")
+    assert _materialized(loc) is loc
+    assert _materialized(mat) is mat
+    # same topk either way
+    q = _vecs_df(spark, rows[:2], dim)
+    a = binary_topk(df, q, dim, k=3, shortlist=6).collect()
+    b = binary_topk(df, q, dim, k=3, shortlist=6, thresholds=lazy_thr).collect()
+    c = binary_topk(df, q, dim, k=3, shortlist=6, thresholds=loc).collect()
+    assert a == b == c
+
+
+def test_thresholds_memo_keyed_by_input_plan(spark):
+    """ADVICE r14 (medium): the thresholds memo must key on WHAT was
+    computed, not just (session, dataset) — a filtered/eval-sample
+    frame gets its OWN entry instead of being served (or poisoning
+    the cache with) full-corpus thresholds. Same contract as
+    _DET_CENTROIDS_MEMO's semantic-hash keying."""
+    from blspark.catalog import load_table
+    from blspark.queries.extensions13 import binary_thresholds_cached
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    sample = full.filter(F.col("vec_id") % 3 == 0)
+
+    t_full = binary_thresholds_cached(spark, SF_SMOKE, full)
+    t_samp = binary_thresholds_cached(spark, SF_SMOKE, sample)
+    # distinct plans -> distinct memo entries with distinct values
+    assert t_full is not t_samp
+    assert t_full.collect() != t_samp.collect()
+    # semantically-equal plans hit the memo (identity, not rebuild)
+    assert binary_thresholds_cached(spark, SF_SMOKE, full) is t_full
+    assert (
+        binary_thresholds_cached(
+            spark, SF_SMOKE, full.filter(F.col("vec_id") % 3 == 0)
+        )
+        is t_samp
+    )
+    # and each memoized value matches a fresh computation bit-for-bit
+    assert t_samp.collect() == binary_thresholds(sample).collect()

@@ -512,6 +512,10 @@ def test_parse_s3_event_envelope():
     # malformed top-level bodies return [] instead of raising
     assert parse_s3_event("[]") == []
     assert parse_s3_event('"s3:TestEvent"') == []
+    # a string body that isn't valid JSON at all also yields []
+    # (ADVICE r14: previously raised JSONDecodeError)
+    assert parse_s3_event("not json at all") == []
+    assert parse_s3_event("") == []
     assert parse_s3_event({"Records": "nope"}) == []
     assert parse_s3_event({"Records": ["nope", body["Records"][0]]}) == [
         ("bls-data", "reports/population.json")
