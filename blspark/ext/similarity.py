@@ -1723,19 +1723,45 @@ def graph_adjacency(
         corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
         assigned=assigned,
     )
-    return (
+    return _undirect(
+        edges.select("src_id", "dst_id")
+    ).localCheckpoint(eager=True)
+
+
+def _undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """(src_id, dst_id) -> deduplicated undirected (cand_id, nbr):
+    each edge EXPLODES into itself + its reversal in one pass over
+    the input, instead of a union of two branches — a union's
+    branches each re-evaluate the edge subtree (the kNN self-join, a
+    corpus-pairing shuffle), so the old shape paid the graph build
+    TWICE inside one job. Result-identical (same pair set, then
+    distinct); ONE copy shared by the plain and xcell adjacencies
+    (r15: the persist-graph build-constant item).
+
+    ``dedup=False`` defers the distinct to the caller — the edge-table
+    build dedups AFTER its repartition on the partition column, where
+    the duplicate key (cand_id, nbr) functionally determines src_cell,
+    so hash(src_cell) partitioning already satisfies the distinct's
+    clustering and the dedup runs partition-local on the write's OWN
+    shuffle (one exchange total, plan-verified)."""
+    exploded = (
         edges.select(
-            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src_id").alias("cand_id"),
+                        F.col("dst_id").alias("nbr"),
+                    ),
+                    F.struct(
+                        F.col("dst_id").alias("cand_id"),
+                        F.col("src_id").alias("nbr"),
+                    ),
+                )
+            ).alias("e")
         )
-        .union(
-            edges.select(
-                F.col("dst_id").alias("cand_id"),
-                F.col("src_id").alias("nbr"),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .select("e.cand_id", "e.nbr")
     )
+    return exploded.distinct() if dedup else exploded
 
 
 def proto_cross_edges(
@@ -1745,6 +1771,7 @@ def proto_cross_edges(
     vec_col: str = "embedding",
     m_cross: int = 2,
     assigned: DataFrame | None = None,
+    protos: DataFrame | None = None,
 ) -> DataFrame:
     """LONG-RANGE navigation edges between cell prototypes — the
     HNSW-style upper-layer links the within-cell kNN graph lacks:
@@ -1766,12 +1793,18 @@ def proto_cross_edges(
     corpus-scale). Returns (src_id, dst_id) prototype id pairs.
     ``assigned``: optional precomputed ``assign_corpus`` output —
     supplies BOTH the prototype selection (no fresh argmin scan) and
-    the prototype-vector fetch (no second corpus scan)."""
+    the prototype-vector fetch (no second corpus scan). ``protos``:
+    optional precomputed ``cell_prototypes`` output (any frame
+    carrying ``prototype_id``) — a build that already memoized the
+    serving-path prototype frame passes it so the argmax aggregation
+    is not re-run here (r15)."""
     from blspark.ops import local_relation
 
-    protos = cell_prototypes(
-        corpus, centroids, id_col, vec_col, assigned=assigned
-    ).select(F.col("prototype_id").alias("pid"))
+    if protos is None:
+        protos = cell_prototypes(
+            corpus, centroids, id_col, vec_col, assigned=assigned
+        )
+    protos = protos.select(F.col("prototype_id").alias("pid"))
     if assigned is not None:
         vecs = assigned.select(
             F.col("aid").alias("pid"),
@@ -1831,36 +1864,39 @@ def graph_adjacency_xcell(
     knn_k: int = 3,
     m_cross: int = 2,
     assigned: DataFrame | None = None,
+    checkpoint: bool = True,
+    protos: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """``graph_adjacency`` plus the prototype-backbone long-range
     edges (``proto_cross_edges``) — the navigable-small-world edge
     set: dense local links within each cell, sparse cross-cell links
-    between the |cells| prototypes. Undirected (both unions include
-    reversals), deduplicated, eagerly localCheckpointed — the same
-    amortize-across-query-batches artifact as the within-cell
-    adjacency, bigger by only 2 * m_cross * |cells| rows.
+    between the |cells| prototypes. Undirected (``_undirect`` —
+    explode-reversal, one pass over the edge subtree), deduplicated,
+    eagerly localCheckpointed — the same amortize-across-query-batches
+    artifact as the within-cell adjacency, bigger by only
+    2 * m_cross * |cells| rows.
     ``assigned``: optional shared ``assign_corpus`` pass, threaded to
-    both edge families (the edge-table build's one-scan shape)."""
+    both edge families (the edge-table build's one-scan shape).
+    ``protos``: optional precomputed ``cell_prototypes`` output,
+    threaded to the backbone (``proto_cross_edges``) so a build that
+    already memoized it skips the argmax re-aggregation.
+    ``checkpoint=False``: skip the materialization for a caller that
+    consumes the adjacency exactly ONCE in its own sink job (the
+    persisted edge-table build) — a walk probes the frame per hop and
+    must keep the default. ``dedup=False`` (build path) additionally
+    defers the undirected-edge distinct to the caller's own shuffle
+    (see ``_undirect``)."""
     edges = knn_graph(
         corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
         assigned=assigned,
     ).select("src_id", "dst_id")
     both = edges.union(proto_cross_edges(
-        corpus, centroids, id_col, vec_col, m_cross, assigned=assigned
+        corpus, centroids, id_col, vec_col, m_cross, assigned=assigned,
+        protos=protos,
     ))
-    return (
-        both.select(
-            F.col("src_id").alias("cand_id"), F.col("dst_id").alias("nbr")
-        )
-        .union(
-            both.select(
-                F.col("dst_id").alias("cand_id"),
-                F.col("src_id").alias("nbr"),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    adj = _undirect(both, dedup=dedup)
+    return adj.localCheckpoint(eager=True) if checkpoint else adj
 
 
 def nav_graph_build(
@@ -2153,6 +2189,17 @@ def _beam_walk(
         )
         hop_denom = F.col("qnorm") * F.col("cnorm")
         hop_tag = (F.lit(i).alias("_hop"),) if adaptive else ()
+        # No broadcast hints here, deliberately: r15 A/B-measured
+        # hinted variants (broadcast the anti-join's visited side, the
+        # new-candidate fetch side, the query side — alone and
+        # together) at median +1-2 s per walk on the registered
+        # operating point: each hint forces an extra per-hop broadcast
+        # exchange materialization, which costs more than the shuffles
+        # it replaces at these metadata-sized cardinalities, and AQE
+        # already picks broadcast-hash joins from runtime stats where
+        # they win. At 100 TB the corpus side (vecs) is a point-lookup
+        # store by design (see graph_expand_topk's docstring), not a
+        # join-strategy question.
         scored_new = new.join(vecs, "cand_id").join(q, "query_id").select(
             "query_id",
             "cand_id",
@@ -2165,6 +2212,13 @@ def _beam_walk(
             .alias("cos_raw"),
             *hop_tag,
         )
+        # eager=True, deliberately: r15 A/B-measured the lazy
+        # (eager=False) variant — one deep job cascade at the final
+        # action instead of `hops` serial checkpoint jobs — at median
+        # +2 s per walk: hop i's frame is referenced three times in
+        # hop i+1's plan (frontier window, anti-join, union), and the
+        # eager checkpoint is what guarantees those reads hit cached
+        # partitions instead of racing/recomputing inside one job.
         visited = visited.unionByName(scored_new).localCheckpoint(
             eager=True
         )

@@ -394,8 +394,23 @@ def graph_edge_table(spark: SparkSession, sf_dir: str) -> str:
         # materialization, amortized across query batches (the
         # blocked-join trade); serving paths keep recompute.
         assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+        # Pre-seed the serving-path prototype memo from the SAME pass
+        # (r15: the cold entry previously paid a second argmin scan +
+        # argmax aggregation inside graph_index_protos right after
+        # this build had everything needed in hand), and thread the
+        # memoized frame into the backbone so its argmax never re-runs.
+        protos = graph_index_protos(spark, sf_dir, emb, cents,
+                                    assigned=assigned)
+        # checkpoint=False: the adjacency is consumed exactly once by
+        # the table write below — materializing it first just runs a
+        # second job over the same edges. dedup=False: the undirected
+        # distinct is deferred to AFTER the repartition on src_cell —
+        # (cand_id, nbr) functionally determines src_cell, so the
+        # write's own shuffle already clusters the duplicate key and
+        # the distinct runs partition-local (one exchange total, r15).
         adj = graph_adjacency_xcell(
-            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned
+            emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned,
+            checkpoint=False, protos=protos, dedup=False,
         )
         cell_map = assigned.select(F.col("aid").alias("nid"), "cell_id")
         edges = (
@@ -422,6 +437,7 @@ def graph_edge_table(spark: SparkSession, sf_dir: str) -> str:
         )
         (
             edges.repartition(F.col("src_cell"))
+            .dropDuplicates()
             .write.partitionBy("src_cell")
             .mode("overwrite")
             .format("parquet")
@@ -436,25 +452,35 @@ def graph_edge_table(spark: SparkSession, sf_dir: str) -> str:
 _GXIDX_PROTOS: dict[tuple[str, str], object] = {}
 
 
-def graph_index_protos(spark: SparkSession, sf_dir: str, emb, cents):
+def graph_index_protos(spark: SparkSession, sf_dir: str, emb, cents,
+                       assigned=None):
     """Memoized (cell_id, prototype_id) local_relation for the
     persisted-graph SERVING path — the |cells|-row twin of the edge
     table itself: both are build artifacts a deployment amortizes
     across query batches, so a warm probe pays ZERO corpus
     aggregations before the walk (the prototype argmax previously
-    re-ran per call). Keyed per (session, dataset) with dead-session
-    eviction (_session_memo). ``emb``/``cents`` must be the FULL
-    corpus frames (the registered persist-graph entries' shape) —
-    never an eval-sample filter, which must keep its own pass."""
+    re-ran per call). Keyed per (session, dataset, input plans) with
+    dead-session eviction (_session_memo): ``emb``/``cents``' analyzed
+    semantic hashes join the key (via ``frames=``), so an eval-sample
+    filter hashes to its own entry instead of being served the
+    full-corpus prototypes. ``assigned``: optional shared
+    ``assign_corpus`` pass — the edge-table build pre-seeds the memo
+    with it so the cold path's prototype argmax rides the build's one
+    corpus scan (``assigned`` is NOT part of the key: by construction
+    it is derived from exactly (emb, cents), so the value is the
+    same either way)."""
     from blspark.ext.similarity import cell_prototypes
     from blspark.ops import local_relation
 
     return _session_memo(
         _GXIDX_PROTOS, spark, sf_dir,
         lambda: local_relation(
-            cell_prototypes(emb, cents).select("cell_id", "prototype_id"),
+            cell_prototypes(emb, cents, assigned=assigned).select(
+                "cell_id", "prototype_id"
+            ),
             "cell_id int, prototype_id bigint",
         ),
+        frames=(emb, cents),
     )
 
 

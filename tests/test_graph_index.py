@@ -456,3 +456,82 @@ def test_assigned_threading_bit_identical(spark):
     assert rows(
         proto_cross_edges(emb, cents, m_cross=2, assigned=assigned)
     ) == rows(proto_cross_edges(emb, cents, m_cross=2))
+
+
+def test_real_walk_frontier_lineage_is_dpp_pruned(spark):
+    """ADVICE r14: the DPP pin above mimics the frontier with a
+    literal createDataFrame + isin, whose lineage differs from the
+    REAL walk's checkpointed-RDD + row_number frontier — DPP could
+    decline on the registered walk while that pin stays green. This
+    pin rebuilds the hop probe from the walk's OWN library pieces at
+    the registered operating point: _proto_seeds seeds joined to the
+    memoized prototype frame, localCheckpointed (the _beam_walk
+    per-hop accumulator shape), beam-cut by the same window, then
+    probed through edge_probe — and asserts the runtime partition
+    filter lands inside the scan's PartitionFilters bracket for THAT
+    lineage."""
+    from pyspark.sql import Window
+
+    from blspark.catalog import load_table
+    from blspark.ext.similarity import (
+        _norm,
+        _proto_seeds,
+        edge_probe,
+        with_double_vec,
+    )
+    from blspark.queries.extensions10 import _GX_SEEDS, _GXX_BEAM
+    from blspark.queries.extensions12 import (
+        graph_edge_table,
+        graph_index_protos,
+    )
+    from blspark.queries.extensions9 import _det_centroids
+
+    it = graph_edge_table(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = _det_centroids(emb)
+    protos = graph_index_protos(spark, SF_SMOKE, emb, cents)
+    vecs = with_double_vec(emb, "embedding").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("cvec"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    q = with_double_vec(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)),
+        "embedding",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    seeds = _proto_seeds(
+        q, vecs, emb, cents, "vec_id", "embedding", _GX_SEEDS,
+        protos=protos,
+    )
+    visited = seeds.join(
+        F.broadcast(
+            protos.select(
+                F.col("prototype_id").alias("cand_id"),
+                F.col("cell_id").alias("cell"),
+            )
+        ),
+        "cand_id",
+    ).select("query_id", "cand_id", "cell", "cos_raw")
+    # hop >= 1 accumulator lineage: a checkpointed RDD, exactly what
+    # _beam_walk's per-hop localCheckpoint produces
+    visited = visited.localCheckpoint(eager=True)
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    frontier = (
+        visited.withColumn("r", F.row_number().over(bw))
+        .filter(F.col("r") <= _GXX_BEAM)
+        .select("query_id", "cand_id", "cell")
+    )
+    probe = frontier.select("query_id", "cand_id").join(
+        edge_probe(spark, it, frontier.select("cell")), "cand_id"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*src_cell[^\]]*dynamicpruning", plan
+    ), plan
+    assert probe.count() > 0
