@@ -900,6 +900,38 @@ def bench_graph_adaptive(spark, factor: int) -> float:
     return dt
 
 
+def bench_graph_adaptive_nlist(spark, factor: int) -> float:
+    """bench_graph_adaptive WITH the documented mitigation engaged:
+    cell count grows by the FAISS nlist ~ sqrt(N) rule instead of the
+    fixed label-domain nlist that sends within-cell pairing quadratic
+    (SCALE.md's one measured super-linear term — x4 data -> 2.23x
+    wall). Same walk, same budget; only the cell geometry changes,
+    via the SAME amplification the kNN-graph sweeps use
+    (``_amplify_cells_sqrt`` — replica groups must be separated in
+    VECTOR CONTENT, not just label, or centroid ties route the whole
+    corpus back into the original cells and silently restore the
+    quadratic pairing; see bench_knn_graph). Run with square factors
+    (1 4 16); the build term's bound is factor^1.5, the walk stays
+    budget-bounded. The ratio column this emits is the evidence the
+    r14 verdict asked for — the fixed-nlist super-linear point
+    dropping toward the N^1.5 envelope."""
+    from blspark.ext.similarity import graph_expand_topk
+
+    emb, cents = _amplify_cells_sqrt(spark, factor)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = graph_expand_topk(
+        vecs, cents, queries, vec_col="vec",
+        k=5, knn_k=3, hops=10, beam=6, n_seeds=3, early_exit_k=5,
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  graph_adaptive_nlist x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -933,6 +965,7 @@ BENCHES = {
     "ivf_binary": bench_ivf_binary,
     "range_search": bench_range_search,
     "graph_adaptive": bench_graph_adaptive,
+    "graph_adaptive_nlist": bench_graph_adaptive_nlist,
 }
 
 
