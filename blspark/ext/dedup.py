@@ -302,6 +302,72 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    min_containment: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram CONTAINMENT via inverted-index self-join —
+    the asymmetric near-dup measure Jaccard structurally misses: a
+    short document quoted whole inside a much longer one has
+    containment |A∩B| / min(|A|, |B|) ~ 1 while its Jaccard
+    |A∩B| / |A∪B| is tiny (bounded by the size ratio), so a
+    Jaccard-thresholded dedup (MinHash/LSH included — banding
+    approximates Jaccard) never pairs them. Containment is the
+    standard detector for quote/aggregator/boilerplate-wrapped
+    subsets (Broder's original resemblance/containment pair).
+
+    Same skeleton and scale lever as ``jaccard_pairs`` (one shuffle on
+    the shingle key; the quadratic term bounded per shingle, with
+    ``max_doc_freq`` dropping stopword shingles before the join) — and
+    the SAME reason LSH is deliberately NOT the candidate stage here:
+    a banding scheme tuned for Jaccard drops exactly the asymmetric
+    pairs this operator exists to find.
+
+    Returns (id_a, id_b, containment, jaccard) with id_a < id_b and
+    containment >= min_containment — jaccard rides along so a consumer
+    can classify pair type (high-containment/low-jaccard = subset;
+    both high = near-identical). Integer-ratio division, unrounded
+    (the cross-engine determinism convention)."""
+    sh = shingles
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        sh = sh.join(
+            freq.filter(F.col("df_") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))).alias(
+                "containment"
+            ),
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over distinct whitespace tokens: token hash = first
     16 bits of md5 (hex chars via positional arithmetic — portable to any

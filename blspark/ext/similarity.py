@@ -90,6 +90,137 @@ def cosine_topk(
     )
 
 
+def mrl_prefix_ranked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query cosine ranking of the whole corpus over the FIRST
+    ``prefix_dim`` dimensions — the candidate stage of ``mrl_topk``,
+    exposed (the ``hamming_ranked`` device) so the eval can cut BOTH
+    its shortlist and its prefix-only baseline from the one copy of
+    the truncation/tie-break rule. Returns (query_id, neighbor_id,
+    pcos, prank) with prank by (pcos DESC, neighbor_id ASC);
+    self-matches excluded. The prefix slice and its norm are computed
+    map-side in the corpus scan stage — at deployment the truncated
+    index is the stored artifact (prefix_dim/dim of the float
+    bytes)."""
+    cp = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col("vec"), 1, prefix_dim).alias("pvec"),
+    ).withColumn("pnorm", _norm(F.col("pvec")))
+    qp = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col("vec"), 1, prefix_dim).alias("qpvec"),
+    ).withColumn("qpnorm", _norm(F.col("qpvec")))
+    pden = F.col("pnorm") * F.col("qpnorm")
+    pscored = cp.join(
+        F.broadcast(qp), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(pden > 0, _dot(F.col("pvec"), F.col("qpvec")) / pden)
+        .otherwise(F.lit(float("-inf")))
+        .alias("pcos"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("neighbor_id")
+    )
+    return pscored.withColumn("prank", F.row_number().over(ws))
+
+
+def mrl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) truncated-dimension ANN with exact full-dim
+    rerank — the serving shape of matryoshka-trained embedding models
+    (Kusupati et al. 2022; the truncation knob production embedding
+    APIs expose): candidate generation runs cosine over only the FIRST
+    ``prefix_dim`` dimensions of each vector (an MRL model packs the
+    coarse semantics into the prefix, so the truncated vector is a
+    usable index key), then an exact full-dimension cosine reranks the
+    per-query ``shortlist`` and top-``k`` survives. Self-matches
+    excluded.
+
+    Plan shape (the 100 TB contract, same skeleton as binary_topk):
+    the corpus is scanned once and the prefix slice + its norm are
+    computed map-side (at deployment, the truncated index IS the
+    stored artifact — prefix_dim/dim of the float bytes; at 16 of 64
+    dims that is a 4x smaller scan than brute force with zero
+    training, quantization or cell routing); the truncated QUERY
+    frame is broadcast; the shortlist cut is one per-query window
+    over (prefix_cos, neighbor_id); full vectors are touched ONLY to
+    fetch the |queries| x shortlist rerank pairs (broadcast pair
+    join, the pq_rerank/binary fetch device). Composes below the
+    other rungs: MRL truncation is orthogonal to SQ8/PQ/binary — a
+    deployment quantizes the PREFIX.
+
+    Determinism (oracle-hash contract): prefix slice is positional
+    (F.slice / DuckDB list slicing, both 1-based order-preserving);
+    both cosine stages are the family's ordered float folds with the
+    zero-norm -inf guard; ties by neighbor_id; the only rounding is
+    ROUND(.,6) on the output columns, both sides.
+
+    Returns (query_id, neighbor_id, cosine, prefix_cosine, rank) —
+    cosine the exact full-dim score the final rank orders by,
+    prefix_cosine the truncated score that shortlisted the pair.
+    Recall vs brute force is priced by the registered x_mrl_eval
+    contract exactly like the PQ/SQ8/binary rungs."""
+    pairs = (
+        mrl_prefix_ranked(corpus, queries, prefix_dim, id_col, vec_col)
+        .filter(F.col("prank") <= shortlist)
+        .select("query_id", "neighbor_id", "pcos")
+    )
+    qd = with_double_vec(queries, vec_col)
+    # Full-vector fetch for shortlist pairs only (broadcast pair join
+    # against the corpus scan), full-dim exact rerank.
+    cf = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        _norm(F.col("vec")).alias("cnorm"),
+    )
+    qf = qd.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    den = F.col("cnorm") * F.col("qnorm")
+    rescored = (
+        cf.join(F.broadcast(pairs), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pcos",
+            F.when(den > 0, _dot(F.col("cvec"), F.col("qvec")) / den)
+            .otherwise(F.lit(float("-inf")))
+            .alias("cos_raw"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.round("pcos", 6).alias("prefix_cosine"),
+            "rank",
+        )
+    )
+
+
 def sq8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,129 @@
+"""Round-15 additions: Matryoshka truncated-dim ANN (mrl_topk /
+mrl_prefix_ranked) and asymmetric n-gram containment dedup
+(containment_pairs). Value parity vs DuckDB is the registered queries'
+oracle job; these pin the STRUCTURAL claims: full-prefix degeneracy to
+exact brute force, shortlist containment (the rerank >= prefix-only
+recall theorem's premise), the subset-pair case Jaccard provably
+misses, and the max_doc_freq scale lever."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blspark.ext.dedup import containment_pairs, word_shingles
+from blspark.ext.similarity import cosine_topk, mrl_prefix_ranked, mrl_topk
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _fixture(spark, n=40, dim=8):
+    rows = [
+        (i, [(((i + 3) * 7 + d * 5) % 13) - 6.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return _emb(spark, rows)
+
+
+def test_mrl_full_prefix_equals_brute_force(spark):
+    """prefix_dim == dim degenerates to exact brute force: the
+    shortlist stage ranks by the true metric, so top-k survives the
+    rerank unchanged — bit-identical to cosine_topk."""
+    emb = _fixture(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in mrl_topk(emb, q, prefix_dim=8, k=5, shortlist=40).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    assert got == want and len(want) == 15
+    # and the degenerate case reports prefix_cosine == cosine
+    for r in mrl_topk(emb, q, prefix_dim=8, k=5, shortlist=40).collect():
+        assert r["prefix_cosine"] == r["cosine"]
+
+
+def test_mrl_rerank_subset_of_shortlist_and_ge_prefix(spark):
+    """The eval's structural premises: rerank top-k pairs are a subset
+    of the prefix shortlist, and rerank recall >= prefix-only recall
+    against exact ground truth (the argmax-5-subset theorem)."""
+    emb = _fixture(spark, n=60)
+    q = emb.filter(F.col("vec_id") < 4)
+    ranked = mrl_prefix_ranked(emb, q, prefix_dim=3)
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ranked.filter(F.col("prank") <= 10).collect()
+    }
+    pref5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ranked.filter(F.col("prank") <= 5).collect()
+    }
+    top = mrl_topk(emb, q, prefix_dim=3, k=5, shortlist=10).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in top}
+    assert got <= short
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    assert len(got & exact) >= len(pref5 & exact)
+    # ranks dense 1..k per query
+    per_q = {}
+    for r in top:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer one: containment
+    ~1 (caught at 0.9) while Jaccard is bounded by the size ratio
+    (missed at 0.6) — the operator's reason to exist."""
+    a_toks = [f"w{i}" for i in range(12)]
+    b_toks = a_toks + [f"z{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    rows = containment_pairs(sh, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0  # every shingle of A appears in B
+    assert r["jaccard"] < 0.6  # below the Jaccard operator's threshold
+
+
+def test_containment_max_doc_freq_lever(spark):
+    """Stopword-shingle pruning: a shingle shared by every doc is the
+    quadratic hazard; max_doc_freq drops it BEFORE the join, and pairs
+    whose only overlap was the stopword shingle disappear while true
+    subset pairs survive (their overlap is broad, not one shingle)."""
+    common = "the quick brown"  # one shared 3-shingle across all docs
+    docs = spark.createDataFrame(
+        [
+            (1, common + " alpha beta gamma delta"),
+            (2, common + " epsilon zeta eta theta"),
+            (3, common + " alpha beta gamma delta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    unpruned = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(sh, min_containment=0.0).collect()
+    }
+    assert (1, 2) in unpruned  # stopword-only overlap pair exists raw
+    pruned = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            sh, min_containment=0.0, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 2) not in pruned  # its only shared shingle was pruned
+    assert (1, 3) in pruned  # the true subset pair survives
+    assert pruned[(1, 3)] > 0.5
