@@ -120,3 +120,117 @@ def weighted_topn(
         .orderBy(F.asc("skey"), F.asc(id_col))
         .limit(n)
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    via Importance Resampling"): score every document by how
+    target-like its text is under two hashed-bigram bag-of-words
+    models — the standard recipe for selecting pretraining data that
+    matches a target domain (the paper's setting: raw = web crawl,
+    target = curated corpus). ``target`` is a boolean Column selecting
+    the target rows within ``docs`` (e.g. ``F.col("lang") == "en"``).
+
+    The estimator, exactly: hash each space-bigram into ``n_buckets``
+    buckets (md5-prefix int, the repo's one deterministic-hash idiom);
+    fit Laplace-smoothed unigram-over-buckets models p (target) and q
+    (all docs); each document's importance is the likelihood ratio
+
+        imp = prod over its bigram occurrences of p_bucket / q_bucket
+
+    computed as an ORDERED product fold over the document's bigram
+    list in position order — the paper's log-sum restated as a
+    product so the whole computation stays in +,*,/ on doubles (no
+    log: transcendental last-ulp divergence between engines is the
+    reason — the catalog numeric policy). The fold starts at 1.0
+    (multiplying by 1.0 is IEEE-exact, so a leading 1.0 matches
+    DuckDB's init-less list_reduce bitwise) and an empty bigram list
+    (doc under 2 tokens) scores exactly 1.0.
+
+    Scale shape: the two models are ONE aggregation pass each over
+    the exploded bucket ids (map-side partial counts, |buckets| rows
+    out); the dense ratio array is |buckets| doubles BROADCAST to the
+    scorer, so scoring is a map-side transform+fold per document —
+    no join against the corpus, no shuffle of text. At 100 TB the
+    model fit is two cheap count passes and the scorer is embarrassed
+    parallel. Returns ``docs``' id column plus ``imp_ratio`` (raw
+    double — every op is order-pinned, so the value is bitwise
+    reproducible across engines and partitionings; consumers rank or
+    bucket it, see x_dsir_resample).
+    """
+    from blspark.ext.dedup import md5_bucket
+
+    base = docs.select(
+        F.col(id_col), target.alias("_is_target"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    n_sh = F.greatest(F.size("w") - 1, F.lit(0))
+    bgs = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice("w", 1, n_sh),
+            F.slice("w", 2, n_sh),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bkt = base.select(
+        F.col(id_col),
+        "_is_target",
+        F.transform(
+            bgs,
+            lambda bg: md5_bucket(bg, n_buckets).cast("int"),
+        ).alias("bks"),
+    )
+    pcnt = (
+        bkt.filter(F.col("_is_target"))
+        .select(F.explode("bks").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cp"))
+    )
+    qcnt = (
+        bkt.select(F.explode("bks").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cq"))
+    )
+    tp = pcnt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
+    tq = qcnt.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("tq"))
+    spark = docs.sparkSession
+    grid = spark.range(0, n_buckets).select(F.col("id").cast("int").alias("b"))
+    # Laplace-smoothed ratio per bucket, dense over 0..n_buckets-1 (a
+    # bucket absent from both models still gets the constant smoothed
+    # ratio); op order pinned: two int->double divisions, then one
+    # double division — the oracle computes the identical sequence.
+    ratio = (
+        (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
+        / (F.col("tp") + n_buckets).cast("double")
+    ) / (
+        (F.coalesce(F.col("cq"), F.lit(0)) + 1).cast("double")
+        / (F.col("tq") + n_buckets).cast("double")
+    )
+    model = (
+        grid.join(pcnt, "b", "left")
+        .join(qcnt, "b", "left")
+        .crossJoin(tp)
+        .crossJoin(tq)
+        .select("b", ratio.alias("ratio"))
+    )
+    marr = model.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "ratio"))),
+            lambda s: s["ratio"],
+        ).alias("_ratios")
+    )
+    return bkt.crossJoin(F.broadcast(marr)).select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform("bks", lambda b: F.element_at("_ratios", b + 1)),
+            F.lit(1.0).cast("double"),
+            lambda acc, x: acc * x,
+        ).alias("imp_ratio"),
+    )

@@ -17,6 +17,12 @@ lacked, each with a full SQL oracle and the family's eval conventions.
   MinHash banding) structurally misses: the query plants concat
   documents (doc_i || doc_{i+1}) whose containment is ~1 while their
   Jaccard sits near 0.5, below the x_dedup_ngram_jaccard threshold.
+- ``x_dsir_weights`` / ``x_dsir_resample``: DSIR importance
+  resampling (Xie et al. 2023) — hashed-bigram likelihood-ratio
+  weights toward a target domain (lang='en'), computed as an ordered
+  product fold (no log — the catalog numeric policy), then resampled
+  without replacement by composing NTILE(8) weights with the grid's
+  exact hash-min weighted-sampling device.
 
 Reference scope: the reference pipeline (lambda_functions/
 report_processor.py, sync_and_fetch.py — pandas/boto3) has none of
@@ -420,3 +426,171 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(concat), "doc_id", "text", n=3
     )
     return containment_pairs(sh, min_containment=_CONT_MIN)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (target-matching data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed-bigram buckets
+_DSIR_N = 50  # resample size
+_DSIR_TILES = 8  # importance -> integer weight tiles (= sampling.MAX_WEIGHT)
+
+
+def _dsir_chain_sql() -> str:
+    """The DSIR oracle CTE chain (toks -> bgl -> bkt -> pcnt/qcnt ->
+    tot -> model -> scored): hashed-bigram bucket lists in POSITION
+    order, Laplace-smoothed target (lang='en') and raw bucket models,
+    and the per-doc ordered product fold — list_reduce over a
+    1.0-prepended ratio list, bitwise-matching Spark's
+    F.aggregate(init=1.0) fold (multiplying by a leading 1.0 is
+    IEEE-exact). One fragment shared by the weights and resample
+    oracles. The bucket hash is the repo's one md5-prefix device
+    (hex_int_sql, parenthesized before %: the expansion is a sum)."""
+    from blspark.ext.dedup import hex_int_sql
+
+    hexi = hex_int_sql("md5(bg)", 6)
+    return f"""toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+bgl AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS bgs
+  FROM toks
+),
+bkt AS (
+  SELECT doc_id, lang,
+         list_transform(bgs, bg -> CAST(({hexi}) % {_DSIR_B} AS INT)) AS bks
+  FROM bgl
+),
+pcnt AS (
+  SELECT b, COUNT(*) AS c FROM (
+    SELECT unnest(bks) AS b FROM bkt WHERE lang = 'en') t GROUP BY b
+),
+qcnt AS (
+  SELECT b, COUNT(*) AS c FROM (
+    SELECT unnest(bks) AS b FROM bkt) t GROUP BY b
+),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0) FROM pcnt) AS tp,
+         (SELECT COALESCE(SUM(c), 0) FROM qcnt) AS tq
+),
+model AS (
+  SELECT list(
+           (CAST(COALESCE(p.c, 0) + 1 AS DOUBLE)
+              / CAST(tot.tp + {_DSIR_B} AS DOUBLE))
+           / (CAST(COALESCE(q.c, 0) + 1 AS DOUBLE)
+              / CAST(tot.tq + {_DSIR_B} AS DOUBLE))
+           ORDER BY r.range) AS ratios
+  FROM range(0, {_DSIR_B}) r
+  CROSS JOIN tot
+  LEFT JOIN pcnt p ON p.b = r.range
+  LEFT JOIN qcnt q ON q.b = r.range
+  GROUP BY ALL
+),
+scored AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(bks, b -> model.ratios[b + 1])),
+           (x, y) -> x * y) AS imp_ratio
+  FROM bkt CROSS JOIN model
+)"""
+
+
+DSIR_WEIGHTS_ORACLE = f"""
+WITH {_dsir_chain_sql()}
+SELECT doc_id, lang, imp_ratio FROM scored
+"""
+
+
+@register(
+    "x_dsir_weights",
+    oracle=DSIR_WEIGHTS_ORACLE,
+    doc="DSIR importance weights (Xie et al. 2023, Data Selection via "
+    "Importance Resampling) — the standard recipe for selecting "
+    "pretraining data that matches a target domain: hashed-bigram "
+    "bag models over 256 buckets (md5-prefix device), Laplace-"
+    "smoothed target (lang='en') and raw models, per-doc importance "
+    "= likelihood ratio computed as an ORDERED product fold over the "
+    "doc's bigram list (the paper's log-sum restated in +,*,/ only — "
+    "no transcendental, so the raw double hash-compares bitwise; "
+    "list_reduce with a prepended 1.0 mirrors F.aggregate(init=1.0) "
+    "exactly). Model fit = two count passes; the 256-double ratio "
+    "array broadcasts, so scoring is map-side transform+fold — no "
+    "corpus join, no text shuffle, 100 TB-shaped. Measured signal: "
+    "EN docs mean log-ratio +0.30 vs -0.79..-0.94 for de/es/fr/zh at "
+    "sf0.01. ext/sampling.dsir_importance.",
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_importance(docs, F.col("lang") == "en", n_buckets=_DSIR_B)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "imp_ratio")
+    )
+
+
+DSIR_RESAMPLE_ORACLE = f"""
+WITH {_dsir_chain_sql()},
+tiled AS (
+  SELECT doc_id,
+         CAST(NTILE({_DSIR_TILES}) OVER (
+           ORDER BY imp_ratio ASC, doc_id ASC) AS INT) AS weight
+  FROM scored
+),
+keyed AS (
+  SELECT doc_id, weight,
+         list_min(list_transform(
+           list_transform(
+             list_filter(range(1, {_DSIR_TILES + 1}), j -> j <= weight),
+             j -> md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(j AS VARCHAR))),
+           h -> {{hexi12}})) AS skey
+  FROM tiled
+)
+SELECT doc_id, weight, skey FROM keyed
+ORDER BY skey, doc_id LIMIT {_DSIR_N}
+"""
+
+
+def _dsir_resample_oracle() -> str:
+    from blspark.ext.dedup import hex_int_sql
+
+    return DSIR_RESAMPLE_ORACLE.replace(
+        "{hexi12}", hex_int_sql("h", 12)
+    )
+
+
+@register(
+    "x_dsir_resample",
+    oracle=_dsir_resample_oracle(),
+    doc="DSIR RESAMPLING stage — importance weights composed with the "
+    "grid's exact weighted-sampling device: per-doc importance "
+    "(x_dsir_weights' chain verbatim) maps to an integer weight by "
+    "NTILE(8) over (imp_ratio ASC, doc_id ASC) — a deterministic "
+    "stand-in for the paper's Gumbel-top-k that keeps the "
+    "proportional-to-importance pull without transcendentals or RNG "
+    "— then the hash-min key (ext/sampling.hashmin_key, the "
+    "Efraimidis-Spirakis min-over-w-draws restatement) draws the "
+    "50-doc sample without replacement. Target-like docs get up to "
+    "8 draws, anti-target docs 1 — the sample skews toward the "
+    "target domain while every doc keeps a nonzero chance, exactly "
+    "DSIR's reason to resample instead of top-k (mode collapse). "
+    "Tiles cap at 8 = ext/sampling.MAX_WEIGHT, so the oracle's "
+    "constant draw range and the engine's clamp stay one constant.",
+)
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.sampling import dsir_importance, weighted_topn
+
+    docs = load_table(spark, sf_dir, "documents")
+    imp = dsir_importance(docs, F.col("lang") == "en", n_buckets=_DSIR_B)
+    wt = Window.orderBy(F.asc("imp_ratio"), F.asc("doc_id"))
+    tiled = imp.select(
+        "doc_id", F.ntile(_DSIR_TILES).over(wt).cast("int").alias("weight")
+    )
+    return weighted_topn(tiled, "doc_id", "weight", _DSIR_N)

@@ -127,3 +127,62 @@ def test_containment_max_doc_freq_lever(spark):
     assert (1, 2) not in pruned  # its only shared shingle was pruned
     assert (1, 3) in pruned  # the true subset pair survives
     assert pruned[(1, 3)] > 0.5
+
+
+def test_dsir_upweights_target_and_is_deterministic(spark):
+    """DSIR importance: (a) target-like docs (shared bigram
+    distribution) score above anti-target docs; (b) a doc with <2
+    tokens scores exactly 1.0 (empty fold = init); (c) the score is
+    partition-invariant (ordered fold over a broadcast model)."""
+    from blspark.ext.sampling import dsir_importance
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    oth_text = "omega psi chi phi omega psi"
+    rows = (
+        [(i, tgt_text + f" t{i}", True) for i in range(20)]
+        + [(100 + i, oth_text + f" u{i}", False) for i in range(20)]
+        + [(999, "solo", False)]  # single token: no bigrams
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean"
+    )
+    imp = {
+        r["doc_id"]: r["imp_ratio"]
+        for r in dsir_importance(
+            docs, F.col("is_tgt"), n_buckets=64
+        ).collect()
+    }
+    tgt = [imp[i] for i in range(20)]
+    oth = [imp[100 + i] for i in range(20)]
+    assert min(tgt) > max(oth)
+    assert imp[999] == 1.0
+    # partition invariance: same values from a different layout
+    imp2 = {
+        r["doc_id"]: r["imp_ratio"]
+        for r in dsir_importance(
+            docs.repartition(7, "text"), F.col("is_tgt"), n_buckets=64
+        ).collect()
+    }
+    assert imp == imp2
+
+
+def test_dsir_resample_skews_toward_target(spark):
+    """The resample stage pulls the sample toward the target domain
+    (tile-8 docs get 8 draws vs 1) while keeping every doc eligible —
+    on the real corpus the EN share of the 50-doc sample must exceed
+    the EN share of the corpus."""
+    from blspark.catalog import load_table, registry
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    sample = registry()["x_dsir_resample"].spark_fn(spark, SF_ORACLE)
+    picked = sample.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).collect()
+    assert len(picked) == 50
+    en_share_sample = sum(1 for r in picked if r["lang"] == "en") / 50
+    assert en_share_sample > n_en / n
+    # weights within the device contract
+    assert all(1 <= r["weight"] <= 8 for r in picked)
