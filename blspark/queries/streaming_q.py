@@ -1289,3 +1289,52 @@ def s_stream_index_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("w").cast("int").alias("w"), "word")
     name = run_available_now(out, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming MRL (truncated-dim) index maintenance
+# ---------------------------------------------------------------------------
+
+
+def _mrl_stream_oracle() -> str:
+    from blspark.queries.extensions14 import _MRL_DIM
+
+    return f"""
+WITH pv AS MATERIALIZED (
+  SELECT vec_id, (embedding::DOUBLE[])[1:{_MRL_DIM}] AS p FROM embeddings
+)
+SELECT vec_id, CAST(t.d AS INT) AS d, p[t.d + 1] AS val
+FROM pv, range(0, {_MRL_DIM}) t(d)
+"""
+
+
+@register(
+    "s_stream_index_mrl",
+    oracle=_mrl_stream_oracle(),
+    doc="Streaming MRL (truncated-dim) index maintenance — the "
+    "Matryoshka rung of the streaming encode family (raw -> SQ8 -> "
+    "PQ -> binary -> MRL prefix): each arriving embedding's first "
+    "32-of-64 prefix slice appends STATELESSLY (pure per-row "
+    "projection — no trained artifact at all, the cheapest member "
+    "of the family: truncation is the whole encoder), maintaining "
+    "exactly the half-size float index x_similarity_mrl's candidate "
+    "stage scans. Rows are (vec_id, dim index, value) — the "
+    "posexplode convention the binary twin uses so the oracle "
+    "hash-compares scalars, not arrays. Hash-checked against the "
+    "batch slice of the same corpus: streamed prefix rows are "
+    "definitionally identical to a batch rebuild, the parity that "
+    "makes incremental truncated-index maintenance sound at 100 TB.",
+)
+def s_stream_index_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.queries.extensions14 import _MRL_DIM
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    out = stream.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("vec"), 1, _MRL_DIM)).alias("d", "val"),
+    ).select("vec_id", F.col("d").cast("int").alias("d"), "val")
+    name = run_available_now(out, output_mode="append")
+    return spark.table(name)

@@ -932,6 +932,72 @@ def bench_graph_adaptive_nlist(spark, factor: int) -> float:
     return dt
 
 
+def bench_mrl(spark, factor: int) -> float:
+    """MRL truncated-dim ANN at growing corpus size: the prefix scan
+    is one corpus pass over half the float bytes, the rerank touches
+    |queries| x shortlist pairs regardless of N — wall should grow
+    ~linearly with the scan, never with pairs."""
+    from blspark.ext.similarity import mrl_topk
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor, 10_000_000
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    n = mrl_topk(emb, queries, prefix_dim=32, k=5, shortlist=50).count()
+    dt = time.perf_counter() - t0
+    print(f"  mrl x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_dsir(spark, factor: int) -> float:
+    """DSIR importance at growing corpus size: two count passes keyed
+    by the FIXED 256-bucket space (constant key space, growing
+    partials — the pq_train shape) plus a map-side score pass; no
+    term may grow super-linearly."""
+    from blspark.ext.sampling import dsir_importance
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "lang"
+        ),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    n = dsir_importance(docs, F.col("lang") == "en").count()
+    dt = time.perf_counter() - t0
+    print(f"  dsir x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_containment(spark, factor: int) -> float:
+    """Containment dedup at growing corpus size WITH the max_doc_freq
+    lever engaged (the jaccard_pairs scale story): replicas get
+    distinct suffix tokens, so cross-replica shingle overlap stays
+    put while the shingle table grows linearly; the doc-freq prune
+    bounds the per-shingle quadratic term."""
+    from blspark.ext.dedup import containment_pairs, word_shingles
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    n = containment_pairs(
+        sh, min_containment=0.9, max_doc_freq=64
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"  containment x{factor}: {dt:.2f}s ({n} pairs)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -966,6 +1032,9 @@ BENCHES = {
     "range_search": bench_range_search,
     "graph_adaptive": bench_graph_adaptive,
     "graph_adaptive_nlist": bench_graph_adaptive_nlist,
+    "mrl": bench_mrl,
+    "dsir": bench_dsir,
+    "containment": bench_containment,
 }
 
 
