@@ -579,3 +579,105 @@ def test_binary_pack_property(spark, vecs):
                     bin(words[a] ^ words[c]).count("1")
                     + bin(words[c] ^ words[b]).count("1")
                 )
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_containment_matches_bruteforce(spark, texts):
+    """containment_pairs == the set-algebra definition computed in
+    pure Python over DISTINCT 3-shingles: containment = |A∩B|/min,
+    jaccard = |A∩B|/|A∪B|, ordered pairs only, empty-shingle docs
+    pair with nothing."""
+    from blspark.ext.dedup import containment_pairs, word_shingles
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(
+            word_shingles(docs, "doc_id", "text", n=3)
+        ).collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 and t else set()
+
+    expect = {}
+    ss = [sh(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(ss[a] & ss[b])
+            if not inter:
+                continue
+            expect[(a, b)] = (
+                inter / min(len(ss[a]), len(ss[b])),
+                inter / len(ss[a] | ss[b]),
+            )
+    assert set(got) == set(expect)
+    for k, (c, j) in expect.items():
+        assert math.isclose(got[k][0], c, rel_tol=1e-12), k
+        assert math.isclose(got[k][1], j, rel_tol=1e-12), k
+
+
+vec_lists = st.lists(
+    st.lists(values, min_size=6, max_size=6),
+    min_size=8,
+    max_size=20,
+)
+
+
+@SLOW
+@given(vecs=vec_lists)
+def test_mrl_matches_bruteforce_python(spark, vecs):
+    """mrl_topk == the two-stage Python model (prefix-cosine shortlist
+    then full-cosine rerank, both with (score DESC, id ASC) ties and
+    the zero-norm -inf guard) on random vectors."""
+    from blspark.ext.similarity import mrl_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    k, sl, pd = 3, 5, 3
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mrl_topk(emb, q, prefix_dim=pd, k=k, shortlist=sl).collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb <= 0:
+            return float("-inf")
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    expect = {}
+    for qi in range(min(2, len(vecs))):
+        cands = [
+            (i, cos(vecs[i][:pd], vecs[qi][:pd]))
+            for i in range(len(vecs))
+            if i != qi
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        short = [i for i, _ in cands[:sl]]
+        rer = [(i, cos(vecs[i], vecs[qi])) for i in short]
+        rer.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, _) in enumerate(rer[:k], start=1):
+            expect[(qi, rank)] = i
+    assert got == expect
