@@ -23,6 +23,10 @@ lacked, each with a full SQL oracle and the family's eval conventions.
   product fold (no log — the catalog numeric policy), then resampled
   without replacement by composing NTILE(8) weights with the grid's
   exact hash-min weighted-sampling device.
+- ``x_quality_domain_balanced``: per-source quantile normalization of
+  the shared quality score (the CCNet/FineWeb device) — every domain
+  keeps its own top half, so a systematically-verbose domain cannot
+  crowd out the rest the way a global threshold lets it.
 
 Reference scope: the reference pipeline (lambda_functions/
 report_processor.py, sync_and_fetch.py — pandas/boto3) has none of
@@ -594,3 +598,66 @@ def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.ntile(_DSIR_TILES).over(wt).cast("int").alias("weight")
     )
     return weighted_topn(tiled, "doc_id", "weight", _DSIR_N)
+
+
+# ---------------------------------------------------------------------------
+# Domain-balanced quality filtering (per-source quantile normalization)
+# ---------------------------------------------------------------------------
+
+_DBQ_KEEP = 0.5  # keep the top half of each source
+
+
+def _dbq_oracle() -> str:
+    from blspark.queries.extensions2 import _Q_SQL
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, {_Q_SQL} AS quality FROM documents
+),
+r AS (
+  SELECT doc_id, source, quality,
+         PERCENT_RANK() OVER (PARTITION BY source
+           ORDER BY quality ASC, doc_id ASC) AS pr
+  FROM q
+)
+SELECT doc_id, source, quality, pr FROM r WHERE pr >= {_DBQ_KEEP}
+"""
+
+
+@register(
+    "x_quality_domain_balanced",
+    oracle=_dbq_oracle(),
+    doc="Domain-balanced quality filtering — the per-domain quantile "
+    "normalization CCNet/FineWeb-style pipelines apply before a "
+    "global keep decision: the shared composite quality score "
+    "(ext/text.quality_score, the ONE formula every quality consumer "
+    "uses) is PERCENT_RANKed WITHIN each source and the top half of "
+    "every source survives. Contrast x_quality_filter_quantile's "
+    "GLOBAL threshold, which lets one systematically-verbose domain "
+    "crowd out the rest of the corpus — here every domain keeps "
+    "exactly its top fraction, the balance property the unit test "
+    "pins (per-source keep rate ~0.5 for every source while a global "
+    "threshold's per-source rates spread). Determinism: quality is "
+    "integer-derived double arithmetic, pr = (rank-1)/(n-1) over the "
+    "(quality, doc_id) total order — raw ratios, no rounding. Scale "
+    "shape: one window keyed by source (the natural partition key; "
+    "a skewed source is one sort partition — at 100 TB pre-aggregate "
+    "to a per-source quality histogram and cut thresholds from it, "
+    "the x_quality_filter_quantile device, if a single source "
+    "outgrows a task).",
+)
+def x_quality_domain_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text", keep=("source",)).select(
+        F.col("id").alias("doc_id"), "source", "quality"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= _DBQ_KEEP)
+        .select("doc_id", "source", "quality", "pr")
+    )

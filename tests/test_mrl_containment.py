@@ -186,3 +186,48 @@ def test_dsir_resample_skews_toward_target(spark):
     assert en_share_sample > n_en / n
     # weights within the device contract
     assert all(1 <= r["weight"] <= 8 for r in picked)
+
+
+def test_domain_balanced_quality_keeps_half_per_source(spark):
+    """The balance property: per-source keep rate ~0.5 for EVERY
+    source (pr >= 0.5 keeps ceil-half of each), while a GLOBAL
+    median threshold on the same score spreads per-source rates —
+    the crowding-out failure the per-domain normalization exists to
+    prevent."""
+    from blspark.catalog import load_table, registry
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = registry()["x_quality_domain_balanced"].spark_fn(
+        spark, SF_ORACLE
+    )
+    kept_by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kept_by_src) == set(totals)  # no source eliminated
+    for s, n in totals.items():
+        rate = kept_by_src[s] / n
+        # pr >= 0.5 keeps the top ceil((n-1)/2)+1-ish — allow slack
+        # for ties; the point is every source stays near one half
+        assert 0.4 <= rate <= 0.62, (s, rate)
+    # contrast: a global median threshold on the same quality score
+    from blspark.ext.text import quality_score
+
+    q = quality_score(docs, "doc_id", "text", keep=("source",))
+    med = q.agg(F.expr("percentile(quality, 0.5)").alias("m")).collect()[0]["m"]
+    grates = {
+        r["source"]: r["k"] / totals[r["source"]]
+        for r in q.filter(F.col("quality") >= med)
+        .groupBy("source")
+        .agg(F.count("*").alias("k"))
+        .collect()
+    }
+    spread_global = max(grates.values()) - min(grates.values())
+    brates = [kept_by_src[s] / totals[s] for s in totals]
+    spread_balanced = max(brates) - min(brates)
+    assert spread_balanced <= spread_global
