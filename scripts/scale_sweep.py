@@ -998,6 +998,37 @@ def bench_containment(spark, factor: int) -> float:
     return dt
 
 
+def bench_domain_quality(spark, factor: int) -> float:
+    """Domain-balanced quality filter with docs growing but the SOURCE
+    domain fixed — the low-cardinality-window hazard axis (the ewma
+    sweep's): each source's percent_rank sort grows with total rows.
+    Documented escape if a source outgrows a task: per-source quality
+    HISTOGRAM thresholds (the x_quality_filter_quantile device)."""
+    from blspark.ext.text import quality_score
+    from pyspark.sql import Window
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "source"
+        ),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    q = quality_score(docs, "doc_id", "text", keep=("source",))
+    w = Window.partitionBy("source").orderBy(F.asc("quality"), F.asc("id"))
+    n = (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  domain_quality x{factor}: {dt:.2f}s ({n} kept)", flush=True)
+    return dt
+
+
 BENCHES = {
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
@@ -1035,6 +1066,7 @@ BENCHES = {
     "mrl": bench_mrl,
     "dsir": bench_dsir,
     "containment": bench_containment,
+    "domain_quality": bench_domain_quality,
 }
 
 
