@@ -90,21 +90,110 @@ def register(
 # oracle changed. Names absent from this list keep registration order
 # after it; names listed but not registered are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # -- Round-15 rotation (recomputed programmatically from
-    # CORRECTNESS_r01..r14.json at round-15 start: latest driver
-    # signing round per query; age tiers entering round 15 are
-    # r9: 17, r10: 50, r11: 50, r12: 50, r13: 50, r14: 50 — zero
-    # latest-status fails, all 267 registered queries signed at
-    # least once). Budget per the r14 verdict: the 17 r9-stale
-    # deferrals lead, then 33 of the 50 r10-stale (the
-    # higher-complexity streaming / graph / similarity / dedup /
-    # sketch / tokenizer entries, where a silent regression would
-    # matter most). The remaining 17 r10 names — the lowest-risk
-    # built-in-SQL window/join shapes, deterministic-sampling and
-    # layout demos — are EXPLICITLY DEFERRED to round 16 and lead
-    # its budget. After this round the staleness floor moves
-    # r9 -> r10.
-    # r9-stale, deferred from round 14, signed this round (17):
+    # -- Round-16 rotation (recomputed programmatically from
+    # CORRECTNESS_r01..r15.json at round-16 start: latest driver
+    # signing round per query; age tiers entering round 16 are
+    # r10: 17, r11: 50, r12: 50, r13: 50, r14: 50, r15: 50 — zero
+    # latest-status fails, 267 of 274 registered queries signed at
+    # least once; the 7 round-15 registrations were never
+    # driver-sampled (judge diffcheck-verified green in r15).
+    # Budget per the r15 verdict: the 7 never-driver-sampled
+    # registrations and the 17 explicitly-deferred r10-stale names
+    # lead; the new round-16 registrations follow (so this round
+    # does not mint fresh never-sampled debt); the remaining slots
+    # go to the 23 highest-complexity r11-stale names (streaming /
+    # graph / similarity / dedup / multimodal / index, where a
+    # silent regression would matter most). The other 27 r11 names
+    # — headline queries re-proven every round by bench.py golden
+    # paths plus low-risk built-in-SQL shapes — are EXPLICITLY
+    # DEFERRED to round 17 and lead its budget. After this round
+    # the staleness floor moves r10 -> r11.
+    # never driver-sampled, registered r15 (7):
+    "s_stream_index_mrl",
+    "x_dedup_containment",
+    "x_dsir_resample",
+    "x_dsir_weights",
+    "x_mrl_eval",
+    "x_quality_domain_balanced",
+    "x_similarity_mrl",
+    # r10-stale, deferred from round 15, signed this round (17):
+    "q_asof_nearest_click",
+    "q_bls_pipeline_parity",
+    "q_gaps_and_islands",
+    "q_percent_rank_cume",
+    "q_window_time_range",
+    "x_ab_readout",
+    "x_bucketed_colocated_join",
+    "x_compaction_plan",
+    "x_cusum_drift",
+    "x_partitioned_prune_scan",
+    "x_resample_ffill",
+    "x_sample_weighted_per_source",
+    "x_sample_weighted_topn",
+    "x_sequence_pattern",
+    "x_source_cap_topk",
+    "x_udtf_bigrams",
+    "x_zorder_key",
+    # new round-16 registrations (signed in their own round):
+    "x_dedup_eval",
+    "x_retrieval_rerank_blend",
+    "x_rerank_blend_eval",
+    # r11-stale signed this round (23 of 50, highest-complexity):
+    "s_stream_negative_samples",
+    "x_cells_split",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_pipeline_lsh",
+    "x_dedup_simhash",
+    "x_dedup_span_removal",
+    "x_graph_expand_eval",
+    "x_incremental_agg_refresh",
+    "x_index_persist_scan",
+    "x_kcore_prune",
+    "x_kmeans_checked",
+    "x_kmeans_clusters",
+    "x_knn_graph_capped",
+    "x_knn_graph_components_warm",
+    "x_knn_graph_split",
+    "x_multimodal_decode",
+    "x_retrieval_graph_expand",
+    "x_retrieval_graph_expand_warm",
+    "x_similarity_ann_lsh",
+    "x_similarity_cosine_topk",
+    "x_similarity_ivf",
+    "x_similarity_ivf_checked",
+    # r11-stale DEFERRED to round 17 (explicit; they lead round
+    # 17's budget — 27 names; x_multimodal_decode_checked yielded its
+    # slot to the third round-16 registration, its base query
+    # x_multimodal_decode is signed this round):
+    "x_multimodal_decode_checked",
+    "q1_population_stats",
+    "q2_best_year",
+    "q3_combined_report",
+    "q_asof_prev_order",
+    "q_cube",
+    "q_datetime_functions",
+    "q_distinct_sorted",
+    "q_edit_distance",
+    "q_events_sliding_window",
+    "q_events_tumbling_window",
+    "q_filter_range_projection",
+    "q_filter_string_predicates",
+    "x_entity_resolution",
+    "x_ewma_smooth",
+    "x_group_split",
+    "x_histogram_quantile_merge",
+    "x_label_knn_disagreement",
+    "x_listagg_sorted",
+    "x_mmr_rerank",
+    "x_multimodal_resize",
+    "x_multimodal_resize_checked",
+    "x_negative_samples",
+    "x_padding_efficiency",
+    "x_topk_merge",
+    "x_word_diversity",
+    "x_xml_roundtrip",
+    # r15 signatures (50):
     "q_market_share",
     "q_product_profit",
     "q_shipping_priority",
@@ -122,7 +211,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_concat_blocks",
     "x_mad_outliers",
     "x_map_from_json",
-    # r10-stale signed this round (33 of 50):
     "s_stream_dedup_exact",
     "s_stream_dedup_within_watermark",
     "s_stream_enrich_static",
@@ -156,76 +244,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_agg_state_merge",
     "x_tokenizer_bpe",
     "x_tokenizer_bpe_apply",
-    # r10-stale DEFERRED to round 16 (explicit; they lead round
-    # 16's budget):
-    "q_asof_nearest_click",
-    "q_bls_pipeline_parity",
-    "q_gaps_and_islands",
-    "q_percent_rank_cume",
-    "q_window_time_range",
-    "x_ab_readout",
-    "x_bucketed_colocated_join",
-    "x_compaction_plan",
-    "x_cusum_drift",
-    "x_partitioned_prune_scan",
-    "x_resample_ffill",
-    "x_sample_weighted_per_source",
-    "x_sample_weighted_topn",
-    "x_sequence_pattern",
-    "x_source_cap_topk",
-    "x_udtf_bigrams",
-    "x_zorder_key",
-    # r11 signatures (50):
-    "q1_population_stats",
-    "q2_best_year",
-    "q3_combined_report",
-    "q_asof_prev_order",
-    "q_cube",
-    "q_datetime_functions",
-    "q_distinct_sorted",
-    "q_edit_distance",
-    "q_events_sliding_window",
-    "q_events_tumbling_window",
-    "q_filter_range_projection",
-    "q_filter_string_predicates",
-    "s_stream_negative_samples",
-    "x_cells_split",
-    "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_pipeline_lsh",
-    "x_dedup_simhash",
-    "x_dedup_span_removal",
-    "x_entity_resolution",
-    "x_ewma_smooth",
-    "x_graph_expand_eval",
-    "x_group_split",
-    "x_histogram_quantile_merge",
-    "x_incremental_agg_refresh",
-    "x_index_persist_scan",
-    "x_kcore_prune",
-    "x_kmeans_checked",
-    "x_kmeans_clusters",
-    "x_knn_graph_capped",
-    "x_knn_graph_components_warm",
-    "x_knn_graph_split",
-    "x_label_knn_disagreement",
-    "x_listagg_sorted",
-    "x_mmr_rerank",
-    "x_multimodal_decode",
-    "x_multimodal_decode_checked",
-    "x_multimodal_resize",
-    "x_multimodal_resize_checked",
-    "x_negative_samples",
-    "x_padding_efficiency",
-    "x_retrieval_graph_expand",
-    "x_retrieval_graph_expand_warm",
-    "x_similarity_ann_lsh",
-    "x_similarity_cosine_topk",
-    "x_similarity_ivf",
-    "x_similarity_ivf_checked",
-    "x_topk_merge",
-    "x_word_diversity",
-    "x_xml_roundtrip",
     # r12 signatures (50):
     "q_grouped_agg_pricing",
     "q_histogram_bins",

@@ -328,7 +328,19 @@ def containment_pairs(
     containment >= min_containment — jaccard rides along so a consumer
     can classify pair type (high-containment/low-jaccard = subset;
     both high = near-identical). Integer-ratio division, unrounded
-    (the cross-engine determinism convention)."""
+    (the cross-engine determinism convention).
+
+    PRUNED-SET SEMANTICS with ``max_doc_freq``: document sizes are
+    counted AFTER the stopword-shingle prune, so both denominators
+    are over the PRUNED shingle sets — a heavily pruned pair can
+    score higher containment than its true-set value (the pruned
+    shingles it shared no longer dilute min(|A|,|B|)). This is the
+    standard stopword-removal reading (score the distinctive
+    content) and keeps the operator one-shuffle; callers that need
+    true-set denominators must compute ``sizes`` before the prune,
+    at the cost of a second aggregate over the unpruned frame. The
+    registered oracle query passes no ``max_doc_freq``, so its
+    scores are true-set exact."""
     sh = shingles
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))

@@ -163,6 +163,21 @@ def dsir_importance(
     double — every op is order-pinned, so the value is bitwise
     reproducible across engines and partitionings; consumers rank or
     bucket it, see x_dsir_resample).
+
+    DOC-LENGTH BOUND (deliberate no-log trade-off): a raw double
+    product stays in finite range only while the summed log-ratio
+    magnitude is under ~709 (|ln double_max|). At a typical
+    per-bigram |ln(p/q)| of ~0.3 that is roughly 2,300 bigram
+    occurrences, i.e. documents beyond ~2-3k tokens saturate
+    ``imp_ratio`` to 0.0 or inf — still deterministic and
+    oracle-matching, but the importance SIGNAL collapses and any
+    downstream NTILE/rank degrades to the doc_id tie-break for those
+    documents. The test corpus tops out near 100 tokens so the
+    product is comfortably in range here; a real-corpus consumer
+    should score a capped/chunked bigram sample per document (e.g.
+    first-k or hash-sampled k bigrams, k <= ~1000 — an unbiased
+    length-invariant estimator of the per-bigram mean log ratio)
+    rather than the full list.
     """
     from blspark.ext.dedup import md5_bucket
 

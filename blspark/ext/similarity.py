@@ -1112,6 +1112,7 @@ def knn_graph(
     mutual: bool = True,
     max_block: int | None = None,
     assigned: DataFrame | None = None,
+    keep_cell: bool = False,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor GRAPH: every corpus vector's
     exact-cosine top-``k`` among its own IVF cell's members, plus a
@@ -1158,7 +1159,7 @@ def knn_graph(
         src = assigned.select(
             F.col("aid").alias("src_id"), "vec", "vnorm", "cell_id"
         )
-        return _graph_edges_float(src, k, mutual, max_block)
+        return _graph_edges_float(src, k, mutual, max_block, keep_cell)
     cent = _centroid_frame(centroids)
     src = _cell_assign(
         with_double_vec(corpus, vec_col).select(
@@ -1170,7 +1171,7 @@ def knn_graph(
         "src_id",
         1,
     )
-    return _graph_edges_float(src, k, mutual, max_block)
+    return _graph_edges_float(src, k, mutual, max_block, keep_cell)
 
 
 def _graph_edges_float(
@@ -1178,12 +1179,22 @@ def _graph_edges_float(
     k: int,
     mutual: bool,
     max_block: int | None,
+    keep_cell: bool = False,
 ) -> DataFrame:
     """The float-rung graph pairing tail over any (src_id, vec, vnorm,
     cell_id) assignment frame — the ONE copy ``knn_graph`` (primary
     IVF cells) and ``knn_graph_split`` (recursively refined cells)
     share, so the two can never diverge on scoring, ranking, tie-break
-    or the mutual-flag device."""
+    or the mutual-flag device. ``keep_cell`` threads the (shared)
+    cell_id of each within-cell pair into the output — it is the
+    self-join key, so the edge's cell is already in hand and a caller
+    that needs per-edge cells (the persisted edge-table build) avoids
+    re-joining the corpus-sized node->cell map afterwards; plain-path
+    only (the blocked join's replicated sides drop the column)."""
+    if keep_cell and (max_block is not None or mutual):
+        raise ValueError(
+            "keep_cell supports the plain non-mutual pairing only"
+        )
     if max_block is not None:
         # the blocked join reads the assigned frame THREE times (the
         # per-cell size count plus both replicated sides) — without a
@@ -1226,6 +1237,7 @@ def _graph_edges_float(
     scored = paired.filter(F.col("src_id") != F.col("dst_id")).select(
         "src_id",
         "dst_id",
+        *(["cell_id"] if keep_cell else []),
         F.when(
             pair_denom > 0,
             _dot(F.col("avec"), F.col("bvec")) / pair_denom,
@@ -1241,6 +1253,7 @@ def _graph_edges_float(
         return edges.select(
             "src_id",
             "dst_id",
+            *(["cell_id"] if keep_cell else []),
             F.round("cos_raw", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
@@ -1859,7 +1872,9 @@ def graph_adjacency(
     ).localCheckpoint(eager=True)
 
 
-def _undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
+def _undirect(
+    edges: DataFrame, dedup: bool = True, cells: bool = False
+) -> DataFrame:
     """(src_id, dst_id) -> deduplicated undirected (cand_id, nbr):
     each edge EXPLODES into itself + its reversal in one pass over
     the input, instead of a union of two branches — a union's
@@ -1874,23 +1889,36 @@ def _undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
     the duplicate key (cand_id, nbr) functionally determines src_cell,
     so hash(src_cell) partitioning already satisfies the distinct's
     clustering and the dedup runs partition-local on the write's OWN
-    shuffle (one exchange total, plan-verified)."""
+    shuffle (one exchange total, plan-verified).
+
+    ``cells=True`` expects (src_id, dst_id, src_cell, dst_cell) and
+    swaps the cell pair along with the id pair, emitting
+    (cand_id, nbr, src_cell, nbr_cell) — the edge-table build's
+    carry-the-cells shape (r16): each endpoint's cell rides the edge
+    from construction, so the build never joins the corpus-sized
+    node->cell map."""
+    fwd = [
+        F.col("src_id").alias("cand_id"),
+        F.col("dst_id").alias("nbr"),
+    ]
+    rev = [
+        F.col("dst_id").alias("cand_id"),
+        F.col("src_id").alias("nbr"),
+    ]
+    if cells:
+        fwd += [
+            F.col("src_cell").alias("src_cell"),
+            F.col("dst_cell").alias("nbr_cell"),
+        ]
+        rev += [
+            F.col("dst_cell").alias("src_cell"),
+            F.col("src_cell").alias("nbr_cell"),
+        ]
     exploded = (
         edges.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("src_id").alias("cand_id"),
-                        F.col("dst_id").alias("nbr"),
-                    ),
-                    F.struct(
-                        F.col("dst_id").alias("cand_id"),
-                        F.col("src_id").alias("nbr"),
-                    ),
-                )
-            ).alias("e")
+            F.explode(F.array(F.struct(*fwd), F.struct(*rev))).alias("e")
         )
-        .select("e.cand_id", "e.nbr")
+        .select("e.*")
     )
     return exploded.distinct() if dedup else exploded
 
@@ -1998,6 +2026,7 @@ def graph_adjacency_xcell(
     checkpoint: bool = True,
     protos: DataFrame | None = None,
     dedup: bool = True,
+    with_cells: bool = False,
 ) -> DataFrame:
     """``graph_adjacency`` plus the prototype-backbone long-range
     edges (``proto_cross_edges``) — the navigable-small-world edge
@@ -2017,7 +2046,58 @@ def graph_adjacency_xcell(
     persisted edge-table build) — a walk probes the frame per hop and
     must keep the default. ``dedup=False`` (build path) additionally
     defers the undirected-edge distinct to the caller's own shuffle
-    (see ``_undirect``)."""
+    (see ``_undirect``).
+
+    ``with_cells=True`` (build path, r16) returns
+    (cand_id, nbr, src_cell, nbr_cell) with the endpoint cells carried
+    FROM CONSTRUCTION instead of joined on afterwards: a within-cell
+    kNN edge's endpoints share the self-join's own cell key
+    (``knn_graph(keep_cell=)``), and a backbone edge's endpoints are
+    prototypes whose cells are the METADATA-sized ``protos`` frame —
+    so the persisted edge-table build needs zero joins against the
+    corpus-sized node->cell map (previously two shuffle joins of the
+    |corpus| x k edge list). Cell values are identical by
+    construction: the map the old joins consulted was derived from
+    exactly this assignment, and a cell's prototype is one of its own
+    members."""
+    if with_cells:
+        if protos is None:
+            protos = cell_prototypes(
+                corpus, centroids, id_col, vec_col, assigned=assigned
+            )
+        kedges = knn_graph(
+            corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
+            assigned=assigned, keep_cell=True,
+        ).select(
+            "src_id",
+            "dst_id",
+            F.col("cell_id").alias("src_cell"),
+            F.col("cell_id").alias("dst_cell"),
+        )
+        pmap = protos.select("prototype_id", "cell_id")
+        backbone = (
+            proto_cross_edges(
+                corpus, centroids, id_col, vec_col, m_cross,
+                assigned=assigned, protos=protos,
+            )
+            .join(
+                F.broadcast(pmap.select(
+                    F.col("prototype_id").alias("src_id"),
+                    F.col("cell_id").alias("src_cell"),
+                )),
+                "src_id",
+            )
+            .join(
+                F.broadcast(pmap.select(
+                    F.col("prototype_id").alias("dst_id"),
+                    F.col("cell_id").alias("dst_cell"),
+                )),
+                "dst_id",
+            )
+            .select("src_id", "dst_id", "src_cell", "dst_cell")
+        )
+        adj = _undirect(kedges.union(backbone), dedup=dedup, cells=True)
+        return adj.localCheckpoint(eager=True) if checkpoint else adj
     edges = knn_graph(
         corpus, centroids, id_col, vec_col, k=knn_k, mutual=False,
         assigned=assigned,

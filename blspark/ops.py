@@ -117,7 +117,7 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
-def local_relation(df: DataFrame, schema: str) -> DataFrame:
+def local_relation(df: DataFrame, schema: str, max_rows: int = 65536) -> DataFrame:
     """Materialize a METADATA-SIZED frame as a local relation: collect,
     sort for a deterministic row order, rebuild with an explicit
     schema. Severs lineage so every downstream branch reuses the rows
@@ -140,12 +140,26 @@ def local_relation(df: DataFrame, schema: str) -> DataFrame:
     column (NaN would arrive as NULL under Arrow, and NULL as NaN
     without it), so any frame carrying NaN/NULL in a top-level
     float/double field routes to the RDD path instead (slower,
-    semantics-preserving); likewise any type Arrow cannot convert."""
+    semantics-preserving); likewise any type Arrow cannot convert.
+
+    ``max_rows`` is a hard guard against misuse on corpus-sized
+    frames: the collect is capped at ``max_rows + 1`` rows and a
+    ``ValueError`` is raised if the input exceeds the bound, so an
+    oversized caller fails fast instead of pulling a corpus onto the
+    driver. The default (65536) is ~3 orders of magnitude above the
+    largest current caller (centroids k<=32, codebooks 16x256,
+    probed-cell maps) while still far below corpus scale."""
     import math
 
     from pyspark.sql.types import DoubleType, FloatType, _parse_datatype_string
 
-    rows = sorted(tuple(r) for r in df.collect())
+    rows = sorted(tuple(r) for r in df.limit(max_rows + 1).collect())
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"local_relation: input exceeds max_rows={max_rows}; this "
+            "helper is for metadata-sized frames (centroids, codebooks, "
+            "thresholds) — a corpus-sized frame must stay distributed"
+        )
     spark = df.sparkSession
     st = _parse_datatype_string(schema)
     float_idx = [

@@ -408,32 +408,18 @@ def graph_edge_table(spark: SparkSession, sf_dir: str) -> str:
         # (cand_id, nbr) functionally determines src_cell, so the
         # write's own shuffle already clusters the duplicate key and
         # the distinct runs partition-local (one exchange total, r15).
+        # with_cells=True (r16): endpoint cells ride the edges from
+        # construction (the kNN self-join's own cell key; prototype
+        # cells from the metadata protos frame), so the two shuffle
+        # joins of the |corpus| x k edge list against the node->cell
+        # map that used to follow are gone — the write's repartition
+        # is the build's only edge-list exchange.
         adj = graph_adjacency_xcell(
             emb, cents, knn_k=_KNN_K, m_cross=_GXX_M, assigned=assigned,
-            checkpoint=False, protos=protos, dedup=False,
+            checkpoint=False, protos=protos, dedup=False, with_cells=True,
         )
-        cell_map = assigned.select(F.col("aid").alias("nid"), "cell_id")
-        edges = (
-            adj.join(
-                cell_map.select(
-                    F.col("nid").alias("cand_id"),
-                    F.col("cell_id").alias("src_cell"),
-                ),
-                "cand_id",
-            )
-            .join(
-                cell_map.select(
-                    F.col("nid").alias("nbr"),
-                    F.col("cell_id").alias("nbr_cell"),
-                ),
-                "nbr",
-            )
-            .select(
-                F.col("cand_id").alias("node"),
-                "nbr",
-                "nbr_cell",
-                "src_cell",
-            )
+        edges = adj.select(
+            F.col("cand_id").alias("node"), "nbr", "nbr_cell", "src_cell"
         )
         (
             edges.repartition(F.col("src_cell"))

@@ -216,8 +216,9 @@ SELECT
     "prefix-only 5 is a subset of the 50-candidate shortlist, and "
     "the rerank keeps the true-score argmax 5-subset of that "
     "shortlist, so every truth member the prefix-only cut finds, the "
-    "rerank also keeps. Measured 8400 bp reranked vs 4400-5200 bp "
-    "prefix-only before pinning the 8000 floor — truncation "
+    "rerank also keeps. Measured 7600/9600 bp reranked (sf0.01/sf0.1) "
+    "vs 1600/3600 bp prefix-only before pinning the 7000 floor — "
+    "truncation "
     "shortlists well but orders poorly; the rescore does the ranking "
     "work (the same division of labor as the binary rung).",
 )

@@ -1029,7 +1029,71 @@ def bench_domain_quality(spark, factor: int) -> float:
     return dt
 
 
+def _amplified_sf_dir(spark, factor: int) -> str:
+    """Materialize an amplified embeddings corpus as an sf-dir twin.
+    The ONE sweep path that must write: the persisted-index serve
+    benches probe an ON-DISK table, and the layout machinery keys the
+    table per sf_dir — so the amplified corpus needs a directory
+    identity. Tiny at these row counts (sf0.1 embeddings x4 = 8k
+    rows); reused across benches within a run."""
+    if factor == 1:
+        return SF_DIR
+    out = f"/tmp/blspark_sweep_sf_x{factor}"
+    done = os.path.join(out, "_SWEEP_OK")
+    if not os.path.exists(done):
+        emb = amplify(
+            load_table(spark, SF_DIR, "embeddings"), "vec_id", factor,
+            1_000_000,
+        )
+        emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        open(done, "w").close()
+    return out
+
+
+def bench_graph_serve(spark, factor: int) -> float:
+    """Steady-state probe cost of the PERSISTED graph index as the
+    corpus grows: build the cell-partitioned edge table from the
+    amplified corpus UNTIMED (the build side is already swept by
+    graph_adaptive/knn_graph), then time exactly the serve path —
+    seed, 10 partition-pruned hop probes, exact rerank
+    (x_index_persist_graph_warm's charge). Per-hop IO is
+    |frontier cells|/|cells| of the edge bytes and per-query work is
+    O(seeds + hops*beam*degree), so wall should stay ~flat as the
+    corpus (and with it |cells| and edge bytes) grows."""
+    from blspark.catalog import registry
+
+    sfd = _amplified_sf_dir(spark, factor)
+    reg = registry()
+    reg["x_index_persist_graph"].spark_fn(spark, sfd).collect()  # build
+    t0 = time.perf_counter()
+    n = len(reg["x_index_persist_graph_warm"].spark_fn(spark, sfd).collect())
+    dt = time.perf_counter() - t0
+    print(f"  graph_serve x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_ivf_serve(spark, factor: int) -> float:
+    """Steady-state probe cost of the PERSISTED IVF-SQ8 index as the
+    corpus grows (x_index_persist_scan_warm's charge): untimed build,
+    then time the nprobe=2 partition-pruned scan + SQ8 rank. Probe IO
+    is nprobe/nlist of the index bytes — with fixed nlist the probed
+    fraction's bytes grow with the corpus but stay 2/|cells| of it;
+    wall should grow far slower than the corpus."""
+    from blspark.catalog import registry
+
+    sfd = _amplified_sf_dir(spark, factor)
+    reg = registry()
+    reg["x_index_persist_scan"].spark_fn(spark, sfd).collect()  # build
+    t0 = time.perf_counter()
+    n = len(reg["x_index_persist_scan_warm"].spark_fn(spark, sfd).collect())
+    dt = time.perf_counter() - t0
+    print(f"  ivf_serve x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
 BENCHES = {
+    "graph_serve": bench_graph_serve,
+    "ivf_serve": bench_ivf_serve,
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
     "ivfpq": bench_ivfpq,

@@ -192,3 +192,23 @@ def test_local_relation_is_jvm_local_and_preserves_nan_null(spark):
     assert math.isnan(got[1])
     assert got[2] is None
     assert got[3] == 1.5
+
+
+def test_local_relation_rejects_corpus_sized_input(spark):
+    """ops.local_relation is for metadata-sized frames only; the
+    max_rows guard must fail fast on an oversized input (collecting at
+    most max_rows + 1 rows, never the whole frame) instead of pulling
+    a corpus onto the driver (r15 verdict item: the helper previously
+    collected unconditionally)."""
+    import pytest
+
+    from blspark.ops import local_relation
+
+    big = spark.range(0, 100).selectExpr("id", "cast(id as double) as x")
+    with pytest.raises(ValueError, match="max_rows"):
+        local_relation(big, "id bigint, x double", max_rows=10)
+    # at exactly the bound it still works
+    ok = local_relation(
+        big.limit(10), "id bigint, x double", max_rows=10
+    )
+    assert ok.count() == 10
