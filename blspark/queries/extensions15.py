@@ -407,6 +407,7 @@ def _rescored_pairs(emb, queries, pairs: DataFrame) -> DataFrame:
 
 @register(
     "x_retrieval_rerank_blend",
+    bench=True,
     oracle=RERANK_BLEND_ORACLE,
     doc="Second-stage feature-blend reranker over the MRL prefix-ANN "
     "shortlist — the cross-encoder serving shape with a closed-form "
@@ -658,5 +659,143 @@ def x_rerank_blend_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"n_tp * 10000 div n_truth >= {_RRB_FLOOR}"
             ).alias("recall_hi_ok"),
             "ranks_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_retrieval_rrf — reciprocal-rank fusion of dense + lexical lists
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_LIST_K = 20  # per-signal list depth fused
+_RRF_K = 5
+
+RRF_ORACLE = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+),
+dense AS MATERIALIZED (
+  SELECT query_id, neighbor_id, CAST(r AS INT) AS dense_rank FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_sql("n.vec", "q.vec")} DESC,
+                      n.vec_id ASC) AS r
+    FROM vecs q JOIN vecs n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id >= 10 AND q.vec_id < 15) t
+  WHERE r <= {_RRF_LIST_K}
+),
+lex AS MATERIALIZED (
+  SELECT query_id, neighbor_id, CAST(r AS INT) AS lex_rank FROM (
+    SELECT qf.doc_id AS query_id, nf.doc_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qf.doc_id
+             ORDER BY len(list_intersect(qf.tok, nf.tok))
+                        / least(len(qf.tok), len(nf.tok)) DESC,
+                      nf.doc_id ASC) AS r
+    FROM feats qf JOIN feats nf ON nf.doc_id <> qf.doc_id
+    WHERE qf.doc_id >= 10 AND qf.doc_id < 15) t
+  WHERE r <= {_RRF_LIST_K}
+),
+fused AS (
+  SELECT query_id, neighbor_id, dense_rank, lex_rank,
+         COALESCE(1 / ({_RRF_C} + dense_rank), 0)
+           + COALESCE(1 / ({_RRF_C} + lex_rank), 0) AS rrf
+  FROM dense FULL OUTER JOIN lex USING (query_id, neighbor_id)
+)
+SELECT query_id, neighbor_id, dense_rank, lex_rank, rrf, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, neighbor_id ASC) AS INT) AS rank
+      FROM fused) t
+WHERE rank <= {_RRF_K}
+"""
+
+
+@register(
+    "x_retrieval_rrf",
+    oracle=RRF_ORACLE,
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, the standard "
+    "score-free hybrid-retrieval combiner): fuse a DENSE top-20 "
+    "(exact cosine) and a LEXICAL top-20 (distinct-token overlap "
+    "coefficient) per query by sum of 1/(60+rank), a list absent a "
+    "document contributing 0 — rank-based fusion needs no score "
+    "calibration between signals, which is why production hybrid "
+    "search defaults to it over score blending when the signals' "
+    "scales differ. Complements x_retrieval_hybrid (lexical recall "
+    "-> dense rerank) and x_retrieval_rerank_blend (calibrated score "
+    "blend): three fusion topologies, one grid. Determinism: ranks "
+    "are ints; 1/(60+r) is one exact IEEE division; the two-term sum "
+    "is order-pinned; ties broken by neighbor_id. Plan: queries "
+    "broadcast against each signal's corpus scan (no corpus "
+    "self-join), per-query windows on |Q| x N rows, full-outer "
+    "fusion join on two <= |Q| x 20 row lists.",
+)
+def x_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    dense = cosine_topk(emb, queries, k=_RRF_LIST_K).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    qf = feats.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 15)
+    ).select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok")
+    )
+    lex_score = F.size(F.array_intersect("qtok", "tok")) / F.least(
+        F.size("qtok"), F.size("tok")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("lexs"), F.asc("neighbor_id")
+    )
+    lex = (
+        feats.join(F.broadcast(qf), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            lex_score.alias("lexs"),
+        )
+        .withColumn("r", F.row_number().over(wlex))
+        .filter(F.col("r") <= _RRF_LIST_K)
+        .select(
+            "query_id", "neighbor_id", F.col("r").cast("int").alias("lex_rank")
+        )
+    )
+    fused = dense.join(
+        lex, ["query_id", "neighbor_id"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "dense_rank",
+        "lex_rank",
+        (
+            F.coalesce(
+                F.lit(1) / (F.lit(_RRF_C) + F.col("dense_rank")), F.lit(0)
+            )
+            + F.coalesce(
+                F.lit(1) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RRF_K)
+        .select(
+            "query_id", "neighbor_id", "dense_rank", "lex_rank", "rrf",
+            "rank",
         )
     )

@@ -10,7 +10,6 @@ refined-components + argmax-over-superset theorem)."""
 
 from __future__ import annotations
 
-import itertools
 import math
 
 from pyspark.sql import functions as F
@@ -217,3 +216,61 @@ def test_dedup_eval_pipeline_decisions_subset_of_truth(spark):
     # and the dup families actually collapsed: 3 families of 3 keep one
     # survivor each
     assert len(rem_truth) == 6
+
+
+def test_with_cells_adjacency_equals_cellmap_join(spark):
+    """The r16 cells-on-edges build shape (cells ride the edges from
+    construction) must produce EXACTLY the row set of the old shape
+    (undirected adjacency then two joins against the node->cell map) —
+    the equality the edge-table A/B checked once, pinned as CI."""
+    from blspark.ext.similarity import (
+        assign_corpus,
+        cell_prototypes,
+        graph_adjacency_xcell,
+    )
+
+    emb = _fixture(spark, n=40, dim=6)
+    cents = spark.createDataFrame(
+        [
+            (c, [float((((c + 1) * 11 + d * 3) % 13) - 6.0) for d in range(6)])
+            for c in range(3)
+        ],
+        "cell_id int, centroid array<double>",
+    )
+    assigned = assign_corpus(emb, cents).localCheckpoint(eager=True)
+    protos = cell_prototypes(emb, cents, assigned=assigned).select(
+        "cell_id", "prototype_id"
+    )
+    new = graph_adjacency_xcell(
+        emb, cents, knn_k=3, m_cross=2, assigned=assigned,
+        checkpoint=False, protos=protos, dedup=True, with_cells=True,
+    )
+    old_adj = graph_adjacency_xcell(
+        emb, cents, knn_k=3, m_cross=2, assigned=assigned,
+        checkpoint=False, protos=protos, dedup=True,
+    )
+    cell_map = assigned.select(F.col("aid").alias("nid"), "cell_id")
+    old = (
+        old_adj.join(
+            cell_map.select(
+                F.col("nid").alias("cand_id"),
+                F.col("cell_id").alias("src_cell"),
+            ),
+            "cand_id",
+        )
+        .join(
+            cell_map.select(
+                F.col("nid").alias("nbr"),
+                F.col("cell_id").alias("nbr_cell"),
+            ),
+            "nbr",
+        )
+        .select("cand_id", "nbr", "src_cell", "nbr_cell")
+    )
+    new_rows = sorted(
+        tuple(r)
+        for r in new.select("cand_id", "nbr", "src_cell", "nbr_cell")
+        .collect()
+    )
+    old_rows = sorted(tuple(r) for r in old.collect())
+    assert new_rows == old_rows and len(new_rows) > 0
