@@ -101,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     # registrations and the 17 explicitly-deferred r10-stale names
     # lead; the new round-16 registrations follow (so this round
     # does not mint fresh never-sampled debt); the remaining slots
-    # go to the 22 highest-complexity r11-stale names (streaming /
+    # go to the 21 highest-complexity r11-stale names (streaming /
     # graph / similarity / dedup / multimodal / index, where a
-    # silent regression would matter most). The other 28 r11 names
+    # silent regression would matter most). The other 29 r11 names
     # — headline queries re-proven every round by bench.py golden
     # paths plus low-risk built-in-SQL shapes — are EXPLICITLY
     # DEFERRED to round 17 and lead its budget. After this round
@@ -139,7 +139,8 @@ _PRIORITY: tuple[str, ...] = (
     "x_retrieval_rerank_blend",
     "x_rerank_blend_eval",
     "x_retrieval_rrf",
-    # r11-stale signed this round (22 of 50, highest-complexity):
+    "x_mixture_temperature",
+    # r11-stale signed this round (21 of 50, highest-complexity):
     "s_stream_negative_samples",
     "x_cells_split",
     "x_dedup_minhash_lsh",
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "x_kmeans_checked",
     "x_kmeans_clusters",
     "x_knn_graph_capped",
-    "x_knn_graph_split",
     "x_multimodal_decode",
     "x_retrieval_graph_expand",
     "x_retrieval_graph_expand_warm",
@@ -163,12 +163,14 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ivf",
     "x_similarity_ivf_checked",
     # r11-stale DEFERRED to round 17 (explicit; they lead round
-    # 17's budget — 28 names; x_multimodal_decode_checked and
-    # x_knn_graph_components_warm yielded their slots to the third and
-    # fourth round-16 registrations; their base queries
-    # (x_multimodal_decode, x_knn_graph_components r15) are signed):
+    # 17's budget — 29 names; x_multimodal_decode_checked,
+    # x_knn_graph_components_warm and x_knn_graph_split yielded their
+    # slots to the third/fourth/fifth round-16 registrations; their
+    # base queries (x_multimodal_decode, x_knn_graph_components r15,
+    # x_knn_graph r15) are signed):
     "x_multimodal_decode_checked",
     "x_knn_graph_components_warm",
+    "x_knn_graph_split",
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

@@ -799,3 +799,156 @@ def x_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_mixture_temperature — temperature-based source mixture allocation
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000  # documents allocated across sources
+# alpha = 0.5: weight = n^0.5 = SQRT(n) — the multilingual-pretraining
+# temperature device (T5/mT5's alpha-exponent source reweighting) with
+# the one exponent expressible as a correctly-rounded IEEE op (SQRT),
+# so the weights hash-compare bitwise; other alphas need POW (1-ulp,
+# banned by the numeric policy).
+
+MIXTURE_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n, SQRT(CAST(n AS DOUBLE)) AS w FROM counts
+),
+tot AS (
+  SELECT list_sum(list(w ORDER BY source)) AS total FROM wts
+),
+based AS (
+  SELECT source, n,
+         CAST(FLOOR({_MIX_BUDGET} * w / total) AS INT) AS base,
+         {_MIX_BUDGET} * w / total
+           - FLOOR({_MIX_BUDGET} * w / total) AS frac
+  FROM wts, tot
+),
+remcnt AS (
+  SELECT {_MIX_BUDGET} - SUM(base) AS rem FROM based
+),
+alloc AS (
+  SELECT source, n,
+         base + CASE WHEN ROW_NUMBER() OVER (
+             ORDER BY frac DESC, source ASC)
+           <= (SELECT rem FROM remcnt) THEN 1 ELSE 0 END AS alloc
+  FROM based
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+  FROM documents
+),
+sel AS (
+  SELECT d.source, d.doc_id
+  FROM ranked d JOIN alloc a ON a.source = d.source AND d.r <= a.alloc
+)
+SELECT a.source, CAST(a.n AS INT) AS n_docs, CAST(a.alloc AS INT) AS alloc,
+       CAST(a.alloc * 10000 // {_MIX_BUDGET} AS BIGINT) AS share_bp,
+       CAST(COUNT(s.doc_id) AS INT) AS n_selected,
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT) AS sum_sel_ids
+FROM alloc a LEFT JOIN sel s ON s.source = a.source
+GROUP BY a.source, a.n, a.alloc
+"""
+
+
+@register(
+    "x_mixture_temperature",
+    oracle=MIXTURE_ORACLE,
+    doc="Temperature-based training-mixture allocation (the T5/mT5 "
+    "alpha-exponent source reweighting, alpha=0.5): per-source "
+    "sampling weight n^0.5 flattens the natural distribution so "
+    "small sources are over-represented relative to their share "
+    "without drowning large ones; a fixed 1000-doc budget is "
+    "allocated by largest-remainder rounding (floor + the remainder "
+    "docs to the largest fractional parts, source tie-break) and "
+    "each source's quota is filled by deterministic hash-min "
+    "selection (md5(doc_id) order — the grid's sampling device). "
+    "Complements x_mixture_epochs (integer replication rebalancing) "
+    "and x_source_cap_topk (hard caps): the temperature knob is the "
+    "standard shape for multilingual/multi-domain pretraining mixes. "
+    "Determinism: SQRT is a correctly-rounded IEEE op; the weight "
+    "total folds in source order (list_sum(list ORDER BY) / "
+    "F.aggregate over array_sort — the maxsim device); allocation is "
+    "integer math on exact doubles. Plan: counts and the allocation "
+    "table are |sources| rows (broadcast everywhere); the selection "
+    "is one per-source window over the corpus — one shuffle on "
+    "source; at 100 TB swap the full sort for the per-source "
+    "quality-histogram threshold if a single source outgrows a task "
+    "(the documented domain-balance escape).",
+)
+def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    wts = counts.withColumn("w", F.sqrt(F.col("n").cast("double")))
+    tot = wts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("total")
+    )
+    alloc_raw = F.lit(_MIX_BUDGET) * F.col("w") / F.col("total")
+    based = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.floor(alloc_raw).cast("int"))
+        .withColumn(
+            "frac", alloc_raw - F.floor(alloc_raw).cast("double")
+        )
+        .select("source", "n", "base", "frac")
+    )
+    remcnt = based.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base")).alias("rem")
+    )
+    wrem = Window.orderBy(F.desc("frac"), F.asc("source"))
+    alloc = (
+        based.crossJoin(F.broadcast(remcnt))
+        .withColumn("rr", F.row_number().over(wrem))
+        .select(
+            "source",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("rem"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    wsel = Window.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    sel = (
+        docs.select("source", "doc_id")
+        .withColumn("r", F.row_number().over(wsel))
+        .join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("r") <= F.col("alloc"))
+        .select("source", "doc_id")
+    )
+    return (
+        alloc.join(sel, "source", "left")
+        .groupBy("source", "n", "alloc")
+        .agg(
+            F.count("doc_id").cast("int").alias("n_selected"),
+            F.coalesce(F.sum("doc_id"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_sel_ids"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n_docs"),
+            F.col("alloc").cast("int").alias("alloc"),
+            F.expr(
+                f"CAST(alloc * 10000 div {_MIX_BUDGET} AS BIGINT)"
+            ).alias("share_bp"),
+            "n_selected",
+            "sum_sel_ids",
+        )
+    )

@@ -274,3 +274,46 @@ def test_with_cells_adjacency_equals_cellmap_join(spark):
     )
     old_rows = sorted(tuple(r) for r in old.collect())
     assert new_rows == old_rows and len(new_rows) > 0
+
+
+def test_mixture_temperature_budget_and_flattening(spark, tmp_path):
+    """x_mixture_temperature's two defining properties on a skewed
+    corpus: the largest-remainder allocation spends EXACTLY the 1000
+    budget, and alpha=0.5 FLATTENS the mix — every pair of sources has
+    an allocation ratio strictly between 1 and their natural-count
+    ratio (sqrt compresses ratios), so small sources are
+    over-represented without overtaking large ones."""
+    import shutil
+
+    from blspark.catalog import registry
+
+    sf = tmp_path / "sfmix"
+    sf.mkdir()
+    rows = []
+    did = 0
+    for src, cnt in (("a", 400), ("b", 100), ("c", 25)):
+        for _ in range(cnt):
+            rows.append((did, f"w{did} text", "en", src, 10))
+            did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in registry()["x_mixture_temperature"]
+        .spark_fn(spark, str(sf))
+        .collect()
+    }
+    assert sum(r["alloc"] for r in out.values()) == 1000
+    # flattened: alloc ratio strictly inside (1, natural ratio)
+    for hi, lo in (("a", "b"), ("b", "c"), ("a", "c")):
+        nat = out[hi]["n_docs"] / out[lo]["n_docs"]
+        got = out[hi]["alloc"] / out[lo]["alloc"]
+        assert 1.0 < got < nat, (hi, lo, got, nat)
+    # quotas capped by source size; here every alloc > n (budget 1000
+    # over 525 docs), so n_selected == n_docs for every source
+    for r in out.values():
+        assert r["n_selected"] == min(r["alloc"], r["n_docs"])
+    shutil.rmtree(sf, ignore_errors=True)
