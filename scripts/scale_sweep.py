@@ -1091,9 +1091,201 @@ def bench_ivf_serve(spark, factor: int) -> float:
     return dt
 
 
+def _amplified_pair(spark, factor: int):
+    """Embeddings + documents amplified with the SAME id stride so the
+    doc_id = vec_id feature join still matches per replica."""
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", factor,
+        1_000_000,
+    )
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents"), "doc_id", factor,
+        1_000_000, text_col="text",
+    )
+    return emb, docs
+
+
+def bench_rerank_blend(spark, factor: int) -> float:
+    """Feature-blend second-stage rerank as the corpus grows: the
+    prefix-shortlist stage scans the growing corpus (linear term); the
+    blend rerank touches a FIXED |Q| x 50 pair list — flat."""
+    from pyspark.sql import Window
+
+    from blspark.ext.similarity import mrl_prefix_ranked
+    from blspark.queries.extensions15 import (
+        _blend_cols,
+        _rescored_pairs,
+    )
+
+    emb, docs = _amplified_pair(spark, factor)
+    t0 = time.perf_counter()
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    short = (
+        mrl_prefix_ranked(emb, queries, 32)
+        .filter(F.col("prank") <= 50)
+        .select("query_id", "neighbor_id")
+    )
+    feats = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("tok"),
+        "n_chars",
+    )
+    qfe = feats.select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"),
+        F.col("n_chars").alias("qn"),
+    )
+    nfe = feats.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("tok").alias("ntok"),
+        F.col("n_chars").alias("nn"),
+    )
+    blended = _blend_cols(
+        _rescored_pairs(emb, queries, short)
+        .join(F.broadcast(qfe), "query_id")
+        .join(nfe, "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blend"), F.asc("neighbor_id")
+    )
+    n = (
+        blended.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  rerank_blend x{factor}: {dt:.2f}s ({n} rows)", flush=True)
+    return dt
+
+
+def bench_rrf(spark, factor: int) -> float:
+    """Reciprocal-rank fusion as the corpus grows: each signal is a
+    broadcast-queries scan + per-query window (linear in corpus); the
+    fusion join touches two fixed |Q| x 20 lists — flat."""
+    from pyspark.sql import Window
+
+    emb, docs = _amplified_pair(spark, factor)
+    t0 = time.perf_counter()
+    from blspark.ext.similarity import cosine_topk
+
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    dense = cosine_topk(emb, queries, k=20).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    feats = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tok")
+    )
+    qf = feats.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 15)
+    ).select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("lexs"), F.asc("neighbor_id")
+    )
+    lex = (
+        feats.join(F.broadcast(qf), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("doc_id").alias("neighbor_id"),
+            (
+                F.size(F.array_intersect("qtok", "tok"))
+                / F.least(F.size("qtok"), F.size("tok"))
+            ).alias("lexs"),
+        )
+        .withColumn("r", F.row_number().over(wlex))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "neighbor_id",
+                F.col("r").cast("int").alias("lex_rank"))
+    )
+    fused = dense.join(lex, ["query_id", "neighbor_id"], "full_outer")
+    n = fused.count()
+    dt = time.perf_counter() - t0
+    print(f"  rrf x{factor}: {dt:.2f}s ({n} fused)", flush=True)
+    return dt
+
+
+def bench_dedup_eval(spark, factor: int) -> float:
+    """End-to-end dedup DECISION contract as the corpus grows: both
+    pipelines (LSH and exact truth) over the amplified corpus — the
+    replica suffix tokens keep replicas from pairing across copies, so
+    truth pairs grow ~linearly with the planted families and the
+    inverted-index term stays shingle-table-bounded."""
+    from blspark.catalog import registry
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents"), "doc_id", factor,
+        1_000_000, text_col="text",
+    )
+    import blspark.queries.extensions as ext
+
+    orig = ext._corpus
+
+    def patched(spark_, sf_dir_, wide=False):
+        return docs.select("doc_id", "text")
+
+    import blspark.queries.extensions15 as e15
+
+    e15_corpus = e15._corpus
+    ext._corpus = patched
+    e15._corpus = patched
+    try:
+        t0 = time.perf_counter()
+        row = registry()["x_dedup_eval"].spark_fn(spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+    finally:
+        ext._corpus = orig
+        e15._corpus = e15_corpus
+    r = row[0]
+    print(
+        f"  dedup_eval x{factor}: {dt:.2f}s (pair_recall_bp "
+        f"{r['pair_recall_bp']}, doc_recall_bp {r['doc_recall_bp']})",
+        flush=True,
+    )
+    return dt
+
+
+def bench_mixture(spark, factor: int) -> float:
+    """Temperature mixture as rows grow with the SOURCE set fixed —
+    the per-source selection window is the only corpus-sized stage
+    (the domain_quality axis); allocation math is |sources| rows."""
+    from pyspark.sql import Window
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents"), "doc_id", factor,
+        1_000_000, text_col="text",
+    )
+    t0 = time.perf_counter()
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    wts = counts.withColumn("w", F.sqrt(F.col("n").cast("double")))
+    tot = wts.agg(F.sum("w").alias("total"))
+    alloc = (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(F.lit(1000) * F.col("w") / F.col("total"))
+            .cast("int")
+            .alias("alloc"),
+        )
+    )
+    wsel = Window.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    n = (
+        docs.select("source", "doc_id")
+        .withColumn("r", F.row_number().over(wsel))
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("r") <= F.col("alloc"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  mixture x{factor}: {dt:.2f}s ({n} selected)", flush=True)
+    return dt
+
+
 BENCHES = {
     "graph_serve": bench_graph_serve,
     "ivf_serve": bench_ivf_serve,
+    "rerank_blend": bench_rerank_blend,
+    "rrf": bench_rrf,
+    "dedup_eval": bench_dedup_eval,
+    "mixture": bench_mixture,
     "exact_dedup": bench_exact_dedup,
     "pq_adc": bench_pq_adc,
     "ivfpq": bench_ivfpq,
