@@ -681,3 +681,78 @@ def test_mrl_matches_bruteforce_python(spark, vecs):
         for rank, (i, _) in enumerate(rer[:k], start=1):
             expect[(qi, rank)] = i
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# temperature-mixture allocation (round 16)
+# ---------------------------------------------------------------------------
+
+mix_counts = st.lists(
+    st.integers(min_value=1, max_value=500), min_size=1, max_size=8
+)
+
+
+@SLOW
+@given(counts=mix_counts)
+def test_mixture_allocation_spends_exact_budget(spark, counts):
+    """Largest-remainder allocation over ANY source distribution
+    spends exactly the budget, every per-source allocation is within
+    1 of its unrounded share, and the sqrt weighting preserves the
+    count ORDER (a strictly larger source never gets a smaller
+    allocation than a strictly smaller one, up to the +1 remainder
+    grain). Mirrors x_mixture_temperature's allocation stage against
+    a pure-Python largest-remainder model."""
+    import math as m
+
+    from pyspark.sql import Window
+
+    sources = [f"s{i:02d}" for i in range(len(counts))]
+    rows = [(s, int(n)) for s, n in zip(sources, counts)]
+    wts = spark.createDataFrame(rows, "source string, n long").withColumn(
+        "w", F.sqrt(F.col("n").cast("double"))
+    )
+    tot = wts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("total")
+    )
+    alloc_raw = F.lit(1000) * F.col("w") / F.col("total")
+    based = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.floor(alloc_raw).cast("int"))
+        .withColumn("frac", alloc_raw - F.floor(alloc_raw).cast("double"))
+    )
+    remcnt = based.agg((F.lit(1000) - F.sum("base")).alias("rem"))
+    wrem = Window.orderBy(F.desc("frac"), F.asc("source"))
+    got = {
+        r["source"]: r["alloc"]
+        for r in based.crossJoin(F.broadcast(remcnt))
+        .withColumn("rr", F.row_number().over(wrem))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("rem"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .collect()
+    }
+    assert sum(got.values()) == 1000
+    # python model of the unrounded share
+    ws = {s: m.sqrt(n) for s, n in rows}
+    total = 0.0
+    for s in sorted(ws):
+        total += ws[s]
+    for s, n in rows:
+        share = 1000 * ws[s] / total
+        assert m.floor(share) <= got[s] <= m.floor(share) + 1
+    # order preservation up to the remainder grain
+    for sa, na in rows:
+        for sb, nb in rows:
+            if na > nb:
+                assert got[sa] >= got[sb] - 1
