@@ -101,11 +101,12 @@ _PRIORITY: tuple[str, ...] = (
     # registrations and the 17 explicitly-deferred r10-stale names
     # lead; the new round-16 registrations follow (so this round
     # does not mint fresh never-sampled debt); the remaining slots
-    # go to the 21 highest-complexity r11-stale names (streaming /
+    # go to the 16 highest-complexity r11-stale names (streaming /
     # graph / similarity / dedup / multimodal / index, where a
-    # silent regression would matter most). The other 29 r11 names
+    # silent regression would matter most). The other 34 r11 names
     # — headline queries re-proven every round by bench.py golden
-    # paths plus low-risk built-in-SQL shapes — are EXPLICITLY
+    # paths, low-risk built-in-SQL shapes, and checked/warm/capped
+    # variants whose base queries are freshly signed — are EXPLICITLY
     # DEFERRED to round 17 and lead its budget. After this round
     # the staleness floor moves r10 -> r11.
     # never driver-sampled, registered r15 (7):
@@ -140,11 +141,15 @@ _PRIORITY: tuple[str, ...] = (
     "x_rerank_blend_eval",
     "x_retrieval_rrf",
     "x_mixture_temperature",
-    # r11-stale signed this round (21 of 50, highest-complexity):
+    "x_dedup_prefix_join",
+    "x_prefix_join_eval",
+    "x_classify_nb",
+    "x_nb_eval",
+    "x_retrieval_phrase",
+    # r11-stale signed this round (16 of 50, highest-complexity):
     "s_stream_negative_samples",
     "x_cells_split",
     "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
     "x_dedup_pipeline_lsh",
     "x_dedup_simhash",
     "x_dedup_span_removal",
@@ -152,25 +157,31 @@ _PRIORITY: tuple[str, ...] = (
     "x_incremental_agg_refresh",
     "x_index_persist_scan",
     "x_kcore_prune",
-    "x_kmeans_checked",
     "x_kmeans_clusters",
-    "x_knn_graph_capped",
     "x_multimodal_decode",
     "x_retrieval_graph_expand",
-    "x_retrieval_graph_expand_warm",
     "x_similarity_ann_lsh",
     "x_similarity_cosine_topk",
     "x_similarity_ivf",
-    "x_similarity_ivf_checked",
     # r11-stale DEFERRED to round 17 (explicit; they lead round
-    # 17's budget — 29 names; x_multimodal_decode_checked,
+    # 17's budget — 34 names; x_multimodal_decode_checked,
     # x_knn_graph_components_warm and x_knn_graph_split yielded their
-    # slots to the third/fourth/fifth round-16 registrations; their
-    # base queries (x_multimodal_decode, x_knn_graph_components r15,
-    # x_knn_graph r15) are signed):
+    # slots to the third/fourth/fifth round-16 registrations, and
+    # x_dedup_ngram_jaccard / x_kmeans_checked / x_knn_graph_capped /
+    # x_retrieval_graph_expand_warm / x_similarity_ivf_checked to the
+    # five continuation registrations (checked/warm/capped variants
+    # whose base queries are in this round's prefix or r15-signed,
+    # plus ngram_jaccard whose inverted-index machinery the new
+    # x_dedup_prefix_join differential exercises end-to-end against
+    # brute-force truth this round):
     "x_multimodal_decode_checked",
     "x_knn_graph_components_warm",
     "x_knn_graph_split",
+    "x_dedup_ngram_jaccard",
+    "x_kmeans_checked",
+    "x_knn_graph_capped",
+    "x_retrieval_graph_expand_warm",
+    "x_similarity_ivf_checked",
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

@@ -1,0 +1,170 @@
+"""Model-based text classification: multinomial Naive Bayes, trained
+and served entirely as DataFrame plans — the ladder's first operator
+that FITS a model (the fastText-style "train a cheap classifier, score
+the corpus" quality/language-filter shape from CCNet/FineWeb-class
+pipelines), with no driver-side math and no UDFs.
+
+Determinism contract (the catalog numeric policy): no logs. Class
+scores are likelihood RATIOS against a fixed reference class, folded
+as an ORDERED product over token positions — the DSIR device
+(ext/sampling.dsir_importance). Raw per-class likelihoods of a
+100-token document underflow doubles (~1e-2 per token -> ~1e-200);
+the ratio per token is O(1), so the product stays in range for any
+document whose summed |ln ratio| is under ~709 (the DSIR doc-length
+bound — chunk or hash-sample tokens beyond ~2-3k). Every division is
+pinned (int->double casts, then one divide), the fold starts at 1.0,
+and the prior multiplies once at the end — so the per-(doc, class)
+score is bitwise identical across engines and partitionings, and the
+argmax (score DESC, class ASC) matches exactly.
+
+Scale shape (100 TB): training is two count passes over exploded train
+tokens (map-side partial aggregation; only (token, class) pairs
+shuffle, never text). The model is |vocab| x k rows — broadcast under
+the autoBroadcast threshold, else a token-keyed shuffle join. Scoring
+joins test tokens to the model once and folds per (doc, class); the
+k-way token fan-out is fine for small k (languages), and for large k
+the documented escape is one ratio-ARRAY per vocab row folded with an
+elementwise zip_with product (k doubles per token, no row fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nb_predictions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_split: int = 5,
+    test_bucket: int = 0,
+) -> DataFrame:
+    """Fit multinomial NB (Laplace-smoothed) on the md5-hash train
+    split and predict the held-out split. Returns (doc_id, true_lang,
+    pred_lang) for every held-out document.
+
+    Split: md5_bucket(id) % n_split == test_bucket is held out — the
+    shared deterministic entity-hash device (ext/dedup.md5_bucket), so
+    train membership is a pure function of the id in both engines.
+    Reference class = MIN(label) over train (deterministic); the
+    majority/priors enter through one exact double ratio n_c/n_ref."""
+    from blspark.ext.dedup import md5_bucket
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        F.split(F.col(text_col), " ").alias("w"),
+        md5_bucket(F.col(id_col).cast("string"), n_split).alias("_bkt"),
+    )
+    train = base.filter(F.col("_bkt") != test_bucket)
+    test = base.filter(F.col("_bkt") == test_bucket)
+
+    ttok = train.select("lang", F.explode("w").alias("tok"))
+    cnt = ttok.groupBy("tok", "lang").agg(F.count("*").alias("c"))
+    tot = ttok.groupBy("lang").agg(F.count("*").alias("tc"))
+    vocab = ttok.select("tok").distinct()
+    vn = vocab.agg(F.count("*").alias("v"))
+    nd = train.groupBy("lang").agg(F.count("*").alias("ndc"))
+    refl = train.agg(F.min("lang").alias("rl"))
+    refs = (
+        tot.join(F.broadcast(refl), F.col("lang") == F.col("rl"))
+        .join(nd.select(F.col("lang").alias("_l"), "ndc"),
+              F.col("lang") == F.col("_l"))
+        .select(F.col("tc").alias("rtc"), F.col("ndc").alias("rnd"))
+    )
+    # per-class constants: smoothed unseen-token ratio (computed with
+    # the SAME division sequence as the model formula at c = 0, so an
+    # out-of-vocab token and a vocab token unseen in class c can never
+    # diverge by op order) and the prior ratio
+    unseen = (
+        F.lit(1).cast("double") / (F.col("tc") + F.col("v")).cast("double")
+    ) / (
+        F.lit(1).cast("double") / (F.col("rtc") + F.col("v")).cast("double")
+    )
+    classes = (
+        tot.join(nd, "lang")
+        .crossJoin(F.broadcast(refs))
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "lang",
+            "tc",
+            "rtc",
+            "v",
+            unseen.alias("unseen"),
+            (F.col("ndc").cast("double") / F.col("rnd").cast("double"))
+            .alias("prior_ratio"),
+        )
+    )
+    cref = cnt.join(F.broadcast(refl), F.col("lang") == F.col("rl")).select(
+        "tok", F.col("c").alias("cr")
+    )
+    ratio = (
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("tc") + F.col("v")).cast("double")
+    ) / (
+        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+        / (F.col("rtc") + F.col("v")).cast("double")
+    )
+    model = (
+        vocab.crossJoin(classes.select("lang", "tc", "rtc", "v"))
+        .join(cnt, ["tok", "lang"], "left")
+        .join(cref, "tok", "left")
+        .select("tok", "lang", ratio.alias("ratio"))
+    )
+
+    ttok2 = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.posexplode("w").alias("pos", "tok"),
+    )
+    scored_tok = (
+        ttok2.crossJoin(
+            F.broadcast(
+                classes.select(
+                    F.col("lang").alias("cls"), "unseen", "prior_ratio"
+                )
+            )
+        )
+        .join(
+            model.select(
+                "tok", F.col("lang").alias("cls"), "ratio"
+            ),
+            ["tok", "cls"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            "pos",
+            F.coalesce(F.col("ratio"), F.col("unseen")).alias("r"),
+            "prior_ratio",
+        )
+    )
+    folded = (
+        scored_tok.groupBy("doc_id", "true_lang", "cls", "prior_ratio")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "r"))),
+                    lambda s: s["r"],
+                ),
+                F.lit(1.0).cast("double"),
+                lambda acc, x: acc * x,
+            ).alias("prod")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (F.col("prod") * F.col("prior_ratio")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        folded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"))
+    )

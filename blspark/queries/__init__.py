@@ -26,4 +26,5 @@ import blspark.queries.extensions12  # noqa: F401
 import blspark.queries.extensions13  # noqa: F401
 import blspark.queries.extensions14  # noqa: F401
 import blspark.queries.extensions15  # noqa: F401
+import blspark.queries.extensions16  # noqa: F401
 import blspark.queries.streaming_q  # noqa: F401
