@@ -1029,6 +1029,138 @@ def bench_domain_quality(spark, factor: int) -> float:
     return dt
 
 
+def bench_prefix_join(spark, factor: int) -> float:
+    """Prefix-filtered exact similarity join with DISJOINT per-replica
+    vocabularies (every token suffixed with its replica id): the
+    amplify text suffix alone is NOT enough here — a 0.6 Jaccard
+    threshold still pairs a doc with its suffixed replicas (two
+    trailing tokens on an 80-token doc leave J ~ 0.9), which grows the
+    OUTPUT ~factor^2 and measures data semantics, not the plan (the
+    containment-sweep signature, measured 256 -> 6024 pairs at x2
+    before this re-keying). Token re-keying models the real growth
+    axis — new content, not clones: qualifying pairs scale ~linearly,
+    df-per-shingle stays flat, and the wall measures the df pass +
+    prefix window + prefix self-join + bounded verify."""
+    from blspark.ext.dedup import prefix_filter_pairs, word_shingles
+
+    docs = (
+        amplify(
+            load_table(spark, SF_DIR, "documents").select(
+                "doc_id", "text"
+            ),
+            "doc_id",
+            factor,
+            1_000_000,
+        )
+        .withColumn(
+            "_rs", F.expr("CAST(doc_id div 1000000 AS STRING)")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("_rs")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    sh = word_shingles(docs, "doc_id", "text")
+    n = prefix_filter_pairs(sh).count()
+    dt = time.perf_counter() - t0
+    print(f"  prefix_join x{factor}: {dt:.2f}s ({n} pairs)", flush=True)
+    return dt
+
+
+def bench_classify_nb(spark, factor: int) -> float:
+    """NB train+score end-to-end: token-count model fit grows linearly
+    with train tokens; scoring is the model join + per-(doc,class)
+    fold. Class count fixed (5 langs) — the k-fan-out axis is flat."""
+    from blspark.ext.classify import nb_predictions
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    )
+    t0 = time.perf_counter()
+    n = nb_predictions(docs).count()
+    dt = time.perf_counter() - t0
+    print(f"  classify_nb x{factor}: {dt:.2f}s ({n} preds)", flush=True)
+    return dt
+
+
+def bench_phrase(spark, factor: int) -> float:
+    """Positional phrase retrieval with the corpus growing and the
+    query set fixed (replica-0 docs 10-14): postings volume grows
+    linearly; the term-filtered probes should stay proportional to the
+    query words' postings, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = amplify(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id",
+        factor,
+        1_000_000,
+        text_col="text",
+    ).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    t0 = time.perf_counter()
+    post = docs.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    q = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("w")[0].alias("w1"),
+            F.col("w")[1].alias("w2"),
+            F.col("w")[2].alias("w3"),
+        )
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("tok").alias("tok2"),
+    )
+    p3 = post.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("pos3"),
+        F.col("tok").alias("tok3"),
+    )
+    m = (
+        post.join(F.broadcast(q), post.tok == q.w1)
+        .join(
+            p2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("tok2") == F.col("w2")),
+        )
+        .join(
+            p3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("pos3") == F.col("pos") + 2)
+            & (F.col("tok3") == F.col("w3")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    n = (
+        m.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(f"  phrase x{factor}: {dt:.2f}s ({n} hits)", flush=True)
+    return dt
+
+
 def _amplified_sf_dir(spark, factor: int) -> str:
     """Materialize an amplified embeddings corpus as an sf-dir twin.
     The ONE sweep path that must write: the persisted-index serve
@@ -1323,6 +1455,9 @@ BENCHES = {
     "dsir": bench_dsir,
     "containment": bench_containment,
     "domain_quality": bench_domain_quality,
+    "prefix_join": bench_prefix_join,
+    "classify_nb": bench_classify_nb,
+    "phrase": bench_phrase,
 }
 
 
