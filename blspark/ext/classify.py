@@ -33,23 +33,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def nb_predictions(
+def _nb_split(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    label_col: str = "lang",
-    n_split: int = 5,
-    test_bucket: int = 0,
-) -> DataFrame:
-    """Fit multinomial NB (Laplace-smoothed) on the md5-hash train
-    split and predict the held-out split. Returns (doc_id, true_lang,
-    pred_lang) for every held-out document.
-
-    Split: md5_bucket(id) % n_split == test_bucket is held out — the
-    shared deterministic entity-hash device (ext/dedup.md5_bucket), so
-    train membership is a pure function of the id in both engines.
-    Reference class = MIN(label) over train (deterministic); the
-    majority/priors enter through one exact double ratio n_c/n_ref."""
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_split: int,
+    test_bucket: int,
+):
+    """(train, test) frames under the shared md5_bucket hash split —
+    train membership is a pure function of the id in both engines."""
     from blspark.ext.dedup import md5_bucket
 
     base = docs.select(
@@ -58,9 +51,17 @@ def nb_predictions(
         F.split(F.col(text_col), " ").alias("w"),
         md5_bucket(F.col(id_col).cast("string"), n_split).alias("_bkt"),
     )
-    train = base.filter(F.col("_bkt") != test_bucket)
-    test = base.filter(F.col("_bkt") == test_bucket)
+    return (
+        base.filter(F.col("_bkt") != test_bucket),
+        base.filter(F.col("_bkt") == test_bucket),
+    )
 
+
+def _nb_model(train: DataFrame):
+    """(classes, model) for a train split: ``classes`` = one row per
+    label with the smoothed unseen-token ratio and the prior ratio;
+    ``model`` = (tok, lang, ratio) over vocab x labels. Every division
+    pinned — see module doc."""
     ttok = train.select("lang", F.explode("w").alias("tok"))
     cnt = ttok.groupBy("tok", "lang").agg(F.count("*").alias("c"))
     tot = ttok.groupBy("lang").agg(F.count("*").alias("tc"))
@@ -113,6 +114,28 @@ def nb_predictions(
         .join(cref, "tok", "left")
         .select("tok", "lang", ratio.alias("ratio"))
     )
+    return classes, model
+
+
+def nb_predictions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_split: int = 5,
+    test_bucket: int = 0,
+) -> DataFrame:
+    """Fit multinomial NB (Laplace-smoothed) on the md5-hash train
+    split and predict the held-out split. Returns (doc_id, true_lang,
+    pred_lang) for every held-out document.
+
+    Split: md5_bucket(id) % n_split == test_bucket is held out.
+    Reference class = MIN(label) over train (deterministic); the
+    priors enter through one exact double ratio n_c/n_ref."""
+    train, test = _nb_split(
+        docs, id_col, text_col, label_col, n_split, test_bucket
+    )
+    classes, model = _nb_model(train)
 
     ttok2 = test.select(
         "doc_id",
@@ -167,4 +190,88 @@ def nb_predictions(
         folded.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"))
+    )
+
+
+def nb_model_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_split: int = 5,
+    test_bucket: int = 0,
+) -> DataFrame:
+    """The NB model packed for MAP-SIDE serving: ONE row with
+    ``langs`` (labels, sorted ascending), ``priors`` / ``unseens``
+    (per-label doubles in that order) and ``tokmap``
+    (map<token, array<double>> of per-label ratios in the same
+    order) — the documented "large k" shape (one ratio array per
+    vocab row, no per-class row fan-out) and the streaming-serving
+    shape: broadcast-joined under a constant key, scoring becomes a
+    pure per-row expression with NO aggregation, so a stream scores
+    in append mode with no state store."""
+    train, _test = _nb_split(
+        docs, id_col, text_col, label_col, n_split, test_bucket
+    )
+    classes, model = _nb_model(train)
+    carr = classes.agg(
+        F.array_sort(
+            F.collect_list(F.struct("lang", "prior_ratio", "unseen"))
+        ).alias("_c")
+    ).select(
+        F.transform("_c", lambda s: s["lang"]).alias("langs"),
+        F.transform("_c", lambda s: s["prior_ratio"]).alias("priors"),
+        F.transform("_c", lambda s: s["unseen"]).alias("unseens"),
+    )
+    tmap = (
+        model.groupBy("tok")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "ratio"))),
+                lambda s: s["ratio"],
+            ).alias("rarr")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "rarr"))
+            ).alias("tokmap")
+        )
+    )
+    return carr.crossJoin(tmap)
+
+
+def nb_score_mapside(docs: DataFrame, model_row: DataFrame) -> DataFrame:
+    """Score (doc_id, lang, w) rows against an ``nb_model_arrays`` row
+    joined in under a constant key (stream-static inner equi-join —
+    broadcastable, legal on a streaming left side). Per row: look each
+    token up in the map (missing -> the unseen array), fold the ratio
+    arrays elementwise with zip_with multiply from a 1.0 array, then
+    multiply by the priors — PER LABEL this performs the exact multiply
+    sequence of ``nb_predictions``'s per-(doc, class) fold, so scores
+    are bitwise identical; the argmax (first index of the max, labels
+    pre-sorted ascending) matches its (score DESC, class ASC)
+    row_number. Returns (doc_id, true_lang, pred_lang)."""
+    joined = docs.withColumn("_k", F.lit(1)).join(
+        F.broadcast(model_row.withColumn("_k", F.lit(1))), "_k"
+    )
+    rs = F.transform(
+        "w",
+        lambda t: F.coalesce(
+            F.element_at(F.col("tokmap"), t), F.col("unseens")
+        ),
+    )
+    init = F.transform(
+        F.col("langs"), lambda _: F.lit(1.0).cast("double")
+    )
+    folded = F.aggregate(
+        rs, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: a * b)
+    )
+    scores = F.zip_with(folded, F.col("priors"), lambda a, b: a * b)
+    return joined.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.element_at(
+            F.col("langs"),
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        ).alias("pred_lang"),
     )

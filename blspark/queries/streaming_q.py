@@ -1338,3 +1338,63 @@ def s_stream_index_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("d").cast("int").alias("d"), "val")
     name = run_available_now(out, output_mode="append")
     return spark.table(name)
+
+
+def _nb_stream_oracle() -> str:
+    from blspark.queries.extensions16 import _nb_chain_sql
+
+    return f"""
+WITH {_nb_chain_sql()}
+SELECT doc_id, true_lang, pred_lang FROM pred
+"""
+
+
+@register(
+    "s_stream_classify_nb",
+    oracle=_nb_stream_oracle(),
+    doc="Streaming NB model SERVING — the train-offline/score-online "
+    "production shape: the Naive Bayes model is fit from the static "
+    "batch table's train split and packed as ONE broadcastable row "
+    "(labels + priors + unseen ratios + a token->ratio-array map, "
+    "ext/classify.nb_model_arrays); arriving documents (file-arrival "
+    "source over documents.parquet, planted-marker transform and the "
+    "md5 hash split applied map-side in-stream, held-out bucket kept) "
+    "score as a PURE PER-ROW expression — token map lookups folded "
+    "with zip_with multiply, priors applied last, argmax = first "
+    "index of the max over ascending labels — NO aggregation, no "
+    "state store, plain append mode. Per label the multiply sequence "
+    "is exactly nb_predictions' per-(doc,class) fold, so streamed "
+    "predictions hash-match the batch scorer (pinned bitwise in "
+    "tests/test_prefix_nb_phrase.py) and the full oracle. At 100 TB "
+    "the model row rides the broadcast and each executor scores its "
+    "arrivals independently — model-serving throughput scales with "
+    "the stream, not the corpus.",
+)
+def s_stream_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.classify import nb_model_arrays, nb_score_mapside
+    from blspark.ext.dedup import md5_bucket
+    from blspark.queries.extensions16 import _NB_SPLIT, _nb_corpus
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=doc_schema, glob="documents.parquet"
+    )
+    # planted-marker transform + hash split, map-side in-stream
+    # (mirrors extensions16._nb_corpus + ext/classify._nb_split)
+    planted = stream.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 4 != 3,
+            F.concat(F.col("text"), F.lit(" mk"), F.col("lang")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    test = planted.filter(
+        md5_bucket(F.col("doc_id").cast("string"), _NB_SPLIT) == 0
+    ).select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+    model_row = nb_model_arrays(_nb_corpus(spark, sf_dir), n_split=_NB_SPLIT)
+    scored = nb_score_mapside(test, model_row)
+    name = run_available_now(scored, output_mode="append")
+    return spark.table(name)

@@ -276,3 +276,28 @@ def test_phrase_counts_match_token_scan(spark):
         assert got_q == sorted(di for di, _ in naive)
         # the query doc itself contains its own phrase at position 0
         assert want_counts[(qi, qi)] >= 1
+
+
+def test_nb_mapside_matches_batch(spark):
+    """The map-side array scorer (the streaming-serving path) predicts
+    bitwise-identically to the per-(doc,class) fold scorer on the same
+    model and split — the parity s_stream_classify_nb rests on."""
+    from blspark.ext.classify import (
+        _nb_split,
+        nb_model_arrays,
+        nb_predictions,
+        nb_score_mapside,
+    )
+    from blspark.queries.extensions16 import _nb_corpus
+
+    docs = _nb_corpus(spark, SF_SMOKE)
+    batch = {
+        r.doc_id: (r.true_lang, r.pred_lang)
+        for r in nb_predictions(docs).collect()
+    }
+    _train, test = _nb_split(docs, "doc_id", "text", "lang", 5, 0)
+    got = {
+        r.doc_id: (r.true_lang, r.pred_lang)
+        for r in nb_score_mapside(test, nb_model_arrays(docs)).collect()
+    }
+    assert got == batch and len(got) > 50
