@@ -75,6 +75,9 @@ R13B_SET = R13_SET + (
 )
 R13C_SET = R13B_SET + ("x_similarity_ivf_binary",)
 R15_SET = R13C_SET + ("x_similarity_mrl",)
+R16_SET = R15_SET + (
+    "x_retrieval_rerank_blend", "x_dedup_prefix_join", "x_classify_nb",
+)
 # The persisted-cache queries (LSH/dedup family): their cold sum is
 # the headline cold-path evidence.
 LSH_SET = (
@@ -89,7 +92,7 @@ BASES = (
     ("r7_25", R7_SET), ("r8_26", R8_SET), ("r10_28", R10_SET),
     ("r10_30", R10B_SET), ("r10_33", R10C_SET), ("r11_40", R11_SET),
     ("r12_44", R12_SET), ("r13_47", R13_SET), ("r13b_49", R13B_SET),
-    ("r13c_50", R13C_SET), ("r15_51", R15_SET),
+    ("r13c_50", R13C_SET), ("r15_51", R15_SET), ("r16_54", R16_SET),
 )
 _SETS = dict(BASES)
 _SETS["lsh"] = LSH_SET

@@ -101,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     # registrations and the 17 explicitly-deferred r10-stale names
     # lead; the new round-16 registrations follow (so this round
     # does not mint fresh never-sampled debt); the remaining slots
-    # go to the 15 highest-complexity r11-stale names (streaming /
+    # go to the 14 highest-complexity r11-stale names (streaming /
     # graph / similarity / dedup / multimodal / index, where a
-    # silent regression would matter most). The other 35 r11 names
+    # silent regression would matter most). The other 36 r11 names
     # — headline queries re-proven every round by bench.py golden
     # paths, low-risk built-in-SQL shapes, and checked/warm/capped
     # variants whose base queries are freshly signed — are EXPLICITLY
@@ -147,12 +147,12 @@ _PRIORITY: tuple[str, ...] = (
     "x_nb_eval",
     "x_retrieval_phrase",
     "s_stream_classify_nb",
-    # r11-stale signed this round (15 of 50, highest-complexity):
+    "x_generate_ngram",
+    # r11-stale signed this round (14 of 50, highest-complexity):
     "s_stream_negative_samples",
     "x_cells_split",
     "x_dedup_minhash_lsh",
     "x_dedup_pipeline_lsh",
-    "x_dedup_simhash",
     "x_dedup_span_removal",
     "x_graph_expand_eval",
     "x_incremental_agg_refresh",
@@ -164,18 +164,20 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ann_lsh",
     "x_similarity_ivf",
     # r11-stale DEFERRED to round 17 (explicit; they lead round
-    # 17's budget — 35 names; x_multimodal_decode_checked,
+    # 17's budget — 36 names; x_multimodal_decode_checked,
     # x_knn_graph_components_warm and x_knn_graph_split yielded their
     # slots to the third/fourth/fifth round-16 registrations, and
     # x_dedup_ngram_jaccard / x_kmeans_checked / x_knn_graph_capped /
     # x_retrieval_graph_expand_warm / x_similarity_ivf_checked /
-    # x_similarity_cosine_topk to the six continuation registrations
-    # (checked/warm/capped variants whose base queries are in this
-    # round's prefix or r15-signed; ngram_jaccard's inverted-index
-    # machinery is exercised end-to-end by the new x_dedup_prefix_join
-    # differential against brute-force truth this round; cosine_topk
-    # is the truth-side subroutine of every *_eval recall contract in
-    # the prefix, so a silent regression there fails those floors):
+    # x_similarity_cosine_topk / x_dedup_simhash to the seven
+    # continuation registrations (checked/warm/capped variants whose
+    # base queries are in this round's prefix or r15-signed;
+    # ngram_jaccard's inverted-index machinery is exercised end-to-end
+    # by the new x_dedup_prefix_join differential against brute-force
+    # truth this round; cosine_topk is the truth-side subroutine of
+    # every *_eval recall contract in the prefix, so a silent
+    # regression there fails those floors; simhash's 64-bit + banded-
+    # hamming variants are r14-fresh):
     "x_multimodal_decode_checked",
     "x_knn_graph_components_warm",
     "x_knn_graph_split",
@@ -185,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_retrieval_graph_expand_warm",
     "x_similarity_ivf_checked",
     "x_similarity_cosine_topk",
+    "x_dedup_simhash",
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

@@ -717,3 +717,118 @@ def x_retrieval_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PH_K)
         .select("query_id", "phrase", "doc_id", "n_matches", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_generate_ngram — greedy bigram-LM synthetic text generation
+# ---------------------------------------------------------------------------
+
+_GEN_STEPS = 12  # continuation tokens generated per seed
+
+GENERATE_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT u.a AS tok, u.b AS nxt FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+           i -> struct_pack(a := w[i], b := w[i+1]))) AS u
+    FROM toks WHERE len(w) >= 2) t
+),
+bgc AS (SELECT tok, nxt, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+nxt AS MATERIALIZED (
+  SELECT tok, nxt AS next_tok FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY tok
+        ORDER BY c DESC, nxt ASC) AS rn
+    FROM bgc) t
+  WHERE rn = 1
+),
+seeds AS (
+  SELECT doc_id AS seed_id, w[1] AS seed FROM toks
+  WHERE doc_id >= 10 AND doc_id < 15 AND len(w) >= 1
+),
+gen(seed_id, step, tok) AS (
+  SELECT seed_id, 0, seed FROM seeds
+  UNION ALL
+  SELECT g.seed_id, g.step + 1, n.next_tok
+  FROM gen g JOIN nxt n ON n.tok = g.tok
+  WHERE g.step < {_GEN_STEPS}
+)
+SELECT seed_id, CAST(step AS INT) AS step, tok FROM gen
+"""
+
+
+@register(
+    "x_generate_ngram",
+    oracle=GENERATE_ORACLE,
+    doc="Deterministic synthetic-text generation — greedy decode from "
+    "a corpus-fit bigram LM (the synthetic-data stage of a training "
+    "pipeline, with argmax decoding standing in for sampling so the "
+    "output is a pure function of the corpus): the model is the "
+    "argmax next-token per token (count DESC, token ASC — integers "
+    "and strings only, no floats anywhere), packed as ONE broadcast "
+    "map row; each seed (first token of docs 10-14, the grid's "
+    "query-id convention) extends by 12 chained map lookups built as "
+    "a per-row expression — element_at into the broadcast map, "
+    "appending until the chain hits a token with no continuation "
+    "(trailing NULLs filtered = the oracle's recursive join simply "
+    "not matching). Cycles are fine: generation is step-bounded. "
+    "Scale: the model fit is one bigram count pass + one per-token "
+    "argmax; generation is MAP-SIDE per seed — throughput scales "
+    "with the number of sequences requested, not the corpus, and a "
+    "billion-seed generation job is embarrassingly parallel under "
+    "the same broadcast.",
+)
+def x_generate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    seeds = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 15) & (F.size("w") >= 1)
+    ).select(F.col("doc_id").alias("seed_id"), F.col("w")[0].alias("seed"))
+    return generate_greedy(docs, seeds, _GEN_STEPS)
+
+
+def generate_greedy(docs: DataFrame, seeds: DataFrame, steps: int):
+    """Greedy bigram-LM decode: fit the argmax next-token map on
+    ``docs`` (doc_id, w token-array), extend each (seed_id, seed) by
+    ``steps`` chained lookups, truncating at the first dead-end token
+    (one with no outgoing bigram). Returns (seed_id, step, tok)."""
+    n_bg = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = docs.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n_bg),
+                F.slice("w", 2, n_bg),
+                lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
+            )
+        ).alias("p")
+    ).select("p.tok", "p.nxt")
+    bgc = pairs.groupBy("tok", "nxt").agg(F.count("*").alias("c"))
+    wn = Window.partitionBy("tok").orderBy(F.desc("c"), F.asc("nxt"))
+    nxt = (
+        bgc.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("tok", F.col("nxt").alias("next_tok"))
+    )
+    nmap = nxt.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "next_tok"))
+        ).alias("nmap")
+    )
+    gen = seeds.crossJoin(F.broadcast(nmap))
+    arr = F.array(F.col("seed"))
+    for _ in range(steps):
+        arr = F.concat(
+            arr,
+            F.array(F.element_at(F.col("nmap"), F.element_at(arr, -1))),
+        )
+    return (
+        gen.select(
+            "seed_id",
+            F.posexplode(
+                F.filter(arr, lambda x: x.isNotNull())
+            ).alias("step", "tok"),
+        )
+        .select("seed_id", F.col("step").cast("int").alias("step"), "tok")
+    )

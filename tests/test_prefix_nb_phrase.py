@@ -301,3 +301,79 @@ def test_nb_mapside_matches_batch(spark):
         for r in nb_score_mapside(test, nb_model_arrays(docs)).collect()
     }
     assert got == batch and len(got) > 50
+
+
+# ---------------------------------------------------------------------------
+# Greedy n-gram generation
+# ---------------------------------------------------------------------------
+
+
+def _py_greedy(docs, seeds, steps):
+    """Pure-Python greedy bigram decode: argmax next by (count desc,
+    token asc); chains truncate at dead-end tokens."""
+    from collections import Counter
+
+    cnt = Counter()
+    for w in docs.values():
+        for a, b in zip(w, w[1:]):
+            cnt[(a, b)] += 1
+    nxt = {}
+    for (a, b), c in sorted(
+        cnt.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])
+    ):
+        nxt.setdefault(a, b)
+    out = {}
+    for sid, seed in seeds.items():
+        chain = [seed]
+        for _ in range(steps):
+            t = nxt.get(chain[-1])
+            if t is None:
+                break
+            chain.append(t)
+        out[sid] = chain
+    return out
+
+
+def test_generate_matches_python_model(spark):
+    from blspark.catalog import load_table, registry
+
+    q = registry()["x_generate_ngram"]
+    rows = q.spark_fn(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    seeds = {i: docs[i][0] for i in range(10, 15)}
+    want = _py_greedy(docs, seeds, 12)
+    got = {}
+    for r in rows:
+        got.setdefault(r.seed_id, {})[r.step] = r.tok
+    assert set(got) == set(want)
+    for sid, chain in want.items():
+        assert [got[sid][s] for s in sorted(got[sid])] == chain
+
+
+def test_generate_dead_end_truncates(spark):
+    """A chain reaching a token with no outgoing bigram stops there —
+    both the trailing-NULL filter (Spark) and the recursive join
+    (oracle) encode the same semantics."""
+    from blspark.queries.extensions16 import generate_greedy
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "z"]), (2, ["b", "z"])],
+        "doc_id long, w array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "q")], "seed_id long, seed string"
+    )
+    got = {
+        (r.seed_id, r.step): r.tok
+        for r in generate_greedy(docs, seeds, 5).collect()
+    }
+    # a -> b -> z (z is a dead end); q is out-of-vocab: seed only
+    assert got == {
+        (1, 0): "a",
+        (1, 1): "b",
+        (1, 2): "z",
+        (2, 0): "q",
+    }
