@@ -101,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     # registrations and the 17 explicitly-deferred r10-stale names
     # lead; the new round-16 registrations follow (so this round
     # does not mint fresh never-sampled debt); the remaining slots
-    # go to the 14 highest-complexity r11-stale names (streaming /
+    # go to the 13 highest-complexity r11-stale names (streaming /
     # graph / similarity / dedup / multimodal / index, where a
-    # silent regression would matter most). The other 36 r11 names
+    # silent regression would matter most). The other 37 r11 names
     # — headline queries re-proven every round by bench.py golden
     # paths, low-risk built-in-SQL shapes, and checked/warm/capped
     # variants whose base queries are freshly signed — are EXPLICITLY
@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_retrieval_phrase",
     "s_stream_classify_nb",
     "x_generate_ngram",
-    # r11-stale signed this round (14 of 50, highest-complexity):
+    "x_dedup_prefix_incremental",
+    # r11-stale signed this round (13 of 50, highest-complexity):
     "s_stream_negative_samples",
     "x_cells_split",
-    "x_dedup_minhash_lsh",
     "x_dedup_pipeline_lsh",
     "x_dedup_span_removal",
     "x_graph_expand_eval",
@@ -164,7 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ann_lsh",
     "x_similarity_ivf",
     # r11-stale DEFERRED to round 17 (explicit; they lead round
-    # 17's budget — 36 names; x_multimodal_decode_checked,
+    # 17's budget — 37 names; x_multimodal_decode_checked,
     # x_knn_graph_components_warm and x_knn_graph_split yielded their
     # slots to the third/fourth/fifth round-16 registrations, and
     # x_dedup_ngram_jaccard / x_kmeans_checked / x_knn_graph_capped /
@@ -177,7 +177,8 @@ _PRIORITY: tuple[str, ...] = (
     # truth this round; cosine_topk is the truth-side subroutine of
     # every *_eval recall contract in the prefix, so a silent
     # regression there fails those floors; simhash's 64-bit + banded-
-    # hamming variants are r14-fresh):
+    # hamming variants are r14-fresh; minhash_lsh is a strict
+    # subcomponent of the pipeline_lsh machinery kept in the prefix):
     "x_multimodal_decode_checked",
     "x_knn_graph_components_warm",
     "x_knn_graph_split",
@@ -188,6 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ivf_checked",
     "x_similarity_cosine_topk",
     "x_dedup_simhash",
+    "x_dedup_minhash_lsh",
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

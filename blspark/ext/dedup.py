@@ -411,6 +411,93 @@ def prefix_filter_pairs(
     )
 
 
+def prefix_filter_pairs_incremental(
+    sh_base: DataFrame,
+    sh_new: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Incremental EXACT similarity join: every (new, base) pair with
+    Jaccard >= t_num/t_den, via asymmetric prefix filtering — the
+    exact-path counterpart of the LSH incremental dedup
+    (x_dedup_incremental_lsh): arriving documents are joined against
+    an indexed corpus without re-pairing the corpus with itself.
+
+    The global token order is FROZEN on the base side (df over
+    ``sh_base`` only; tokens unseen in the base get df = 0, i.e.
+    rarest) — the production shape, where the corpus index stores its
+    prefixes once and arrivals are ranked under the index's order.
+    The prefix theorem needs only that BOTH sides use one consistent
+    total order, so exactness is unaffected by the freeze (the order
+    being stale merely shifts WHICH tokens land in prefixes —
+    candidate volume drifts with vocabulary drift, which is why
+    production rebuilds the df snapshot on the refresh cadence, the
+    index-refresh-delta convention).
+
+    Returns (id_new, id_base, n_new, n_base, n_common, jaccard); same
+    integer threshold math as ``prefix_filter_pairs``. One base-df
+    pass (amortized: the index stores it), per-side prefix windows,
+    a prefix-on-prefix join whose left side is ONLY the arrival
+    batch, and exact verification of candidates — at 100 TB the
+    corpus-sized work is the (prunable, bucketed-by-token) index
+    probe, never a corpus self-join."""
+    from pyspark.sql import Window
+
+    dfreq = sh_base.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    def prefixed(sh: DataFrame, id_alias: str, n_alias: str) -> DataFrame:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+        plen = (
+            F.col("n")
+            - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}")
+            + F.lit(1)
+        )
+        return (
+            sh.join(dfreq, "shingle", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "id")
+            .filter(F.col("pos") <= plen)
+            .select(
+                F.col("id").alias(id_alias),
+                "shingle",
+                F.col("n").alias(n_alias),
+            )
+        )
+
+    pn = prefixed(sh_new, "id_new", "n_new")
+    pb = prefixed(sh_base, "id_base", "n_base")
+    cand = (
+        pn.join(pb, "shingle")
+        .filter(
+            F.lit(t_den) * F.least("n_new", "n_base")
+            >= F.lit(t_num) * F.greatest("n_new", "n_base")
+        )
+        .select("id_new", "id_base", "n_new", "n_base")
+        .distinct()
+    )
+    sa = sh_new.select(F.col("id").alias("id_new"), "shingle")
+    sb = sh_base.select(F.col("id").alias("id_base"), "shingle")
+    inter = (
+        cand.join(sa, "id_new")
+        .join(sb, ["id_base", "shingle"])
+        .groupBy("id_new", "id_base", "n_new", "n_base")
+        .agg(F.count("*").alias("n_common"))
+    )
+    union_n = F.col("n_new") + F.col("n_base") - F.col("n_common")
+    return inter.filter(
+        F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * union_n
+    ).select(
+        "id_new",
+        "id_base",
+        "n_new",
+        "n_base",
+        "n_common",
+        (F.col("n_common") / union_n).alias("jaccard"),
+    )
+
+
 def containment_pairs(
     shingles: DataFrame,
     min_containment: float = 0.0,

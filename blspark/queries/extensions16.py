@@ -48,8 +48,9 @@ like the rest of the dedup/similarity/text grid.
 
 NEW REGISTRATIONS (round 16, continuation): inserted into the
 catalog._PRIORITY round-16 group so the driver signs them this round
-(no fresh never-sampled debt); five more r11-stale names yield their
-slots and join the round-17 deferral list.
+(no fresh never-sampled debt); an equal number of r11-stale names
+(variants of freshly-signed bases) yield their slots and join the
+round-17 deferral list — the running tally lives in catalog.py.
 """
 
 from __future__ import annotations
@@ -832,3 +833,57 @@ def generate_greedy(docs: DataFrame, seeds: DataFrame, steps: int):
         )
         .select("seed_id", F.col("step").cast("int").alias("step"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_prefix_incremental — exact incremental dedup join
+# ---------------------------------------------------------------------------
+
+PREFIX_INCR_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{SHINGLES_SQL},
+{_SIZES_SQL},
+xinter AS (
+  SELECT a.id AS id_new, b.id AS id_base, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.id % 3 <> 0 AND b.id % 3 = 0
+  GROUP BY 1, 2
+)
+SELECT i.id_new, i.id_base, sa.n AS n_new, sb.n AS n_base, i.n_common,
+       i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+FROM xinter i
+JOIN sizes sa ON sa.id = i.id_new
+JOIN sizes sb ON sb.id = i.id_base
+WHERE {_PF_DEN} * i.n_common
+        >= {_PF_NUM} * (sa.n + sb.n - i.n_common)
+"""
+
+
+@register(
+    "x_dedup_prefix_incremental",
+    oracle=PREFIX_INCR_ORACLE,
+    doc="Incremental EXACT similarity join — the exact-path counterpart "
+    "of x_dedup_incremental_lsh (same base = doc_id%3==0 / new = rest "
+    "split over the planted corpus): arriving documents join against "
+    "the indexed base via ASYMMETRIC prefix filtering under the "
+    "index's FROZEN token order (base-side df; unseen tokens rank "
+    "rarest) — the prefix theorem needs only one consistent total "
+    "order across both sides, so exactness survives the freeze, and "
+    "the corpus never self-pairs. The ORACLE is the brute-force "
+    "cross-boundary inverted index, so the differential re-proves "
+    "asymmetric losslessness at every SF. At 100 TB the base's "
+    "prefixes and df snapshot live in the persisted index (bucketed "
+    "by token), each arrival batch probes partition-pruned, and the "
+    "df snapshot rebuilds on the refresh cadence as vocabulary "
+    "drifts. ext/dedup.prefix_filter_pairs_incremental.",
+)
+def x_dedup_prefix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.dedup import (
+        prefix_filter_pairs_incremental,
+        word_shingles,
+    )
+
+    sh = word_shingles(_corpus(spark, sf_dir, wide=True), "doc_id", "text")
+    sh_base = sh.filter(F.col("id") % 3 == 0)
+    sh_new = sh.filter(F.col("id") % 3 != 0)
+    return prefix_filter_pairs_incremental(sh_base, sh_new, _PF_NUM, _PF_DEN)

@@ -377,3 +377,63 @@ def test_generate_dead_end_truncates(spark):
         (1, 2): "z",
         (2, 0): "q",
     }
+
+
+def test_prefix_incremental_equals_brute_force_corpus(spark):
+    """Asymmetric prefix join under the FROZEN base-side order equals
+    brute-force cross-boundary Jaccard at sf0.001 (same split as
+    x_dedup_incremental_lsh: base = id%3==0, new = rest)."""
+    from blspark.ext.dedup import (
+        prefix_filter_pairs_incremental,
+        word_shingles,
+    )
+    from blspark.queries.extensions import _corpus
+
+    sh = word_shingles(_corpus(spark, SF_SMOKE), "doc_id", "text")
+    got = {
+        (r.id_new, r.id_base): r.n_common
+        for r in prefix_filter_pairs_incremental(
+            sh.filter(F.col("id") % 3 == 0),
+            sh.filter(F.col("id") % 3 != 0),
+        ).collect()
+    }
+    sets = {
+        r.id: set(r.shset)
+        for r in sh.groupBy("id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .collect()
+    }
+    want = {}
+    for a in sets:
+        if a % 3 == 0:
+            continue
+        for b in sets:
+            if b % 3 != 0:
+                continue
+            o = len(sets[a] & sets[b])
+            if o and 5 * o >= 3 * (len(sets[a]) + len(sets[b]) - o):
+                want[(a, b)] = o
+    assert got == want
+    assert len(got) > 0
+
+
+def test_prefix_incremental_unseen_tokens(spark):
+    """New-side documents whose shingles are absent from the base
+    vocabulary (frozen df = 0) still join exactly: an identical
+    new/base pair over base-known tokens is found, and an all-unseen
+    new doc pairs with nothing."""
+    from blspark.ext.dedup import prefix_filter_pairs_incremental
+
+    base = _sh_frame(spark, {10: ["s1", "s2", "s3", "s4", "s5"]})
+    new = _sh_frame(
+        spark,
+        {
+            1: ["s1", "s2", "s3", "s4", "x9"],  # J = 4/6 >= 0.6
+            2: ["u1", "u2", "u3", "u4", "u5"],  # all unseen: no pair
+        },
+    )
+    got = {
+        (r.id_new, r.id_base): r.n_common
+        for r in prefix_filter_pairs_incremental(base, new).collect()
+    }
+    assert got == {(1, 10): 4}
