@@ -887,3 +887,204 @@ def x_dedup_prefix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_base = sh.filter(F.col("id") % 3 == 0)
     sh_new = sh.filter(F.col("id") % 3 != 0)
     return prefix_filter_pairs_incremental(sh_base, sh_new, _PF_NUM, _PF_DEN)
+
+
+# ---------------------------------------------------------------------------
+# x_embed_pca_power — distributed PCA (covariance + power iteration)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+
+def _pca_chain_sql() -> str:
+    """The PCA oracle CTE chain, mirroring ext/linalg step for step:
+    DECIMAL(18,9)-quantized exact moments (the q_regression_stats
+    device), pinned covariance arithmetic, and a recursive-CTE power
+    iteration whose matvec/norm folds run in index order from 0.0 —
+    bitwise-matching Spark's zip_with/aggregate folds."""
+    from blspark.catalog import o_d2d
+
+    d = _PCA_DIM
+    matvec = (
+        "list_transform(cmat.C, row -> list_reduce("
+        "list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), jj -> row[jj] * it.v[jj])), "
+        "(a, b) -> a + b))"
+    )
+    return f"""vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+comp AS (
+  -- exact power-of-two quantization: x * 2^40 never rounds, FLOOR is
+  -- unambiguous, the integral double casts to DECIMAL(18,0) exactly
+  -- (a double->DECIMAL(18,9) cast rounds differently across engines
+  -- on some inputs — the sf0.1 lesson in ext/linalg's module doc);
+  -- precision 19 puts DuckDB's multiply on the int128 path (dstd
+  -- gotcha: DECIMAL(18) products overflow int64)
+  SELECT vec_id, CAST(t.i AS INT) AS i,
+         CAST(FLOOR(v[t.i + 1] * CAST(1099511627776 AS DOUBLE))
+              AS DECIMAL(19,0)) AS qx
+  FROM vecs, range(0, {d}) t(i)
+),
+sc AS (SELECT CAST(1099511627776 AS DOUBLE) AS s1x,
+              CAST(1099511627776 AS DOUBLE)
+                * CAST(1099511627776 AS DOUBLE) AS s2x),
+mom AS (
+  SELECT a.i AS i, b.i AS j, {o_d2d("SUM(a.qx * b.qx)")} AS s
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+sums AS (SELECT i, {o_d2d("SUM(qx)")} AS s1 FROM comp GROUP BY i),
+nn AS (SELECT COUNT(*) AS n FROM vecs),
+upper_ AS (
+  SELECT m.i, m.j,
+         (m.s / nn.n) / sc.s2x
+           - ((si.s1 / nn.n) / sc.s1x) * ((sj.s1 / nn.n) / sc.s1x)
+           AS cov
+  FROM mom m
+  JOIN sums si ON si.i = m.i
+  JOIN sums sj ON sj.i = m.j
+  CROSS JOIN nn
+  CROSS JOIN sc
+),
+fullm AS (
+  SELECT i, j, cov FROM upper_
+  UNION ALL
+  SELECT j, i, cov FROM upper_ WHERE i <> j
+),
+crow AS (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+cmat AS (SELECT list(row ORDER BY i) AS C FROM crow),
+it(step, v) AS (
+  SELECT 0, list_transform(range(0, {d}), x -> CAST(1.0 AS DOUBLE))
+  UNION ALL
+  SELECT it.step + 1,
+         list_transform({matvec}, x -> x / SQRT(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform({matvec}, y -> y * y)), (a, b) -> a + b)))
+  FROM it, cmat
+  WHERE it.step < {_PCA_ITERS}
+),
+fin AS (SELECT v FROM it WHERE step = {_PCA_ITERS})"""
+
+
+PCA_ORACLE = f"""
+WITH RECURSIVE {_pca_chain_sql()}
+SELECT CAST(t.i AS INT) AS dim, v[t.i + 1] AS loading
+FROM fin, range(0, {_PCA_DIM}) t(i)
+"""
+
+
+@register(
+    "x_embed_pca_power",
+    oracle=PCA_ORACLE,
+    bench=True,
+    doc="Distributed PCA over the embedding corpus — the whitening / "
+    "dominant-direction stage of an embedding pipeline, as DataFrame "
+    "plans end to end: ONE exact-decimal covariance pass (components "
+    "quantized to DECIMAL(18,9), the q_regression_stats device; "
+    "d(d+1)/2 = 2080 moment groups shuffle map-side-combined, "
+    "INDEPENDENT of corpus size) then 8 fixed power-iteration steps "
+    "on the one-row 64x64 matrix (localCheckpoint per step — the "
+    "pagerank lineage device; matvec and norm fold in index order "
+    "from 0.0, SQRT is the one correctly-rounded transcendental, so "
+    "the 64 loadings hash-compare BITWISE against the oracle's "
+    "recursive CTE). No convergence test by design — a float "
+    "comparison would be a hidden determinism hazard; x_pca_eval "
+    "prices convergence via the Rayleigh quotient. "
+    "ext/linalg.covariance_matrix + power_top_eigen.",
+)
+def x_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.linalg import covariance_matrix, power_top_eigen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "embedding", _PCA_DIM)
+    top = power_top_eigen(cov, _PCA_DIM, _PCA_ITERS)
+    return top.select(
+        F.posexplode("v").alias("dim", "loading")
+    ).select(F.col("dim").cast("int").alias("dim"), "loading")
+
+
+# Floors pinned AFTER measuring at sf0.001 / sf0.01 / sf0.1:
+# var_explained_bp 261/262/195 against the isotropic mean share of
+# 10000/64 = 156 bp — the synthetic embeddings are near-isotropic, so
+# the top component only modestly exceeds the mean; what the contract
+# certifies is structural soundness, not a big spectrum gap: the
+# Rayleigh quotient of ANY unit vector is a LOWER bound on the true
+# top eigenvalue, so var_explained_bp is a certified lower bound on
+# the true top-component share, and the iterate's RQ is monotonically
+# non-decreasing over power steps for a PSD matrix. norm_err measured
+# ~2-4e-16 (one normalization from exact folds).
+_PCA_VAR_FLOOR = 150
+
+PCA_EVAL_ORACLE = f"""
+WITH RECURSIVE {_pca_chain_sql()},
+ray AS (
+  SELECT
+    CAST((SELECT n FROM nn) AS INT) AS n_vecs,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, {_PCA_DIM + 1}), i -> cmat.C[i][i])),
+      (a, b) -> a + b) AS trace,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, {_PCA_DIM + 1}), i -> fin.v[i] *
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, {_PCA_DIM + 1}),
+                         jj -> cmat.C[i][jj] * fin.v[jj])),
+          (a, b) -> a + b))),
+      (a, b) -> a + b) AS eigenvalue,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(fin.v, y -> y * y)), (a, b) -> a + b) AS vnorm2
+  FROM fin, cmat
+)
+SELECT n_vecs, trace, eigenvalue,
+       CAST(FLOOR(eigenvalue * 10000 / trace) AS BIGINT)
+         AS var_explained_bp,
+       FLOOR(eigenvalue * 10000 / trace) >= {_PCA_VAR_FLOOR} AS var_ok,
+       ABS(vnorm2 - CAST(1.0 AS DOUBLE)) < CAST(0.000000001 AS DOUBLE)
+         AS norm_ok
+FROM ray
+"""
+
+
+@register(
+    "x_pca_eval",
+    oracle=PCA_EVAL_ORACLE,
+    doc="PCA contract row: the power iterate's Rayleigh quotient as a "
+    "share of the covariance trace, in basis points — STRUCTURALLY a "
+    "certified lower bound on the true top-component share (any unit "
+    "vector's RQ lower-bounds the top eigenvalue; power steps never "
+    "decrease it on a PSD matrix), so the number is meaningful even "
+    "without a convergence test. Measured 261/262/195 bp vs the "
+    "10000/64 = 156 bp isotropic mean share (the synthetic embeddings "
+    "are near-isotropic by construction; floor 150 below the minimum, "
+    "family convention) — on a real embedding corpus with anisotropy "
+    "this is the whitening-decision number. norm_ok pins the iterate "
+    "at unit length (measured |v.v - 1| ~ 2-4e-16). All values "
+    "bitwise cross-engine (trace/eigenvalue/vnorm2 are ordered folds "
+    "over the bitwise-pinned matrix and vector).",
+)
+def x_pca_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.linalg import covariance_matrix, power_top_eigen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = power_top_eigen(
+        covariance_matrix(emb, "embedding", _PCA_DIM), _PCA_DIM, _PCA_ITERS
+    )
+    vnorm2 = F.aggregate(
+        F.transform(F.col("v"), lambda y: y * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return top.select(
+        F.col("n").cast("int").alias("n_vecs"),
+        "trace",
+        "eigenvalue",
+        F.floor(F.col("eigenvalue") * F.lit(10000) / F.col("trace"))
+        .cast("bigint")
+        .alias("var_explained_bp"),
+        (
+            F.floor(F.col("eigenvalue") * F.lit(10000) / F.col("trace"))
+            >= F.lit(_PCA_VAR_FLOOR)
+        ).alias("var_ok"),
+        (F.abs(vnorm2 - F.lit(1.0)) < F.lit(1e-9)).alias("norm_ok"),
+    )

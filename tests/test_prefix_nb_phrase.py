@@ -437,3 +437,67 @@ def test_prefix_incremental_unseen_tokens(spark):
         for r in prefix_filter_pairs_incremental(base, new).collect()
     }
     assert got == {(1, 10): 4}
+
+
+# ---------------------------------------------------------------------------
+# PCA (covariance + power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _pca_fixture(spark, n=200, dim=8):
+    """Embeddings with a planted dominant direction u (unit e0+e1
+    direction, strongly varying coefficient) plus small deterministic
+    per-dim noise — the top principal component must align with u."""
+    rows = []
+    for k in range(n):
+        a = ((k * 37) % 100 - 50) / 10.0  # in [-5, 5), variance >> noise
+        vec = []
+        for d in range(dim):
+            u_d = 1.0 if d in (0, 1) else 0.0
+            noise = (((k * 13 + d * 7) % 11) - 5) / 50.0  # [-0.1, 0.1]
+            vec.append(a * u_d + noise)
+        rows.append((k, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pca_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from blspark.ext.linalg import covariance_matrix
+
+    emb = _pca_fixture(spark)
+    row = covariance_matrix(emb, "embedding", 8).collect()[0]
+    got = np.array(row.cov)
+    xs = np.array([r.embedding for r in emb.collect()])
+    want = np.cov(xs, rowvar=False, bias=True)
+    assert np.abs(got - want).max() < 1e-9
+    # exact symmetry by construction (mirrored upper triangle)
+    for i in range(8):
+        for j in range(8):
+            assert row.cov[i][j] == row.cov[j][i]
+    assert abs(row.trace - want.trace()) < 1e-9
+
+
+def test_pca_power_finds_planted_direction(spark):
+    import math
+
+    import numpy as np
+
+    from blspark.ext.linalg import covariance_matrix, power_top_eigen
+
+    emb = _pca_fixture(spark)
+    top = power_top_eigen(
+        covariance_matrix(emb, "embedding", 8), 8, 8
+    ).collect()[0]
+    v = top.v
+    u = [1 / math.sqrt(2), 1 / math.sqrt(2)] + [0.0] * 6
+    cos = abs(sum(a * b for a, b in zip(v, u)))
+    assert cos > 0.99
+    # eigenvalue matches numpy's top eigenvalue of the same matrix
+    xs = np.array([r.embedding for r in emb.collect()])
+    lam = np.linalg.eigvalsh(np.cov(xs, rowvar=False, bias=True)).max()
+    assert abs(top.eigenvalue - lam) / lam < 1e-3
+    # unit norm
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
