@@ -192,3 +192,34 @@ def power_top_eigen(cov_row: DataFrame, dim: int = 64, iters: int = 8):
         lambda acc, x: acc + x,
     )
     return cur.select("n", "trace", "v", rayleigh.alias("eigenvalue"))
+
+
+def mean_vector(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """ONE row: m (array<double>) — the per-dimension mean from the
+    same exact 2^-40-grid integer sums as ``covariance_matrix``, with
+    the identical pinned rescale ((s1/n)/2^40), so a consumer
+    combining the two artifacts (e.g. centered projection) sees one
+    consistent quantization."""
+    comp = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    ).select(
+        "i",
+        F.floor(F.col("x") * F.lit(_Q_SCALE))
+        .cast("decimal(19,0)")
+        .alias("qx"),
+    )
+    sums = comp.groupBy("i").agg(F.sum("qx").cast("double").alias("s1"))
+    n = emb.agg(F.count("*").alias("n"))
+    return (
+        sums.crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            ((F.col("s1") / F.col("n")) / F.lit(_Q_SCALE)).alias("mi"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mi"))),
+                lambda s: s["mi"],
+            ).alias("m")
+        )
+    )

@@ -1088,3 +1088,69 @@ def x_pca_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_ok"),
         (F.abs(vnorm2 - F.lit(1.0)) < F.lit(1e-9)).alias("norm_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_embed_pca_project — per-vector projection onto the top component
+# ---------------------------------------------------------------------------
+
+PCA_PROJECT_ORACLE = f"""
+WITH RECURSIVE {_pca_chain_sql()},
+mean_ AS (
+  SELECT list(
+           (s.s1 / nn.n) / sc.s1x ORDER BY s.i) AS m
+  FROM sums s CROSS JOIN nn CROSS JOIN sc
+  GROUP BY ALL
+)
+SELECT v2.vec_id,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, {_PCA_DIM + 1}),
+           i -> (v2.v[i] - mean_.m[i]) * fin.v[i])),
+         (a, b) -> a + b) AS proj
+FROM vecs v2, fin, mean_
+"""
+
+
+@register(
+    "x_embed_pca_project",
+    oracle=PCA_PROJECT_ORACLE,
+    doc="Per-vector projection onto the corpus's top principal "
+    "component — the serving half of the PCA stage (rank by |proj| "
+    "for dominant-direction analysis, or subtract proj*v for the "
+    "common-component-removal postprocessing standard in sentence-"
+    "embedding pipelines): proj = (x - mean) . v, with the mean "
+    "vector and top eigenvector from the same exact-moment machinery "
+    "as x_embed_pca_power, the dot fold pinned in index order from "
+    "0.0 — every projection bitwise cross-engine. Plan: the one-row "
+    "(mean, v) artifact broadcasts; scoring is MAP-SIDE per vector — "
+    "like NB serving and n-gram generation, throughput scales with "
+    "the vectors scored, not with anything global. ext/linalg.",
+)
+def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.ext.linalg import covariance_matrix, power_top_eigen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb, "embedding", _PCA_DIM)
+    top = power_top_eigen(cov, _PCA_DIM, _PCA_ITERS).select(
+        F.col("v").alias("topv")
+    )
+    # mean vector from the same exact integer sums (pinned op order)
+    from blspark.ext.linalg import mean_vector
+
+    mean = mean_vector(emb, "embedding")
+    art = mean.crossJoin(F.broadcast(top))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b),
+            F.col("topv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return vecs.crossJoin(F.broadcast(art)).select(
+        "vec_id", proj.alias("proj")
+    )

@@ -1161,6 +1161,29 @@ def bench_phrase(spark, factor: int) -> float:
     return dt
 
 
+def bench_pca(spark, factor: int) -> float:
+    """Covariance + power iteration with the corpus growing: the
+    moment shuffle carries a FIXED 2080 groups (map-side combined),
+    so the wall should track the linear scan/explode term; the
+    iteration is corpus-independent (one-row matrix)."""
+    from blspark.ext.linalg import covariance_matrix, power_top_eigen
+
+    emb = amplify(
+        load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id",
+        factor,
+        1_000_000,
+    )
+    t0 = time.perf_counter()
+    top = power_top_eigen(covariance_matrix(emb, "embedding", 64), 64, 8)
+    n = top.select("eigenvalue").count()
+    dt = time.perf_counter() - t0
+    print(f"  pca x{factor}: {dt:.2f}s ({n} row)", flush=True)
+    return dt
+
+
 def _amplified_sf_dir(spark, factor: int) -> str:
     """Materialize an amplified embeddings corpus as an sf-dir twin.
     The ONE sweep path that must write: the persisted-index serve
@@ -1458,6 +1481,7 @@ BENCHES = {
     "prefix_join": bench_prefix_join,
     "classify_nb": bench_classify_nb,
     "phrase": bench_phrase,
+    "pca": bench_pca,
 }
 
 

