@@ -101,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     # registrations and the 17 explicitly-deferred r10-stale names
     # lead; the new round-16 registrations follow (so this round
     # does not mint fresh never-sampled debt); the remaining slots
-    # go to the 10 highest-complexity r11-stale names (streaming /
+    # go to the 9 highest-complexity r11-stale names (streaming /
     # graph / similarity / dedup / multimodal / index, where a
-    # silent regression would matter most). The other 40 r11 names
+    # silent regression would matter most). The other 41 r11 names
     # — headline queries re-proven every round by bench.py golden
     # paths, low-risk built-in-SQL shapes, and checked/warm/capped
     # variants whose base queries are freshly signed — are EXPLICITLY
@@ -152,19 +152,19 @@ _PRIORITY: tuple[str, ...] = (
     "x_embed_pca_power",
     "x_pca_eval",
     "x_embed_pca_project",
-    # r11-stale signed this round (10 of 50, highest-complexity):
+    "s_stream_pca_project",
+    # r11-stale signed this round (9 of 50, highest-complexity):
     "s_stream_negative_samples",
     "x_cells_split",
     "x_dedup_pipeline_lsh",
     "x_dedup_span_removal",
     "x_incremental_agg_refresh",
-    "x_index_persist_scan",
     "x_kmeans_clusters",
     "x_multimodal_decode",
     "x_retrieval_graph_expand",
     "x_similarity_ivf",
     # r11-stale DEFERRED to round 17 (explicit; they lead round
-    # 17's budget — 40 names; x_multimodal_decode_checked,
+    # 17's budget — 41 names; x_multimodal_decode_checked,
     # x_knn_graph_components_warm and x_knn_graph_split yielded their
     # slots to the third/fourth/fifth round-16 registrations, and
     # x_dedup_ngram_jaccard / x_kmeans_checked / x_knn_graph_capped /
@@ -182,7 +182,9 @@ _PRIORITY: tuple[str, ...] = (
     # ann_lsh is priced by r14's x_lsh_eval, graph_expand_eval's
     # contract shape by the r13/r14-fresh adaptive/filtered evals,
     # and kcore rides the same edge machinery as the r14-fresh
-    # triangles + r15-fresh components):
+    # triangles + r15-fresh components; index_persist_scan's family
+    # carries r13-fresh graph/compact/snapshot coverage and the
+    # persist-graph bench golden path every round):
     "x_multimodal_decode_checked",
     "x_knn_graph_components_warm",
     "x_knn_graph_split",
@@ -197,6 +199,7 @@ _PRIORITY: tuple[str, ...] = (
     "x_similarity_ann_lsh",
     "x_graph_expand_eval",
     "x_kcore_prune",
+    "x_index_persist_scan",
     "q1_population_stats",
     "q2_best_year",
     "q3_combined_report",

@@ -1398,3 +1398,60 @@ def s_stream_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = nb_score_mapside(test, model_row)
     name = run_available_now(scored, output_mode="append")
     return spark.table(name)
+
+
+def _pca_stream_oracle() -> str:
+    from blspark.queries.extensions16 import PCA_PROJECT_ORACLE
+
+    return PCA_PROJECT_ORACLE
+
+
+@register(
+    "s_stream_pca_project",
+    oracle=_pca_stream_oracle(),
+    doc="Streaming PCA projection SERVING — the embedding twin of "
+    "s_stream_classify_nb's train-offline/score-online shape: the "
+    "(mean, top-eigenvector) artifact is fit from the static batch "
+    "corpus (ext/linalg exact-grid machinery) and packed as one "
+    "broadcastable row; arriving embeddings (file-arrival source) "
+    "project as a PURE PER-ROW expression — centered dot fold in "
+    "index order — no aggregation, no state store, append mode. "
+    "Streamed projections hash-match the batch x_embed_pca_project "
+    "oracle bitwise (same artifact, same fold), the parity that makes "
+    "incremental dominant-direction scoring of a 100 TB stream sound: "
+    "the artifact refreshes on the index cadence while arrivals score "
+    "at stream throughput.",
+)
+def s_stream_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blspark.catalog import load_table
+    from blspark.ext.linalg import (
+        covariance_matrix,
+        mean_vector,
+        power_top_eigen,
+    )
+    from blspark.queries.extensions16 import _PCA_DIM, _PCA_ITERS
+
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = file_arrival_stream(
+        spark, sf_dir, schema=emb_schema, glob="embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = power_top_eigen(
+        covariance_matrix(emb, "embedding", _PCA_DIM), _PCA_DIM, _PCA_ITERS
+    ).select(F.col("v").alias("topv"))
+    art = mean_vector(emb, "embedding").crossJoin(F.broadcast(top))
+    joined = stream.withColumn("_k", F.lit(1)).join(
+        F.broadcast(art.withColumn("_k", F.lit(1))), "_k"
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b),
+            F.col("topv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("vec_id", proj.alias("proj"))
+    name = run_available_now(scored, output_mode="append")
+    return spark.table(name)
