@@ -29,7 +29,7 @@ elementwise zip_with product (k doubles per token, no row fan-out).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -135,61 +135,23 @@ def nb_predictions(
     train, test = _nb_split(
         docs, id_col, text_col, label_col, n_split, test_bucket
     )
-    classes, model = _nb_model(train)
-
-    ttok2 = test.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.posexplode("w").alias("pos", "tok"),
-    )
-    scored_tok = (
-        ttok2.crossJoin(
-            F.broadcast(
-                classes.select(
-                    F.col("lang").alias("cls"), "unseen", "prior_ratio"
-                )
-            )
-        )
-        .join(
-            model.select(
-                "tok", F.col("lang").alias("cls"), "ratio"
-            ),
-            ["tok", "cls"],
-            "left",
-        )
-        .select(
-            "doc_id",
-            "true_lang",
-            "cls",
-            "pos",
-            F.coalesce(F.col("ratio"), F.col("unseen")).alias("r"),
-            "prior_ratio",
-        )
-    )
-    folded = (
-        scored_tok.groupBy("doc_id", "true_lang", "cls", "prior_ratio")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "r"))),
-                    lambda s: s["r"],
-                ),
-                F.lit(1.0).cast("double"),
-                lambda acc, x: acc * x,
-            ).alias("prod")
-        )
-        .select(
-            "doc_id",
-            "true_lang",
-            "cls",
-            (F.col("prod") * F.col("prior_ratio")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
-    return (
-        folded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"))
+    # Score through the packed-model MAP-SIDE path (optimization r16):
+    # the old shape k-fanned every test token through a (tok, cls)
+    # shuffle join against the vocab x k model and re-aggregated with
+    # a collect_list + sort per (doc, class) — three exchanges of
+    # |test tokens| x k rows. The arrays model performs the exact
+    # multiply sequence per label (zip_with fold in token position
+    # order from the same 1.0 init, priors applied once at the end)
+    # and its argmax (first index of the max over ascending labels)
+    # equals the (score DESC, class ASC) row_number — scores are
+    # BITWISE identical (pinned by tests/test_prefix_nb_phrase's
+    # batch/serving parity test and the unchanged DuckDB oracle), so
+    # predictions are unchanged while scoring becomes one broadcast
+    # join + per-row expressions: zero shuffles after the two count
+    # passes. At broadcast-hostile vocab sizes the documented escape
+    # (module doc) remains the token-keyed shuffle join.
+    return nb_score_mapside(
+        test.select("doc_id", "lang", "w"), _nb_model_row(train)
     )
 
 
@@ -213,6 +175,14 @@ def nb_model_arrays(
     train, _test = _nb_split(
         docs, id_col, text_col, label_col, n_split, test_bucket
     )
+    return _nb_model_row(train)
+
+
+def _nb_model_row(train: DataFrame) -> DataFrame:
+    """One packed (langs, priors, unseens, tokmap) row from a train
+    split — shared by ``nb_model_arrays`` (the streaming-serving
+    export) and ``nb_predictions`` (batch scoring, r16) so the two
+    consumers can never diverge on the model layout."""
     classes, model = _nb_model(train)
     carr = classes.agg(
         F.array_sort(

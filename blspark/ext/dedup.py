@@ -303,7 +303,10 @@ def jaccard_pairs(
 
 
 def prefix_candidates(
-    shingles: DataFrame, t_num: int = 3, t_den: int = 5
+    shingles: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """The prefix-filter CANDIDATE stage of ``prefix_filter_pairs``
     (split out so the eval query can price candidate volume): global
@@ -311,9 +314,20 @@ def prefix_candidates(
     each document's first |d| - ceil(t*|d|) + 1 shingles, self-join
     prefixes on shingle, integer length filter. Returns distinct
     (id_a, id_b, n_a, n_b), id_a < id_b — a provable superset of the
-    Jaccard >= t pair set (see ``prefix_filter_pairs``)."""
+    Jaccard >= t pair set (see ``prefix_filter_pairs``).
+
+    ``sets``: optional ``shingle_sets`` frame for the same corpus
+    (id, shset) — when given, each document's size comes MAP-SIDE from
+    ``size(shset)`` (identical to the old COUNT(*) by construction:
+    shsets are distinct per document) instead of a corpus-wide
+    aggregation plus a join (optimization r16, guide §2.3: one fewer
+    shuffle + one fewer aggregation pass over the exploded shingles)."""
     sh = shingles
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sizes = (
+        sets.select("id", F.size("shset").alias("n"))
+        if sets is not None
+        else sh.groupBy("id").agg(F.count("*").alias("n"))
+    )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
@@ -325,8 +339,8 @@ def prefix_candidates(
     )
     pre = (
         sh.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
         .join(sizes, "id")
+        .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
         .select("id", "shingle", "n")
     )
@@ -349,9 +363,16 @@ def prefix_candidates(
 
 
 def prefix_filter_pairs(
-    shingles: DataFrame, t_num: int = 3, t_den: int = 5
+    shingles: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity join via prefix filtering —
+    (``sets``: optional ``shingle_sets`` frame of the same corpus —
+    supplies map-side document sizes to the candidate stage and the
+    per-document arrays for the set-intersection verify; when None
+    both are reconstructed from ``shingles``, result-identically) —
     the AllPairs/PPJoin candidate-generation bound (Bayardo et al.
     WWW'07; Chaudhuri et al. ICDE'06; Xiao et al. WWW'08) expressed
     declaratively. Returns every pair with Jaccard >= t_num/t_den:
@@ -389,14 +410,44 @@ def prefix_filter_pairs(
     corpus is adversarially self-similar, fall back to the LSH
     pipeline (approximate) or raise the threshold."""
     sh = shingles
-    cand = prefix_candidates(sh, t_num, t_den)
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = prefix_candidates(sh, t_num, t_den, sets=sets)
+    # EXACT verification over per-document shingle SETS (optimization
+    # r16, guide §2.3/§8): the old verify attached every shingle of
+    # id_a to each candidate pair (a |cand| x |doc| explosion), then
+    # shuffle-joined that on (id_b, shingle) and re-aggregated — the
+    # most expensive exchange of the whole operator. Each document's
+    # distinct-shingle ARRAY (the shingle_sets contract) makes
+    # n_common = size(array_intersect(sha, shb)) — computed MAP-SIDE
+    # per candidate pair after two joins keyed on the candidate ids
+    # (broadcast under threshold at test scale; candidate-volume-sized
+    # shuffles at 100 TB, never |cand| x |doc|). n_common is the same
+    # integer (set intersection of the same distinct sets), so every
+    # output row — including the one exact integer-ratio jaccard
+    # division — is unchanged; a pair with empty intersection appears
+    # in neither shape (old: no join match; new: the threshold filter
+    # kills n_common = 0).
+    if sets is None:
+        sets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shset"))
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("shset").alias("sha")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("shset").alias("shb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+        )
     )
     union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return inter.filter(
@@ -416,6 +467,8 @@ def prefix_filter_pairs_incremental(
     sh_new: DataFrame,
     t_num: int = 3,
     t_den: int = 5,
+    sets_base: DataFrame | None = None,
+    sets_new: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental EXACT similarity join: every (new, base) pair with
     Jaccard >= t_num/t_den, via asymmetric prefix filtering — the
@@ -445,8 +498,16 @@ def prefix_filter_pairs_incremental(
 
     dfreq = sh_base.groupBy("shingle").agg(F.count("*").alias("df"))
 
-    def prefixed(sh: DataFrame, id_alias: str, n_alias: str) -> DataFrame:
-        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    def prefixed(
+        sh: DataFrame, id_alias: str, n_alias: str, sets: DataFrame | None
+    ) -> DataFrame:
+        # map-side sizes from the distinct-shingle sets when available
+        # (optimization r16) — identical to COUNT(*) by construction
+        sizes = (
+            sets.select("id", F.size("shset").alias("n"))
+            if sets is not None
+            else sh.groupBy("id").agg(F.count("*").alias("n"))
+        )
         w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
         plen = (
             F.col("n")
@@ -456,8 +517,8 @@ def prefix_filter_pairs_incremental(
         return (
             sh.join(dfreq, "shingle", "left")
             .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
-            .withColumn("pos", F.row_number().over(w))
             .join(sizes, "id")
+            .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= plen)
             .select(
                 F.col("id").alias(id_alias),
@@ -466,8 +527,8 @@ def prefix_filter_pairs_incremental(
             )
         )
 
-    pn = prefixed(sh_new, "id_new", "n_new")
-    pb = prefixed(sh_base, "id_base", "n_base")
+    pn = prefixed(sh_new, "id_new", "n_new", sets_new)
+    pb = prefixed(sh_base, "id_base", "n_base", sets_base)
     cand = (
         pn.join(pb, "shingle")
         .filter(
@@ -477,13 +538,38 @@ def prefix_filter_pairs_incremental(
         .select("id_new", "id_base", "n_new", "n_base")
         .distinct()
     )
-    sa = sh_new.select(F.col("id").alias("id_new"), "shingle")
-    sb = sh_base.select(F.col("id").alias("id_base"), "shingle")
+    # set-intersection verify (optimization r16) — see
+    # prefix_filter_pairs: candidate-keyed joins + map-side
+    # array_intersect replace the |cand| x |doc| explode/re-aggregate;
+    # n_common is the same integer, so outputs are unchanged
+    if sets_new is None:
+        sets_new = sh_new.groupBy("id").agg(
+            F.collect_list("shingle").alias("shset")
+        )
+    if sets_base is None:
+        sets_base = sh_base.groupBy("id").agg(
+            F.collect_list("shingle").alias("shset")
+        )
     inter = (
-        cand.join(sa, "id_new")
-        .join(sb, ["id_base", "shingle"])
-        .groupBy("id_new", "id_base", "n_new", "n_base")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(
+            sets_new.select(
+                F.col("id").alias("id_new"), F.col("shset").alias("sha")
+            ),
+            "id_new",
+        )
+        .join(
+            sets_base.select(
+                F.col("id").alias("id_base"), F.col("shset").alias("shb")
+            ),
+            "id_base",
+        )
+        .select(
+            "id_new",
+            "id_base",
+            "n_new",
+            "n_base",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+        )
     )
     union_n = F.col("n_new") + F.col("n_base") - F.col("n_common")
     return inter.filter(
@@ -806,9 +892,14 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
     neighbors hook onto the local minimum); small-star emits (v, m) for
     v in G(u), v < u plus (u, m) (the node and its smaller neighbors
     collapse onto it). Self-loops are dropped, edges deduped."""
+    # no .distinct() on sym (optimization r16): the min aggregation is
+    # duplicate-insensitive and every output branch ends in its own
+    # distinct, so deduplicating the symmetrized frame here only added
+    # a full (u, v) exchange per star round — result-identical without
+    # it, two fewer exchanges per contraction round.
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     m = sym.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
     j = sym.join(m, "u")

@@ -24,12 +24,64 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+# The family's vectors are 64-dim by corpus contract (the PQ 8x8
+# split, PCA's d=64). A 64-term unrolled sum participates in
+# whole-stage codegen as straight-line arithmetic, where the
+# higher-order aggregate/zip_with fold is CodegenFallback — i.e.
+# interpreted per ELEMENT, with a lambda dispatch per multiply-add.
+# For the quadratic pairing loops (the kNN-graph cell self-joins score
+# |corpus| x cell_size pairs) that interpretation overhead WAS the
+# dominant per-task cost (guide §1.2 step 2: per-task work, measured
+# ~2.4 s of x_knn_graph's 3.2 s). The unrolled branch folds in the
+# SAME order from the same 0.0 init (left-associated adds from index
+# 0), so every sum is bit-identical to the HOF fold; non-64-dim
+# arrays (ragged token vectors, PQ subvectors) take the original HOF
+# branch via the size guard.
+_UNROLL_DIM = 64
+
+
+def _dot_hof(a: Column, b: Column) -> Column:
+    """The original higher-order-function fold — used (a) directly
+    inside OTHER lambdas (e.g. _cell_assign's per-cell transform),
+    where the whole expression is interpreted anyway and the unrolled
+    tree's size only adds walk overhead, and (b) on METADATA-sized
+    frames inside iterative loops (per-hop beam-walk scoring, seed
+    products, subvector LUTs, MRL prefix slices): the data volume
+    there cannot amortize the 64-term tree's extra planning/codegen
+    cost, which is re-paid on every hop's plan. Bitwise identical to
+    _dot's unrolled branch (same left fold from 0.0)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return _dot_hof(a, b)
+
+
+def _dot_unrolled(a: Column, b: Column) -> Column:
+    """64-term unrolled dot with a size guard falling back to the HOF
+    fold — bitwise identical to _dot (same left fold from the same 0.0
+    init). Used ONLY at the quadratic pairing hot spot
+    (_graph_edges_float's scored projection), where the |corpus| x
+    cell_size evaluation volume amortizes the bigger expression tree
+    and whole-stage codegen turns it into straight-line arithmetic
+    (the HOF fold is CodegenFallback — interpreted per element with a
+    lambda dispatch per multiply-add; A/B: the graph build's scoring
+    dropped ~35% with the unroll). Deliberately NOT the default: in
+    plans that embed the dot inside larger collapsed projections
+    (IVF-PQ residual) Catalyst duplicates the 64-term tree per
+    consumer and the generated method blows past JIT limits —
+    A/B-measured ~+2 s on x_similarity_ivfpq_residual when this was
+    the default _dot."""
+    unrolled = F.lit(0.0).cast("double")
+    for i in range(_UNROLL_DIM):
+        unrolled = unrolled + a[i] * b[i]
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), unrolled
+    ).otherwise(_dot_hof(a, b))
 
 
 def _norm(a: Column) -> Column:
@@ -121,7 +173,7 @@ def mrl_prefix_ranked(
     ).select(
         "query_id",
         "neighbor_id",
-        F.when(pden > 0, _dot(F.col("pvec"), F.col("qpvec")) / pden)
+        F.when(pden > 0, _dot_hof(F.col("pvec"), F.col("qpvec")) / pden)
         .otherwise(F.lit(float("-inf")))
         .alias("pcos"),
     )
@@ -255,15 +307,32 @@ def sq8_quantize(
     )
 
 
-def _idot(a: Column, b: Column) -> Column:
-    """Integer dot product over int-code arrays — EXACT (int64
-    accumulation; 64 dims x 127^2 maxes far below 2^63), so unlike the
-    float folds there is no association concern at all."""
+def _idot_hof(a: Column, b: Column) -> Column:
+    """The original HOF fold of _idot — for call sites INSIDE other
+    lambdas (the stateless streaming edge maintenance's per-member
+    transform), where everything is interpreted anyway and the
+    unrolled tree only adds walk overhead. Bit-for-bit the same sum
+    (integer addition is order-free)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product over int-code arrays — EXACT (int64
+    accumulation; 64 dims x 127^2 maxes far below 2^63), so unlike the
+    float folds there is no association concern at all. 64-dim codes
+    take the unrolled codegen branch (see _dot — integer sums are
+    order-free, so this one is trivially identical); other lengths
+    keep the HOF fold."""
+    unrolled = F.lit(0).cast("long")
+    for i in range(_UNROLL_DIM):
+        unrolled = unrolled + (a[i] * b[i]).cast("long")
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), unrolled
+    ).otherwise(_idot_hof(a, b))
 
 
 def sq8_topk(
@@ -324,22 +393,43 @@ def sq8_topk(
     return _sq8_rank(paired, k)
 
 
-def _sq8_rank(paired: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
+def _sq8_rank(
+    paired: DataFrame,
+    k: int,
+    keep: tuple = (),
+    part_extra: tuple = (),
+    unroll: bool = False,
+) -> DataFrame:
     """The SQ8 scoring + top-k tail shared by ``sq8_topk`` and
     ``ivf_sq8_topk`` (one copy, so the exact int64 core and the
     rank/tie-break rules can never diverge between the plain and the
     cell-pruned paths). ``paired`` must carry (query_id, neighbor_id,
     nq, nscale, qq, qscale); ``keep`` names extra ``paired`` columns
     to carry through to the output unchanged (the filtered-index
-    query rides the neighbor's attribute along)."""
+    query rides the neighbor's attribute along). ``part_extra`` names
+    ``paired`` columns PREPENDED to the window's partition spec and
+    dropped from the output — the graph self-join passes its cell key
+    (functionally determined by query_id, so ranking is identical)
+    because hash(cell_id) from the join already satisfies the
+    widened clustering and the pair-list Exchange before the window
+    disappears (optimization r16, guide §2.4). ``unroll`` switches the
+    int64 core to the unrolled codegen branch — the graph SELF-JOIN
+    passes True (quadratic pair volume amortizes the bigger
+    expression; -35% A/B on x_knn_graph_sq8); the query-set serve
+    paths keep the HOF fold (their probe volumes are small and the
+    bigger per-plan codegen cost measured as a regression on the
+    persisted-index scans — the _dot/_dot_unrolled split's rationale,
+    identical sums either way)."""
+    idot = _idot if unroll else _idot_hof
     scored = paired.select(
         "query_id",
         "neighbor_id",
+        *part_extra,
         *keep,
-        _idot(F.col("nq"), F.col("qq")).alias("iprod"),
+        idot(F.col("nq"), F.col("qq")).alias("iprod"),
         (F.col("nscale") * F.col("qscale")).alias("ss"),
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*part_extra, "query_id").orderBy(
         F.desc(F.col("iprod") * F.col("ss")), F.asc("neighbor_id")
     )
     return (
@@ -598,7 +688,7 @@ def maxsim_tokens_topk(
     best = (
         paired.select(
             "query_id", "neighbor_id", "qm",
-            _dot(F.col("sv"), F.col("qsv")).alias("dp"),
+            _dot_hof(F.col("sv"), F.col("qsv")).alias("dp"),
         )
         .groupBy("query_id", "neighbor_id", "qm")
         .agg(F.max("dp").alias("best"))
@@ -720,6 +810,73 @@ def _cell_assign(
     division only evaluates when the denominator is positive)."""
     if keep_sim and probes != 1:
         raise ValueError("keep_sim requires probes == 1")
+    if probes == 1:
+        # MAP-SIDE argmin (optimization r16): score the |cells|
+        # centroid list — collected cell_id-sorted into ONE broadcast
+        # row — per corpus row, instead of exploding a corpus x nlist
+        # pair frame through a two-level SortAggregate (min(struct) +
+        # first(array) buffers disqualify hash aggregation, so the old
+        # shape SORTED the exploded product and EXCHANGED the whole
+        # corpus — vectors included — once per assignment). Per row:
+        # one transform computes the identical per-cell negated score
+        # (same _dot, same guarded division; degenerate pairs score
+        # +inf = the old -inf-never-wins rule), array_min takes the
+        # winner and array_position its FIRST index — the cells are
+        # pre-sorted by cell_id, so equal-score ties resolve to the
+        # lowest cell exactly like min(struct(neg, cell_id)). The
+        # winning cell and (keep_sim) the recovered cosine -min are
+        # value-identical to the aggregate path (sole corner: a
+        # winning score of exactly -0.0 tied with +0.0, impossible on
+        # this data and diffcheck-verified absent at every SF) — and
+        # the assignment becomes one narrow projection of the scan:
+        # zero exchanges, zero sorts, at any corpus size.
+        # Scale-adaptive parallelism restore (conf-gated, see
+        # session.py): with the fold the assignment keeps the SCAN's
+        # partitioning — correct at scale (a 100 TB table has
+        # thousands of row groups), but the single-row-group local
+        # test files would otherwise run the whole downstream stage in
+        # one task. The local default repartitions the compact
+        # (id, vec, norm) projection across the cores; production
+        # leaves it unset and pays ZERO shuffle for the assignment.
+        par = df.sparkSession.conf.get("blspark.assign.localParallelism", "")
+        if par and int(par) > 0:
+            df = df.repartition(int(par))
+        cent1 = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell_id", "cvec", "centnorm"))
+            ).alias("_cells")
+        )
+        negs = F.transform(
+            F.col("_cells"),
+            lambda c: F.when(
+                (F.col("vnorm") * c["centnorm"]) > 0,
+                -(
+                    _dot_hof(F.col("vec"), c["cvec"])
+                    / (F.col("vnorm") * c["centnorm"])
+                ),
+            ).otherwise(F.lit(float("inf"))),
+        )
+        best = F.element_at(
+            F.col("_cells"),
+            F.array_position(
+                F.col("_negs"), F.array_min(F.col("_negs"))
+            ).cast("int"),
+        )
+        sim_cols = (
+            [(-F.array_min(F.col("_negs"))).alias("cell_sim")]
+            if keep_sim
+            else []
+        )
+        return (
+            df.crossJoin(F.broadcast(cent1))
+            .select(
+                F.col(idc), "vec", "vnorm", "_cells", negs.alias("_negs")
+            )
+            .select(
+                idc, "vec", "vnorm",
+                best["cell_id"].alias("cell_id"), *sim_cols,
+            )
+        )
     denom = F.col("vnorm") * F.col("centnorm")
     scored = df.crossJoin(F.broadcast(cent)).select(
         F.col(idc),
@@ -730,25 +887,6 @@ def _cell_assign(
         .otherwise(F.lit(float("-inf")))
         .alias("cell_sim"),
     )
-    if probes == 1:
-        sim_cols = (
-            [(-F.col("s.neg")).alias("cell_sim")] if keep_sim else []
-        )
-        return (
-            scored.groupBy(idc)
-            .agg(
-                F.min(F.struct((-F.col("cell_sim")).alias("neg"), "cell_id"))
-                .alias("s"),
-                # vec/vnorm are functionally dependent on the id —
-                # first() is deterministic in value (pq_assign's device)
-                F.first("vec").alias("vec"),
-                F.first("vnorm").alias("vnorm"),
-            )
-            .select(
-                idc, "vec", "vnorm",
-                F.col("s.cell_id").alias("cell_id"), *sim_cols,
-            )
-        )
     w = Window.partitionBy(idc).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -1171,6 +1309,14 @@ def knn_graph(
         "src_id",
         1,
     )
+    # materialize the one assignment pass for BOTH self-join sides
+    # (optimization r16): the pairing reads this frame twice, and a
+    # graph construction is BUILD-time work — the same
+    # index-materialization trade the blocked path, nav_graph_build
+    # and the persisted-index build already make (callers passing
+    # ``assigned`` already checkpoint it themselves; this closes the
+    # self-contained path, which re-ran the scan+assign per branch).
+    src = src.localCheckpoint(eager=True)
     return _graph_edges_float(src, k, mutual, max_block, keep_cell)
 
 
@@ -1234,18 +1380,33 @@ def _graph_edges_float(
     # an unguarded 0/0 double division would abort the whole graph
     # build instead of scoring low
     pair_denom = F.col("anorm") * F.col("bnorm")
+    # the plain path keeps cell_id on the scored pairs so the top-k
+    # window can partition by (cell_id, src_id): src_id functionally
+    # determines cell_id (each node lives in exactly one cell), so the
+    # ranking is identical — but hash(cell_id), the self-join's output
+    # partitioning, already SATISFIES the window's clustering, and the
+    # full-pair-list Exchange the src_id-only window forced disappears
+    # (optimization r16, guide §2.4: the pair list is the largest
+    # intermediate of the whole build — at 100 TB this removes its
+    # only corpus-sized shuffle). The blocked path replicates rows
+    # across block keys and drops cell_id, so it keeps the plain
+    # src_id window.
+    plain = max_block is None
     scored = paired.filter(F.col("src_id") != F.col("dst_id")).select(
         "src_id",
         "dst_id",
-        *(["cell_id"] if keep_cell else []),
+        *(["cell_id"] if (keep_cell or plain) else []),
         F.when(
             pair_denom > 0,
-            _dot(F.col("avec"), F.col("bvec")) / pair_denom,
+            _dot_unrolled(F.col("avec"), F.col("bvec")) / pair_denom,
         )
         .otherwise(F.lit(float("-inf")))
         .alias("cos_raw"),
     )
-    w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("dst_id"))
+    wpart = ["cell_id", "src_id"] if plain else ["src_id"]
+    w = Window.partitionBy(*wpart).orderBy(
+        F.desc("cos_raw"), F.asc("dst_id")
+    )
     edges = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -1257,6 +1418,15 @@ def _graph_edges_float(
             F.round("cos_raw", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
+    # materialize the compact |corpus| x k edge list ONCE before the
+    # reversed-pair join (optimization r16): both join sides derive
+    # from `edges`, and Catalyst planned the whole pairing subtree
+    # (cell-assign + self-join + window) TWICE — plan-verified, no
+    # exchange reuse fired — so the mutual flag doubled the build.
+    # One eager localCheckpoint (the build-materialization trade the
+    # family already blesses) halves the heavy work; the join then
+    # shuffles only id/float rows.
+    edges = edges.localCheckpoint(eager=True)
     rev = edges.select(
         F.col("dst_id").alias("src_id"),
         F.col("src_id").alias("dst_id"),
@@ -1416,12 +1586,15 @@ def knn_graph_split(
     trade is ~s^2/2 pairing per split level, chosen explicitly.
     Composes with ``max_block`` (the physical cap) for cells that
     remain hot after splitting."""
-    return _graph_edges_float(
-        split_oversized_cells(corpus, centroids, id_col, vec_col, max_cell),
-        k,
-        mutual,
-        max_block,
-    )
+    # one materialization of the refined assignment for both self-join
+    # sides (optimization r16): the multi-stage split subtree
+    # (assign + size census + sub-centroid training + reassign) was
+    # re-executed per pairing branch — the knn_graph build-time
+    # materialization trade applied here too
+    refined = split_oversized_cells(
+        corpus, centroids, id_col, vec_col, max_cell
+    ).localCheckpoint(eager=True)
+    return _graph_edges_float(refined, k, mutual, max_block)
 
 
 def knn_graph_sq8(
@@ -1454,11 +1627,13 @@ def knn_graph_sq8(
     Returns (src_id, dst_id, score, iprod, rank, mutual).
     """
     qz = _quantized_cells(corpus, centroids, id_col, vec_col)
-    if max_block is not None:
-        # three reads under the blocked join (size count + both
-        # sides): materialize the compact int8-code frame once — see
-        # knn_graph's max_block comment for the measured rationale.
-        qz = qz.localCheckpoint(eager=True)
+    # materialize the compact int8-code frame once for both self-join
+    # sides (optimization r16 — previously blocked-path only, where
+    # the three reads made it unavoidable; the plain path's two reads
+    # each re-ran the scan + assign + quantize subtree): graph
+    # construction is build-time work, the established
+    # index-materialization trade.
+    qz = qz.localCheckpoint(eager=True)
     a = qz.select(
         F.col("vid").alias("query_id"),
         F.col("qvec").alias("qq"),
@@ -1478,7 +1653,27 @@ def knn_graph_sq8(
         if max_block is None
         else _blocked_cell_join(a, b, "query_id", "neighbor_id", max_block)
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    edges = _sq8_rank(paired, k)
+    # cell-keyed window partitioning on the plain path + one eager
+    # checkpoint of the compact edge list before the reversed-pair
+    # join — see _graph_edges_float (optimization r16): the window's
+    # pair-list Exchange disappears, and the mutual join no longer
+    # re-executes the whole pairing subtree on its rev side. The
+    # blocked (max_block) path keeps the join-from-lineage shape: its
+    # qz input is already materialized, so the rev side's re-execution
+    # is bounded, and the A/B showed the extra serial checkpoint job
+    # costing more than it saved there.
+    # unroll only on the plain path: the blocked join A/B-measured the
+    # HOF core ~0.4 s faster (in-session probe) — the block-replicated
+    # rows re-pay the bigger expression without the plain path's fused
+    # join->project pipeline
+    edges = _sq8_rank(
+        paired,
+        k,
+        part_extra=(() if max_block is not None else ("cell_id",)),
+        unroll=max_block is None,
+    )
+    if max_block is None:
+        edges = edges.localCheckpoint(eager=True)
     rev = edges.select(
         F.col("neighbor_id").alias("query_id"),
         F.col("query_id").alias("neighbor_id"),
@@ -1577,7 +1772,7 @@ def knn_edges_stateless(
         # the ONE int64 core (_idot) — never re-derive it here: the
         # stream/batch edge-parity contract rests on both paths
         # sharing it
-        iprod = _idot(m["qvec"], F.col("qvec"))
+        iprod = _idot_hof(m["qvec"], F.col("qvec"))
         return F.struct(
             (-(iprod * (m["scale"] * F.col("scale")))).alias("neg"),
             m["vec_id"].alias("dst_id"),
@@ -2178,7 +2373,7 @@ def _proto_seeds(
         .select(
             "query_id",
             "cand_id",
-            F.when(denom > 0, _dot(F.col("qvec"), F.col("cvec")) / denom)
+            F.when(denom > 0, _dot_hof(F.col("qvec"), F.col("cvec")) / denom)
             .otherwise(F.lit(float("-inf")))
             .alias("cos_raw"),
         )
@@ -2417,7 +2612,7 @@ def _beam_walk(
             *extra,
             F.when(
                 hop_denom > 0,
-                _dot(F.col("qvec"), F.col("cvec")) / hop_denom,
+                _dot_hof(F.col("qvec"), F.col("cvec")) / hop_denom,
             )
             .otherwise(F.lit(float("-inf")))
             .alias("cos_raw"),
@@ -2872,7 +3067,7 @@ def _pq_lut(qsv: DataFrame, codebooks: DataFrame) -> DataFrame:
     every (m, code) — Q x M x ks rows, broadcast-sized. ``qsv`` must
     carry (query_id, m, sv)."""
     return qsv.join(F.broadcast(codebooks), "m").select(
-        "query_id", "m", "code", _dot(F.col("sv"), F.col("cw")).alias("val")
+        "query_id", "m", "code", _dot_hof(F.col("sv"), F.col("cw")).alias("val")
     )
 
 

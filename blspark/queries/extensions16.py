@@ -119,10 +119,20 @@ FROM truth
     "this is pruned AND exact. ext/dedup.prefix_filter_pairs.",
 )
 def x_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blspark.ext.dedup import prefix_filter_pairs, word_shingles
+    from blspark.ext.dedup import (
+        prefix_filter_pairs,
+        shingle_sets,
+        word_shingles,
+    )
 
-    sh = word_shingles(_corpus(spark, sf_dir, wide=True), "doc_id", "text")
-    return prefix_filter_pairs(sh, _PF_NUM, _PF_DEN)
+    corpus = _corpus(spark, sf_dir, wide=True)
+    sh = word_shingles(corpus, "doc_id", "text")
+    # sets: map-side sizes for the candidate stage + array-intersect
+    # verify (optimization r16) — same distinct-shingle sets the
+    # exploded frame is derived from, so results are identical
+    return prefix_filter_pairs(
+        sh, _PF_NUM, _PF_DEN, sets=shingle_sets(corpus, "doc_id", "text")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -226,10 +236,13 @@ def x_prefix_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import (
         prefix_candidates,
         prefix_filter_pairs,
+        shingle_sets,
         word_shingles,
     )
 
-    sh = word_shingles(_corpus(spark, sf_dir, wide=True), "doc_id", "text")
+    corpus = _corpus(spark, sf_dir, wide=True)
+    sh = word_shingles(corpus, "doc_id", "text")
+    ss = shingle_sets(corpus, "doc_id", "text")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
 
     # brute-force truth with the same integer-exact threshold
@@ -257,8 +270,12 @@ def x_prefix_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     fcand = inter.select("id_a", "id_b")
-    pcand = prefix_candidates(sh, _PF_NUM, _PF_DEN).select("id_a", "id_b")
-    pver = prefix_filter_pairs(sh, _PF_NUM, _PF_DEN).select("id_a", "id_b")
+    pcand = prefix_candidates(sh, _PF_NUM, _PF_DEN, sets=ss).select(
+        "id_a", "id_b"
+    )
+    pver = prefix_filter_pairs(sh, _PF_NUM, _PF_DEN, sets=ss).select(
+        "id_a", "id_b"
+    )
 
     n_docs = sizes.agg(F.count("*").cast("int").alias("n_docs"))
     n_cf = fcand.agg(F.count("*").cast("int").alias("n_cand_full"))
@@ -880,13 +897,23 @@ WHERE {_PF_DEN} * i.n_common
 def x_dedup_prefix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blspark.ext.dedup import (
         prefix_filter_pairs_incremental,
+        shingle_sets,
         word_shingles,
     )
 
-    sh = word_shingles(_corpus(spark, sf_dir, wide=True), "doc_id", "text")
+    corpus = _corpus(spark, sf_dir, wide=True)
+    sh = word_shingles(corpus, "doc_id", "text")
+    ss = shingle_sets(corpus, "doc_id", "text")
     sh_base = sh.filter(F.col("id") % 3 == 0)
     sh_new = sh.filter(F.col("id") % 3 != 0)
-    return prefix_filter_pairs_incremental(sh_base, sh_new, _PF_NUM, _PF_DEN)
+    return prefix_filter_pairs_incremental(
+        sh_base,
+        sh_new,
+        _PF_NUM,
+        _PF_DEN,
+        sets_base=ss.filter(F.col("id") % 3 == 0),
+        sets_new=ss.filter(F.col("id") % 3 != 0),
+    )
 
 
 # ---------------------------------------------------------------------------

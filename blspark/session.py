@@ -57,6 +57,18 @@ def get_spark(
         # the injection; blspark.ext.bloom has the explicit operator for
         # key sets beyond broadcast size).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Local-mode parallelism floor for the zero-shuffle cell-
+        # assignment fold (ext/similarity._cell_assign, optimization
+        # r16): the test parquet files are single-row-group, so a pure
+        # map-side assignment would run its whole downstream stage in
+        # the scan's one task. Locally we round-robin the compact
+        # (id, vec, norm) projection across the cores first; on a real
+        # cluster UNSET this (scan parallelism suffices) and the
+        # assignment performs no exchange at all — that zero-shuffle
+        # shape is the point of the fold.
+        .config(
+            "blspark.assign.localParallelism", str(shuffle_partitions)
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -275,8 +275,48 @@ def test_knn_graph_self_join_keyed_not_broadcast(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" not in plan, name  # no data-sized broadcast
         keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-        assert keyed >= 2, name  # pairing join AND reverse join both keyed
-        assert "WindowGroupLimit" in plan, name
+        # the final plan shows the reverse join; since r16 the pairing
+        # executes once into an eager edge-list checkpoint (Scan
+        # ExistingRDD) instead of being planned twice — its keyed
+        # shape is asserted on the pre-checkpoint plan below
+        assert keyed >= 1, name
+        assert "Scan ExistingRDD" in plan, name  # edges materialized once
+
+    # pairing shape (now materialized behind the checkpoint): the
+    # mutual=False float path returns the ranked edges un-checkpointed,
+    # exposing the within-cell self-join — it must stay a KEYED join
+    # with the WindowGroupLimit partial top-k and NO exchange between
+    # the join and the window (the r16 (cell_id, src_id) window
+    # partitioning rides the join's hash(cell_id) output partitioning)
+    from blspark.catalog import load_table
+    from blspark.ext.similarity import knn_graph
+    from blspark.queries.extensions9 import _det_centroids
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    pdf = knn_graph(emb, _det_centroids(emb), k=3, mutual=False)
+    pplan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastHashJoin" not in pplan
+    assert (
+        pplan.count("SortMergeJoin") + pplan.count("ShuffledHashJoin") >= 1
+    )
+    assert "WindowGroupLimit" in pplan
+    # no exchange may sit between the pairing join and the window: the
+    # only hashpartitioning exchanges in this plan are the two
+    # self-join inputs (and the conf-gated assignment repartition) —
+    # the Window subtree itself must contain the join, not an Exchange
+    # above it
+    for line, sub in _subtrees(pplan, "WindowGroupLimit"):
+        if "SortMergeJoin" in sub or "ShuffledHashJoin" in sub:
+            assert "Exchange hashpartitioning" not in sub.split(
+                "SortMergeJoin"
+            )[0].split("ShuffledHashJoin")[0], sub
+            break
+    else:
+        raise AssertionError(
+            "no WindowGroupLimit directly over the pairing join:\n"
+            + pplan
+        )
 
 
 def test_knn_graph_capped_pairs_on_block_decomposed_key(spark):
