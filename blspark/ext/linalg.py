@@ -27,13 +27,15 @@ and partitionings. No convergence test (a float comparison would be a
 hidden determinism hazard): iteration count is fixed, the Rayleigh
 quotient prices how converged the result is.
 
-Scale shape (100 TB): the covariance pass explodes each vector into
-its d(d+1)/2 ordered component pairs and partially aggregates
-map-side — the shuffle carries d(d+1)/2 groups total (d = 64 ->
-2,080), independent of corpus size; the d x d matrix is metadata
-(32 KB) and the iteration runs on a ONE-ROW frame (localCheckpoint
-per step truncates the expression tree — the pagerank/components
-lineage device). For top-k components, deflate and repeat, or block
+Scale shape (100 TB): the covariance pass generates each row's own
+d(d+1)/2 ordered component products (posexplode of the quantized
+array, then a second explode over the suffix slice — no self-join,
+no corpus exchange; optimization r17) and partially aggregates
+map-side — the one shuffle carries d(d+1)/2 + d groups per map task
+(d = 64 -> 2,144), independent of corpus size; the d x d matrix is
+metadata (32 KB) and the iteration runs on a ONE-ROW frame
+(localCheckpoint every second step truncates the expression tree —
+the pagerank/components lineage device). For top-k components, deflate and repeat, or block
 iteration; the matrix stays broadcast-sized for any d where d^2
 doubles fit an executor (d <= ~30k)."""
 
@@ -55,33 +57,85 @@ def covariance_matrix(
     dim x dim, sample covariance with 1/n normalization). Exact
     integer moments on the 2^-40 grid; pinned double arithmetic
     (module doc)."""
-    comp = emb.select(
-        "vec_id",
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("x") * F.lit(_Q_SCALE))
+    # ONE corpus pass, ZERO corpus exchanges (optimization r17, guide
+    # §2.4): each row quantizes its vector ONCE into a d-element
+    # decimal array, posexplodes it, and a second explode over the
+    # suffix slice(qa, i+1, d-i) ++ [qx] generates that row's own
+    # d(d+1)/2 upper-triangle products (pos < d-i), the d per-component
+    # sum terms (the appended singleton, tagged j = -1), and the row
+    # count — all small codegen'd expressions pipelined inside one
+    # whole-stage-codegen span (a literal 2,144-element struct array
+    # was A/B'd first: janino rejects the generated method and the
+    # interpreted fallback re-casts the full vector per term, O(d^3)
+    # per row; the r16 nested-transform HOF shape was +86% for the
+    # same interpreted reason). The only shuffle left carries
+    # d(d+1)/2 + d partially-aggregated groups per map task —
+    # independent of corpus size — where the old corpus self-join on
+    # vec_id exchanged the exploded corpus twice (and Catalyst planned
+    # that moment subtree TWICE more via the upper/transpose union).
+    # Value-identical: same quantization expression, same
+    # decimal(19,0) x decimal(19,0) -> decimal(38,0) products, same
+    # sums (s1 widens decimal(29,0) -> decimal(38,0), exact for any
+    # realistic count), same double casts; per-group COUNT equals
+    # count(*) because every row emits every (i, j) group (null
+    # vectors / null components contribute null products, which SUM
+    # skips and COUNT keeps — exactly the old posexplode-join
+    # semantics).
+    v = F.col(vec_col).cast("array<double>")
+    qa = F.array(*[
+        F.floor(F.element_at(v, i + 1) * F.lit(_Q_SCALE))
         .cast("decimal(19,0)")
-        .alias("qx"),
+        for i in range(dim)
+    ])
+    # Project to the ONE needed column before anything else (§2.3) —
+    # vec_id was only ever the old self-join key and is gone. The
+    # conf-gated local-parallelism restore is the _cell_assign device
+    # (session.py): the pass keeps the SCAN's partitioning — right at
+    # scale where a 100 TB table has thousands of row groups, but the
+    # single-row-group local test files would run the whole quadratic
+    # generate+aggregate in one task. Locally the compact vector
+    # projection round-robins across cores first; production leaves
+    # the conf unset and the pass performs ZERO shuffle before the
+    # 2,144-group partial-aggregate exchange.
+    src = emb.select(F.col(vec_col))
+    par = emb.sparkSession.conf.get("blspark.assign.localParallelism", "")
+    if par and int(par) > 0:
+        src = src.repartition(int(par))
+    p1 = src.select(qa.alias("qa")).select(
+        F.posexplode("qa").alias("i", "qx"), "qa"
     )
-    b = comp.select(
-        F.col("vec_id").alias("vid2"),
-        F.col("i").alias("j"),
-        F.col("qx").alias("qy"),
+    tail = F.concat(
+        F.slice(F.col("qa"), F.col("i") + 1, F.lit(dim) - F.col("i")),
+        F.array(F.col("qx")),
     )
-    mom = (
-        comp.join(
-            b,
-            (F.col("vec_id") == F.col("vid2")) & (F.col("i") <= F.col("j")),
+    p2 = p1.select(
+        "i", "qx", F.posexplode(tail).alias("pos", "qy")
+    )
+    in_tri = (F.col("i") + F.col("pos")) < dim
+    # localCheckpoint: the tiny (2144-row) moment frame feeds sums,
+    # moments AND the transpose union below — without materialization
+    # the union would re-run the corpus pass once per branch.
+    base = (
+        p2.select(
+            "i",
+            F.when(in_tri, F.col("i") + F.col("pos"))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("j"),
+            F.when(in_tri, F.col("qx") * F.col("qy"))
+            .otherwise(F.col("qx").cast("decimal(38,0)"))
+            .alias("p"),
         )
         .groupBy("i", "j")
-        .agg(F.sum(F.col("qx") * F.col("qy")).cast("double").alias("s"))
+        .agg(F.sum("p").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    sums = comp.groupBy("i").agg(
-        F.sum("qx").cast("double").alias("s1")
+    mom = base.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("sv").cast("double").alias("s"), "n"
     )
-    n = emb.agg(F.count("*").alias("n"))
+    sums = base.filter(F.col("j") < 0).select(
+        "i", F.col("sv").cast("double").alias("s1")
+    )
     si = sums.select(F.col("i").alias("_i"), F.col("s1").alias("si"))
     sj = sums.select(F.col("i").alias("_j"), F.col("s1").alias("sj"))
     cov_ij = (
@@ -90,9 +144,8 @@ def covariance_matrix(
         * ((F.col("sj") / F.col("n")) / F.lit(_Q_SCALE))
     )
     upper = (
-        mom.join(si, F.col("i") == F.col("_i"))
-        .join(sj, F.col("j") == F.col("_j"))
-        .crossJoin(F.broadcast(n))
+        mom.join(F.broadcast(si), F.col("i") == F.col("_i"))
+        .join(F.broadcast(sj), F.col("j") == F.col("_j"))
         .select("i", "j", cov_ij.alias("cov"), "n")
     )
     full = upper.unionByName(
@@ -163,7 +216,7 @@ def power_top_eigen(cov_row: DataFrame, dim: int = 64, iters: int = 8):
         "cov",
         F.array_repeat(F.lit(1.0).cast("double"), dim).alias("v"),
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for step in range(iters):
         stepped = (
             cur.select(
                 "n",
@@ -181,7 +234,20 @@ def power_top_eigen(cov_row: DataFrame, dim: int = 64, iters: int = 8):
                 ).alias("v"),
             )
         )
-        cur = stepped.localCheckpoint(eager=True)
+        # checkpoint every SECOND step (and the last): each eager
+        # localCheckpoint is one serial driver job over a one-row
+        # frame, so halving them halves the iteration's job count
+        # (optimization r17). Two composed steps square the collapsed
+        # HOF tree once (w appears twice in the step expression) —
+        # still a few thousand interpreted ops on ONE row — while the
+        # arithmetic is the IDENTICAL ops in the identical order, so
+        # the loadings stay bitwise-stable; three-plus composed steps
+        # would start the 2^k planning blowup the per-step checkpoint
+        # exists to stop.
+        if step % 2 == 1 or step == iters - 1:
+            cur = stepped.localCheckpoint(eager=True)
+        else:
+            cur = stepped
     rayleigh = F.aggregate(
         F.zip_with(
             F.col("v"),

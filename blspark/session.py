@@ -57,19 +57,23 @@ def get_spark(
         # the injection; blspark.ext.bloom has the explicit operator for
         # key sets beyond broadcast size).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Local-mode parallelism floor for the zero-shuffle cell-
-        # assignment fold (ext/similarity._cell_assign, optimization
-        # r16): the test parquet files are single-row-group, so a pure
-        # map-side assignment would run its whole downstream stage in
-        # the scan's one task. Locally we round-robin the compact
-        # (id, vec, norm) projection across the cores first; on a real
-        # cluster UNSET this (scan parallelism suffices) and the
-        # assignment performs no exchange at all — that zero-shuffle
-        # shape is the point of the fold.
-        .config(
+    )
+    # Local-mode parallelism floor for the zero-shuffle map-side
+    # passes (ext/similarity._cell_assign's fold, ext/linalg's
+    # covariance moment pass): the test parquet files are
+    # single-row-group, so a pure map-side pipeline would run its
+    # whole downstream stage in the scan's one task. Locally we
+    # round-robin the compact projection across the cores first.
+    # Gated on a local master (ADVICE r16): a cluster session built
+    # through this factory must NOT silently pay the repartition
+    # exchange — at scale the scan's own row-group parallelism
+    # suffices and these passes perform no exchange at all, which is
+    # the point of the fold. Cluster callers can still opt in via
+    # extra_conf.
+    if master.startswith("local"):
+        builder = builder.config(
             "blspark.assign.localParallelism", str(shuffle_partitions)
         )
-    )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
