@@ -221,6 +221,13 @@ def nb_score_mapside(docs: DataFrame, model_row: DataFrame) -> DataFrame:
     are bitwise identical; the argmax (first index of the max, labels
     pre-sorted ascending) matches its (score DESC, class ASC)
     row_number. Returns (doc_id, true_lang, pred_lang)."""
+    # degenerate-doc guard (ADVICE r16, unreachable on real corpora —
+    # split() never yields a null/empty token array for non-null
+    # text): the pre-r16 posexplode path silently DROPPED docs whose
+    # token array was null or empty; the fold would instead emit them
+    # with a prior-only (null-w: null) prediction. Pin the original
+    # drop semantics so the map-side path cannot widen the contract.
+    docs = docs.filter(F.col("w").isNotNull() & (F.size("w") > 0))
     joined = docs.withColumn("_k", F.lit(1)).join(
         F.broadcast(model_row.withColumn("_k", F.lit(1))), "_k"
     )
@@ -240,8 +247,17 @@ def nb_score_mapside(docs: DataFrame, model_row: DataFrame) -> DataFrame:
     return joined.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
+        # greatest(1, ...): if every score were NaN, array_position
+        # returns 0 (NaN != NaN) and element_at(langs, 0) would abort
+        # under ANSI — index 1 picks the LOWEST label, exactly what
+        # the old (score DESC, lang ASC) row_number resolved NaN-first
+        # ties to (ADVICE r16; unreachable: ratios are finite
+        # positive doubles).
         F.element_at(
             F.col("langs"),
-            F.array_position(scores, F.array_max(scores)).cast("int"),
+            F.greatest(
+                F.lit(1),
+                F.array_position(scores, F.array_max(scores)).cast("int"),
+            ),
         ).alias("pred_lang"),
     )

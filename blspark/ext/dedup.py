@@ -19,7 +19,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -883,7 +883,7 @@ def connected_components(
     return labels.select("node", F.col("lab").alias("component"))
 
 
-def _star_round(e: DataFrame, large: bool) -> DataFrame:
+def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star (``large=True``) or small-star round over a
     directed edge frame ``(u, v)`` viewed as an undirected graph.
 
@@ -891,18 +891,25 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
     large-star emits (v, m) for v in G(u), v > u (strictly larger
     neighbors hook onto the local minimum); small-star emits (v, m) for
     v in G(u), v < u plus (u, m) (the node and its smaller neighbors
-    collapse onto it). Self-loops are dropped, edges deduped."""
-    # no .distinct() on sym (optimization r16): the min aggregation is
-    # duplicate-insensitive and every output branch ends in its own
-    # distinct, so deduplicating the symmetrized frame here only added
-    # a full (u, v) exchange per star round — result-identical without
-    # it, two fewer exchanges per contraction round.
+    collapse onto it). Self-loops are dropped; ``dedup`` dedupes the
+    output (the caller's large-star half passes False — its output
+    feeds straight into the small-star round, whose min/window is
+    duplicate-insensitive and whose own final distinct dedupes, so a
+    mid-round distinct would only add an exchange; r16 removed the
+    symmetrized frame's distinct on the same argument)."""
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
-    j = sym.join(m, "u")
+    # per-u minimum as a WINDOW over the symmetrized frame
+    # (optimization r17, guide §2.4): the old groupBy(u).min + join
+    # back on u exchanged BOTH the aggregate and the sym frame (two
+    # exchanges + a sort-merge join per star round); a min() window
+    # partitioned by u clusters sym once — one exchange — and attaches
+    # the identical per-u minimum to every row.
+    m = F.least(
+        F.min("v").over(Window.partitionBy("u")), F.col("u")
+    ).alias("m")
+    j = sym.select("u", "v", m)
     if large:
         out = j.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
@@ -911,9 +918,15 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
         hooked = j.filter(F.col("v") < F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
-        self_edge = j.select("u", F.col("m").alias("v")).distinct()
+        # no mid-branch distinct on the self-edges (optimization r17):
+        # the final distinct below already dedupes, and HashAggregate's
+        # map-side partial pass collapses duplicates before the
+        # exchange anyway — the explicit distinct only added a full
+        # extra exchange per small-star round.
+        self_edge = j.select("u", F.col("m").alias("v"))
         out = hooked.unionByName(self_edge)
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def connected_components_star(
@@ -937,14 +950,15 @@ def connected_components_star(
     component centered at the component's minimum id, so labels read off
     directly. The round BUDGET is fixed up front at ceil(log2(n)) + 2
     (one count of ``nodes``), but each round ends with an edge-set
-    stability probe (two anti-joins over the compact id-pair frame —
-    a distributed boolean, NOT the min-label variant's full-cluster
+    stability probe (a count compare over the checkpointed frames,
+    falling through to ONE anti-join only when the counts tie —
+    exact for distinct sets, NOT the min-label variant's full-cluster
     convergence count) and the loop exits at the first stable round:
     shallow graphs (mutual-kNN components, near-dup clusters — the
     common case) finish in 2-4 rounds instead of paying the full
     log2(n) budget, and each SKIPPED round would have cost strictly
-    more than the probe (two star rounds = four shuffles + a
-    checkpoint vs one compare). With ``converge_check`` extra rounds
+    more than the probe (two star rounds = shuffles + a checkpoint
+    vs one count). With ``converge_check`` extra rounds
     run after an exhausted budget in the (theoretically possible,
     never observed) case the bound was short, keeping the result
     unconditionally exact.
@@ -962,17 +976,37 @@ def connected_components_star(
         n = max(nodes.count(), 2)
         max_rounds = max(2, int(math.ceil(math.log2(n))) + 2)
     e = e.localCheckpoint(eager=True)
+
+    # Edge-set stability probe (optimization r17): both frames are
+    # DISTINCT by construction (the initial distinct / every round's
+    # final distinct), so set equality is |nxt| == |e| AND nxt \ e
+    # empty. Counts come off the just-checkpointed frames (a
+    # near-free job), so rounds that change the edge COUNT — almost
+    # every contracting round — skip the anti-join entirely, and the
+    # one confirming round pays a single left_anti over cached compact
+    # frames where the old probe ran TWO exceptAll subplans (four
+    # aggregates + their exchanges) every round. Exact, never
+    # probabilistic: count equality plus one-sided emptiness implies
+    # set equality for distinct sets.
+    e_cnt = e.count()
+
+    def _stable(nxt, nxt_cnt) -> bool:
+        return nxt_cnt == e_cnt and nxt.join(
+            e, ["u", "v"], "left_anti"
+        ).isEmpty()
+
     stable = False
     for _ in range(max_rounds):
         # localCheckpoint per round: iterative self-joins otherwise double
         # the logical plan every iteration (planning alone goes quadratic)
-        nxt = _star_round(_star_round(e, large=True), large=False)
+        nxt = _star_round(_star_round(e, large=True, dedup=False), large=False)
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.exceptAll(e).unionByName(e.exceptAll(nxt)).isEmpty():
+        nxt_cnt = nxt.count()
+        if _stable(nxt, nxt_cnt):
             e = nxt
             stable = True
             break
-        e = nxt
+        e, e_cnt = nxt, nxt_cnt
     if converge_check and not stable:
         # run until the edge set is STABLE — this is what makes the
         # result unconditionally exact even if the fixed budget was
@@ -981,11 +1015,12 @@ def connected_components_star(
         # The safety cap only guards against a logic bug looping
         # forever; hitting it raises rather than returning wrong labels.
         for attempt in range(16 * max_rounds + 16):
-            nxt = _star_round(_star_round(e, large=True), large=False)
+            nxt = _star_round(_star_round(e, large=True, dedup=False), large=False)
             nxt = nxt.localCheckpoint(eager=True)
-            if nxt.exceptAll(e).unionByName(e.exceptAll(nxt)).isEmpty():
+            nxt_cnt = nxt.count()
+            if _stable(nxt, nxt_cnt):
                 break
-            e = nxt
+            e, e_cnt = nxt, nxt_cnt
         else:
             raise RuntimeError(
                 "connected_components_star failed to reach an edge-set "

@@ -499,6 +499,7 @@ def ivf_sq8_topk(
         cent,
         id_col,
         nprobe,
+        local_par=False,
     ).select(F.col(id_col).alias("query_id"), "cell_id")
     qz = sq8_quantize(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -547,6 +548,7 @@ def _ivf_candidates(
         cent,
         id_col,
         nprobe,
+        local_par=False,
     ).select(F.col(id_col).alias("query_id"), "cell_id")
     return c_cells.join(F.broadcast(probes), "cell_id").select(
         "query_id", "neighbor_id"
@@ -779,7 +781,7 @@ def _centroid_frame(centroids: DataFrame) -> DataFrame:
 
 def _cell_assign(
     df: DataFrame, cent: DataFrame, idc: str, probes: int,
-    keep_sim: bool = False,
+    keep_sim: bool = False, local_par: bool = True,
 ) -> DataFrame:
     """Nearest-``probes``-cells assignment by max cosine (tie-break
     lowest cell_id) — the ONE cell-assignment rule shared by ivf_topk,
@@ -838,8 +840,13 @@ def _cell_assign(
         # one task. The local default repartitions the compact
         # (id, vec, norm) projection across the cores; production
         # leaves it unset and pays ZERO shuffle for the assignment.
+        # ``local_par=False`` skips it even locally — QUERY-side
+        # assigns are metadata-sized, so the round-robin exchange was
+        # pure serve-path overhead (the r16 A/B's +14-18% on the
+        # IVF/PQ serve family; VERDICT r16 item 4): only CORPUS-side
+        # callers ask for the parallelism restore.
         par = df.sparkSession.conf.get("blspark.assign.localParallelism", "")
-        if par and int(par) > 0:
+        if local_par and par and int(par) > 0:
             df = df.repartition(int(par))
         cent1 = cent.agg(
             F.array_sort(
@@ -856,11 +863,25 @@ def _cell_assign(
                 ),
             ).otherwise(F.lit(float("inf"))),
         )
+        # robustness guards (ADVICE r16, both unreachable on real
+        # corpora, both pinning the fold to the old aggregate path's
+        # behavior): (a) an EMPTY centroid frame must yield zero rows
+        # — the collect_list agg always emits one row, so without the
+        # size filter the crossJoin would fabricate null-cell rows
+        # where the old empty crossJoin emitted none; (b) if every
+        # per-cell score is NaN, array_position(_negs, NaN) is 0
+        # (NaN != NaN) and element_at(_cells, 0) would abort under
+        # ANSI — greatest(1, ...) picks the LOWEST cell_id, exactly
+        # what min(struct(NaN, cell_id)) resolved to.
+        cent1 = cent1.filter(F.size("_cells") > 0)
         best = F.element_at(
             F.col("_cells"),
-            F.array_position(
-                F.col("_negs"), F.array_min(F.col("_negs"))
-            ).cast("int"),
+            F.greatest(
+                F.lit(1),
+                F.array_position(
+                    F.col("_negs"), F.array_min(F.col("_negs"))
+                ).cast("int"),
+            ),
         )
         sim_cols = (
             [(-F.array_min(F.col("_negs"))).alias("cell_sim")]
@@ -931,6 +952,7 @@ def ivf_topk(
         cent,
         "query_id",
         nprobe,
+        local_par=False,
     ).select(
         "query_id", F.col("vec").alias("qvec"), F.col("vnorm").alias("qnorm"), "cell_id"
     )
@@ -1273,18 +1295,18 @@ def knn_graph(
     recomputed for each self-join branch rather than persisted (the
     residual IVF-PQ convention: never materialize a corpus-sized
     cache; recompute is one extra scan of a columnar source). The
-    mutual flag joins the edge list (|corpus| x k rows, id/float
-    columns only) to itself on the reversed (src, dst) pair — a keyed
-    hash join on a compact frame, no further corpus scan. Each node
-    lives in exactly one cell, so (src, dst) edges are unique by
-    construction and the reverse join cannot fan out.
+    mutual flag is a COUNT over the canonical (least, greatest) pair
+    key of the edge list (|corpus| x k rows, id/float columns only —
+    optimization r17): each node lives in exactly one cell, so every
+    ordered pair appears at most once and an edge is mutual iff its
+    unordered pair occurs twice — one window exchange on the compact
+    frame, no self-join, no further corpus scan.
 
     Returns (src_id, dst_id, cosine, rank, mutual); nodes in a cell
     of size < k + 1 emit cell_size - 1 edges. ``mutual=False`` skips
-    the reverse-pair join entirely and drops the column — Catalyst
-    cannot eliminate the join on its own (it can't prove the right
-    side duplicate-free), so callers that don't read the flag
-    (x_knn_graph_eval) should opt out rather than discard it.
+    the pair-count window entirely and drops the column, so callers
+    that don't read the flag (x_knn_graph_eval) should opt out
+    rather than discard it.
     ``max_block`` caps the per-task pairing block against a hot cell
     (``_blocked_cell_join`` — exact, result-identical); None keeps
     the plain cell join. ``assigned``: optional precomputed
@@ -1292,6 +1314,14 @@ def knn_graph(
     pass the one shared pass instead of paying a fresh argmin scan
     per self-join branch (cell_id is identical by construction:
     ``keep_sim`` only appends a column).
+
+    Deployment caveat (ADVICE r16): the build materializes the
+    assignment via ``localCheckpoint`` — non-reliable storage, so
+    under dynamic allocation / executor decommission a lost executor
+    fails the lineage-truncated job. Cluster deployments that cannot
+    pin executors for the build's duration should persist the
+    assignment to reliable storage (``spark.checkpoint`` or a table
+    write) instead; the trade is build-time only, never serving-path.
     """
     if assigned is not None:
         src = assigned.select(
@@ -1418,27 +1448,25 @@ def _graph_edges_float(
             F.round("cos_raw", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
-    # materialize the compact |corpus| x k edge list ONCE before the
-    # reversed-pair join (optimization r16): both join sides derive
-    # from `edges`, and Catalyst planned the whole pairing subtree
-    # (cell-assign + self-join + window) TWICE — plan-verified, no
-    # exchange reuse fired — so the mutual flag doubled the build.
-    # One eager localCheckpoint (the build-materialization trade the
-    # family already blesses) halves the heavy work; the join then
-    # shuffles only id/float rows.
-    edges = edges.localCheckpoint(eager=True)
-    rev = edges.select(
-        F.col("dst_id").alias("src_id"),
-        F.col("src_id").alias("dst_id"),
-        F.lit(True).alias("rev_hit"),
+    # mutual flag by COUNT over the canonical (lo, hi) pair key
+    # (optimization r17, guide §2.4): each (src, dst) pair appears in
+    # the ranked edge list at most once per direction (the cell
+    # self-join emits every ordered pair exactly once), so the edge is
+    # mutual iff its unordered pair occurs twice. One window over ONE
+    # read of the edge list replaces the r16 shape — an eager
+    # localCheckpoint (a serial build-time materialization job, the
+    # cold-path charge VERDICT r16 flagged) plus a reversed-pair
+    # self-join that exchanged the edge list TWICE. The window
+    # exchanges it once and the checkpoint disappears entirely.
+    wm = Window.partitionBy(
+        F.least("src_id", "dst_id"), F.greatest("src_id", "dst_id")
     )
-    # |corpus| x k edge list on both sides: keyed join, never broadcast
-    return edges.join(rev.hint("merge"), ["src_id", "dst_id"], "left").select(
+    return edges.select(
         "src_id",
         "dst_id",
         F.round("cos_raw", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
-        F.coalesce("rev_hit", F.lit(False)).alias("mutual"),
+        (F.count(F.lit(1)).over(wm) == 2).alias("mutual"),
     )
 
 
@@ -1617,8 +1645,8 @@ def knn_graph_sq8(
     Quantization rides the cell-assigned frame (``sq8_quantize`` with
     ``keep=('cell_id',)``) — one corpus pass produces (codes, scale,
     cell), and only that compact frame enters the self-join; the raw
-    vectors never shuffle. Mutual flag as in ``knn_graph``: a
-    reversed-pair join of the compact edge list. ``max_block`` caps
+    vectors never shuffle. Mutual flag as in ``knn_graph``: a count
+    over the canonical pair key of the edge list. ``max_block`` caps
     the per-task pairing block against a hot cell
     (``_blocked_cell_join`` — exact, result-identical; the int8 codes
     make the replicated rows 4x cheaper than the float rung's);
@@ -1653,15 +1681,11 @@ def knn_graph_sq8(
         if max_block is None
         else _blocked_cell_join(a, b, "query_id", "neighbor_id", max_block)
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    # cell-keyed window partitioning on the plain path + one eager
-    # checkpoint of the compact edge list before the reversed-pair
-    # join — see _graph_edges_float (optimization r16): the window's
-    # pair-list Exchange disappears, and the mutual join no longer
-    # re-executes the whole pairing subtree on its rev side. The
-    # blocked (max_block) path keeps the join-from-lineage shape: its
-    # qz input is already materialized, so the rev side's re-execution
-    # is bounded, and the A/B showed the extra serial checkpoint job
-    # costing more than it saved there.
+    # cell-keyed window partitioning on the plain path — see
+    # _graph_edges_float (optimization r16): the window's pair-list
+    # Exchange disappears because hash(cell_id), the self-join's
+    # output partitioning, already satisfies the (cell_id, query_id)
+    # clustering.
     # unroll only on the plain path: the blocked join A/B-measured the
     # HOF core ~0.4 s faster (in-session probe) — the block-replicated
     # rows re-pay the bigger expression without the plain path's fused
@@ -1672,22 +1696,23 @@ def knn_graph_sq8(
         part_extra=(() if max_block is not None else ("cell_id",)),
         unroll=max_block is None,
     )
-    if max_block is None:
-        edges = edges.localCheckpoint(eager=True)
-    rev = edges.select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("query_id").alias("neighbor_id"),
-        F.lit(True).alias("rev_hit"),
+    # mutual flag by COUNT over the canonical pair key — see
+    # _graph_edges_float (optimization r17): one window over one read
+    # of the ranked edge list replaces the plain path's eager edge
+    # checkpoint + reversed-pair join (two edge-list exchanges -> one)
+    # and, on the blocked path, the rev side's full re-execution of
+    # the pairing subtree.
+    wm = Window.partitionBy(
+        F.least("query_id", "neighbor_id"),
+        F.greatest("query_id", "neighbor_id"),
     )
-    return edges.join(
-        rev.hint("merge"), ["query_id", "neighbor_id"], "left"
-    ).select(
+    return edges.select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("dst_id"),
         "score",
         "iprod",
         "rank",
-        F.coalesce("rev_hit", F.lit(False)).alias("mutual"),
+        (F.count(F.lit(1)).over(wm) == 2).alias("mutual"),
     )
 
 
@@ -2563,6 +2588,13 @@ def _beam_walk(
                 .filter(F.col("r") == early_exit_k)
                 .select("query_id", F.col("cos_raw").alias("_kth"))
             )
+            # materialize the (metadata-sized) active-query set ONCE
+            # (optimization r17): the old shape ran this subplan twice
+            # per hop — once inside take(1)'s emptiness probe and
+            # again inside the hop's own job via the vis_f join — with
+            # a serial driver round trip between them. The eager
+            # checkpoint executes it once; the emptiness probe and the
+            # frontier join both read the cached rows.
             active = (
                 visited.filter(F.col("_hop") == i - 1)
                 .join(kth_prev, "query_id", "left")
@@ -2572,8 +2604,9 @@ def _beam_walk(
                 )
                 .select("query_id")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            if not active.take(1):
+            if active.isEmpty():
                 break  # every query converged — later hops are no-ops
             vis_f = visited.join(active, "query_id")
         else:
@@ -3344,6 +3377,7 @@ def ivfpq_query(
         cent,
         id_col,
         nprobe,
+        local_par=False,
     ).select(F.col(id_col).alias("query_id"), "vec", "cell_id")
 
     qsv = pq_subvectors(
@@ -3537,6 +3571,7 @@ def ivfpq_residual_topk(
         cent,
         id_col,
         nprobe,
+        local_par=False,
     )
     # per (query, probed cell): the coarse term dot(q, centroid)
     probes = q_cells.join(F.broadcast(cent), "cell_id").select(

@@ -265,22 +265,26 @@ def test_knn_graph_self_join_keyed_not_broadcast(spark):
     the metadata-sized centroid crossJoins (the _cell_assign shape),
     and the per-src top-k pushes a WindowGroupLimit partial below the
     exchange. BOTH data-sized joins must stay keyed-non-broadcast:
-    the pairing join's sides are the corpus, and the mutual-flag
-    reverse join's sides are the |corpus| x k edge list — so ANY
-    BroadcastHashJoin in this plan means a data-sized frame got
+    the ONLY data-sized join is the pairing self-join on cell_id — so
+    ANY BroadcastHashJoin in this plan means a data-sized frame got
     broadcast (the centroid crossJoins are BroadcastNestedLoopJoin,
-    which is allowed and metadata-sized)."""
+    which is allowed and metadata-sized). Since r17 the mutual flag is
+    a count() window over the canonical (least, greatest) pair key —
+    the reversed-pair self-join of the edge list and its eager
+    checkpoint are GONE: the final plan must show exactly ONE keyed
+    join (the pairing), the pair-key count window above it, and no
+    second pairing subtree."""
     for name in ("x_knn_graph", "x_knn_graph_sq8"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" not in plan, name  # no data-sized broadcast
         keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-        # the final plan shows the reverse join; since r16 the pairing
-        # executes once into an eager edge-list checkpoint (Scan
-        # ExistingRDD) instead of being planned twice — its keyed
-        # shape is asserted on the pre-checkpoint plan below
-        assert keyed >= 1, name
-        assert "Scan ExistingRDD" in plan, name  # edges materialized once
+        assert keyed == 1, name  # the pairing only — no reverse join
+        # mutual = count over the canonical pair key, in the same plan
+        assert "least(" in plan and "greatest(" in plan, name
+        # the one corpus pass (assignment / quantization) is still
+        # materialized once and served to both self-join sides
+        assert "Scan ExistingRDD" in plan, name
 
     # pairing shape (now materialized behind the checkpoint): the
     # mutual=False float path returns the ranked edges un-checkpointed,
