@@ -221,6 +221,12 @@ def main() -> None:
         except OSError:
             pass
     print(line)
+    # The driver may record only a bounded TAIL of each stream; a long
+    # JSON line at the head of stdout can get clipped (BENCH_r15 was
+    # lost exactly this way). Echo the identical payload as the LAST
+    # stderr line (prefixed, so stdout still carries exactly ONE JSON
+    # line) — whichever stream's tail survives, the full record does.
+    print("# bench_json " + line, file=sys.stderr)
     spark.stop()
 
 
