@@ -344,6 +344,16 @@ def prefix_candidates(
         .filter(F.col("pos") <= plen)
         .select("id", "shingle", "n")
     )
+    # NO checkpoint of the prefix table, deliberately (r17 negative
+    # result): Catalyst does plan the ranking subtree (explode, df
+    # aggregation, sizes, per-document window) once per self-join
+    # side, but an eager localCheckpoint here A/B-measured +17.9%
+    # median against a FAVORABLE −8..−14% sentinel drift (3
+    # stash-flipped pairs) — the serial materialization job plus the
+    # lost scan->join pipelining cost more than the recompute, the
+    # same direction the r16 graph family measured for its blocked
+    # path's edge list. At cluster scale the recompute is one extra
+    # pass over a columnar source (the residual-IVFPQ convention).
     a = pre.select(
         F.col("id").alias("id_a"), "shingle", F.col("n").alias("n_a")
     )
